@@ -1,0 +1,141 @@
+"""Inverted-index construction — the core ETL (SURVEY.md §2 C3/C6, E1/E2).
+
+Reference anchors: ``Posdb.cpp: Posdb::makeKey`` (posting key build),
+``XmlDoc.cpp: XmlDoc::hashAll`` (per-doc term hashing loop),
+``Posdb::getTermFreq`` (E1 df stats), density ranks (E2 doc length).
+
+Spark-first design: the whole exploded build is builtin exprs
+(posexplode + two hash aggregations + one window) — no Python in the
+hot path, full whole-stage codegen. The *packed* (delta+varbyte)
+segment build with salted skew handling lives in ``segments.py``;
+this module produces the exploded relational form that Catalyst can
+optimize freely, which is also the oracle-checkable form.
+
+Scale notes (100 TB / 10^12 docs):
+- ``explode`` multiplies rows ~300× (avgdl); the groupBy(docid, term)
+  partial-aggregates map-side before shuffling, so the shuffle carries
+  (docid, term, tf) not raw positions unless positions are requested.
+- doclen is attached via a window over docid (one shuffle) and
+  *denormalized into postings* so the query path never joins
+  doc_stats at scale.
+- final postings are repartitioned by termid — queries prune to the
+  few partitions holding their terms (the Spark-native analogue of
+  the reference's term-routed ``shardByTermId`` keys;
+  ``Hostdb::getShardNum``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tokenizer import explode_tokens, term_id
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class InvertedIndex:
+    """The queryable index: exploded postings + stats (+ global consts).
+
+    postings:   termid, term, docid, tf, doclen[, positions]
+    term_stats: termid, term, df, cf, max_tf   (ref: Posdb::getTermFreq)
+    doc_stats:  docid, doclen
+    """
+
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_stats: DataFrame
+    n_docs: int
+    avgdl: float
+
+    def idf_col(self, df_col="df"):
+        """BM25 idf = ln((N - df + 0.5)/(df + 0.5) + 1) (Robertson/Zaragoza '09)."""
+        n = F.lit(float(self.n_docs))
+        d = F.col(df_col)
+        return F.log((n - d + 0.5) / (d + 0.5) + 1.0)
+
+    def tfnorm_col(self, tf_col="tf", doclen_col="doclen"):
+        tf = F.col(tf_col).cast("double")
+        dl = F.col(doclen_col).cast("double")
+        return (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / F.lit(self.avgdl)))
+
+
+def build_index(
+    docs: DataFrame,
+    doc_col: str = "docid",
+    text_col: str = "text",
+    with_positions: bool = False,
+    n_partitions: int | None = None,
+    cache: bool = False,
+) -> InvertedIndex:
+    """documents(doc_col, text_col) → InvertedIndex.
+
+    One explode + groupBy(docid, term) (map-side combined) + window for
+    doclen + groupBy(term) for stats. All JVM-side.
+    """
+    toks = explode_tokens(docs, doc_col, text_col)
+    aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    postings = toks.groupBy("docid", "term").agg(*aggs)
+    postings = postings.withColumn(
+        "doclen", F.sum("tf").over(Window.partitionBy("docid")).cast("int")
+    )
+    postings = postings.withColumn("termid", term_id("term"))
+    if n_partitions:
+        postings = postings.repartition(n_partitions, "termid")
+    if cache:
+        postings = postings.cache()
+
+    term_stats = postings.groupBy("termid", "term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+        F.max("tf").alias("max_tf"),
+    )
+    doc_stats = postings.groupBy("docid").agg(F.max("doclen").alias("doclen"))
+    if cache:
+        term_stats = term_stats.cache()
+        doc_stats = doc_stats.cache()
+
+    row = doc_stats.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+    ).first()
+    return InvertedIndex(
+        postings=postings,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        n_docs=int(row["n"]),
+        avgdl=float(row["avgdl"]),
+    )
+
+
+def build_index_from_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+) -> InvertedIndex:
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    return build_index(
+        docs.withColumnRenamed(doc_col, "docid"), "docid", text_col, **kw
+    )
+
+
+_INDEX_CACHE: dict[tuple, InvertedIndex] = {}
+
+
+def cached_index(spark: SparkSession, sf_dir: str, **kw) -> InvertedIndex:
+    """Session-lifetime cache so the driver's many queries() calls reuse
+    one built (and .cache()'d) index per sf_dir."""
+    key = (id(spark.sparkContext), sf_dir, tuple(sorted(kw.items())))
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index_from_table(spark, sf_dir, cache=True, **kw)
+    return _INDEX_CACHE[key]

@@ -1,0 +1,168 @@
+"""Deterministic synthetic Common-Crawl-style webtext (FIXTURES.md §2).
+
+The BASELINE.json ``input_hint`` table shape:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Everything is a pure function of ``(seed, n_docs)`` via numpy PCG64 —
+no wall clock, no external data. ``text`` is *defined* as
+``extract_text(html)`` (the pinned spec), so the byte-identity
+invariant is testable by construction; the generator asserts it on a
+sample at build time.
+
+Head-term skew is real here (Zipf s=1.07 over a 50k-term vocabulary +
+30 stopwords), so the salted posting build (SURVEY.md §2 C6 / §4 O14)
+has genuine skew to defuse.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..extraction import extract_text
+
+VOCAB_SIZE = 50_000
+STOPWORDS = (
+    "the of and to a in is it you that he was for on are with as i his they "
+    "be at one have this".split()
+)
+LANGS = ["en", "es", "de", "zh", "fr"]
+LANG_P = [0.55, 0.20, 0.12, 0.08, 0.05]
+ZIPF_S = 1.07
+EPOCH_2024 = 1_704_067_200  # 2024-01-01T00:00:00Z
+PARA_WORDS = 60
+
+SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def _vocab() -> list[str]:
+    return STOPWORDS + [f"w{k}" for k in range(VOCAB_SIZE)]
+
+
+def _zipf_probs(v: int) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, v + 1, dtype=np.float64), ZIPF_S)
+    return p / p.sum()
+
+
+def _build_html(title_words: list[str], paragraphs: list[list[str]], i: int) -> str:
+    parts = [
+        "<html><head><title>",
+        " ".join(title_words),
+        '</title><script type="text/javascript">var q = 1 && 2; if (q < 3) { q++; }</script>',
+        '</head><body><div class="nav">Home &amp; About | <a href="/c">Contact</a></div>',
+    ]
+    for j, para in enumerate(paragraphs):
+        words = list(para)
+        # Weave entities into some paragraphs; they decode to '&' / "'"
+        # which the tokenizer treats as separators.
+        if (i + j) % 7 == 0 and len(words) > 2:
+            words[1] = words[1] + " &amp; " + words[2] + "&#39;s"
+        parts.append("<p>" + " ".join(words) + "</p>")
+        if j == 0:
+            parts.append("<!-- boilerplate comment -->")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def generate_webtext(
+    n_docs: int, seed: int = 42, verify_sample: int = 25
+) -> pa.Table:
+    """Build the documents_web table as an Arrow table."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    vocab = np.array(_vocab())
+    probs = _zipf_probs(len(vocab))
+
+    doclens = np.clip(
+        rng.lognormal(mean=5.6, sigma=0.6, size=n_docs), 20, 4000
+    ).astype(np.int64)
+    total = int(doclens.sum())
+    draws = rng.choice(len(vocab), size=total, p=probs)
+    words_flat = vocab[draws]
+    offsets = np.concatenate([[0], np.cumsum(doclens)])
+    lang_idx = rng.choice(len(LANGS), size=n_docs, p=LANG_P)
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    tlds = [".com", ".org", ".net"]
+    for i in range(n_docs):
+        words = words_flat[offsets[i] : offsets[i + 1]].tolist()
+        title = words[:5]
+        body = words[5:] or words
+        paragraphs = [
+            body[p : p + PARA_WORDS] for p in range(0, len(body), PARA_WORDS)
+        ]
+        html = _build_html(title, paragraphs, i)
+        urls.append(f"https://host{i % 997}.example{tlds[i % 3]}/p/{i}")
+        tss.append((EPOCH_2024 + i) * 1_000_000)
+        htmls.append(html.encode("utf-8"))
+        texts.append(extract_text(html))
+        langs.append(LANGS[lang_idx[i]])
+
+    for i in range(0, n_docs, max(1, n_docs // max(verify_sample, 1))):
+        assert extract_text(htmls[i]) == texts[i], f"extraction drift at doc {i}"
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array(texts, pa.string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=SCHEMA,
+    )
+
+
+def webtext_path(n_docs: int, seed: int = 42, base: str | None = None) -> str:
+    """Generate-once cache under the repo (gitignored)."""
+    base = base or os.path.join(os.path.dirname(__file__), "..", "..", ".data")
+    path = os.path.abspath(os.path.join(base, f"webtext_n{n_docs}_s{seed}.parquet"))
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(generate_webtext(n_docs, seed), tmp, compression="zstd")
+        os.replace(tmp, path)
+    return path
+
+
+# --- query fixture (FIXTURES.md §3) -------------------------------------
+
+def generate_queries(seed: int = 42) -> list[dict]:
+    """50 deterministic queries over the webtext vocabulary:
+    20 single-term (10 head / 10 tail), 15 two-term AND, 5 OR,
+    5 negation, 5 quoted bigram phrases."""
+    rng = np.random.Generator(np.random.PCG64(seed + 1))
+    vocab = _vocab()
+    head = [vocab[int(i)] for i in rng.integers(0, 200, size=30)]
+    tail = [vocab[int(i)] for i in rng.integers(2000, 20_000, size=40)]
+    out: list[dict] = []
+    qid = 0
+
+    def add(qtext: str) -> None:
+        nonlocal qid
+        out.append({"qid": qid, "qtext": qtext, "k": 10})
+        qid += 1
+
+    for i in range(10):
+        add(head[i])
+    for i in range(10):
+        add(tail[i])
+    for i in range(15):
+        add(f"{head[10 + i]} {tail[10 + i]}")
+    for i in range(5):
+        add(f"{head[25 + i]} | {tail[25 + i]}")
+    for i in range(5):
+        add(f"{head[i]} -{tail[30 + i]}")
+    for i in range(5):
+        add(f'"{head[10 + i]} {tail[10 + i]}"')
+    return out

@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TESTDATA = "/root/testdata"
+SF_SMOKE = os.path.join(TESTDATA, "sf0.001")
+SF_CORRECT = os.path.join(TESTDATA, "sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from open_source_search_engine_spark.session import get_spark
+
+    s = get_spark(app="tests", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    yield s
+
+
+def _duck_for(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB over sf0.001 (smoke tier), driver-style plain view names."""
+    con = _duck_for(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_correct():
+    """DuckDB over sf0.01 — the tier the driver's correctness gate uses."""
+    con = _duck_for(SF_CORRECT)
+    yield con
+    con.close()
+
+
+def assert_df_matches_duckdb(sdf, duck_con, sql: str, float_round: int = 4):
+    """Emulates the driver's correctness gate: row-count + schema-name +
+    order-insensitive value comparison between a Spark DF and DuckDB SQL."""
+    import math
+
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck_rows = [tuple(r) for r in duck_con.execute(sql).fetchall()]
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_cols = sorted(sdf.columns)
+    d_cols = sorted(d[0] for d in duck_con.execute(sql).description)
+    assert s_cols == d_cols, f"schema: spark={s_cols} duck={d_cols}"
+
+    def canon(rows, cols_in_order, want_cols):
+        idx = [cols_in_order.index(c) for c in want_cols]
+        out = []
+        for r in rows:
+            vals = []
+            for i in idx:
+                v = r[i]
+                if isinstance(v, float):
+                    v = round(v, float_round)
+                    if v == -0.0:
+                        v = 0.0
+                    if math.isnan(v):
+                        v = "NaN"
+                vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=repr)
+
+    s = canon(spark_rows, sdf.columns, s_cols)
+    d = canon(duck_rows, [x[0] for x in duck_con.execute(sql).description], s_cols)
+    assert s == d, f"value mismatch; first spark={s[:3]} duck={d[:3]}"

@@ -1,0 +1,54 @@
+"""Byte-identity invariant for HTML→text extraction (BASELINE.md per-row
+invariant; ref behavior: XmlDoc::getUtf8Content / Xml::set)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from golden_cases import CASES
+
+from open_source_search_engine_spark.extraction import extract_text, with_extracted_text
+from open_source_search_engine_spark.sources.webtext import generate_webtext
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "extract_text.json")
+
+
+def test_golden_cases():
+    expected = json.load(open(GOLDEN))
+    assert set(expected) == set(CASES)
+    for name, html in CASES.items():
+        got = extract_text(html)
+        assert got == expected[name], f"{name}: {got!r} != {expected[name]!r}"
+
+
+def test_bytes_input_equals_str_input():
+    for html in CASES.values():
+        assert extract_text(html.encode("utf-8")) == extract_text(html)
+
+
+def test_webtext_roundtrip():
+    """generator's text column is exactly extract_text(html), per doc."""
+    t = generate_webtext(200, seed=42)
+    htmls = t.column("html").to_pylist()
+    texts = t.column("text").to_pylist()
+    for h, x in zip(htmls, texts):
+        assert extract_text(h) == x
+        # byte identity, not just str equality
+        assert extract_text(h).encode("utf-8") == x.encode("utf-8")
+
+
+def test_webtext_deterministic():
+    a = generate_webtext(50, seed=42)
+    b = generate_webtext(50, seed=42)
+    assert a.equals(b)
+
+
+def test_udf_matches_pinned_function(spark):
+    """The Arrow UDF output is byte-identical to the pinned function —
+    the driver-checked invariant, evaluated through the real Spark path."""
+    t = generate_webtext(300, seed=42)
+    df = spark.createDataFrame(t.to_pandas())
+    out = with_extracted_text(df, "html", "text2").select("url", "text", "text2")
+    bad = out.filter(out.text != out.text2).count()
+    assert bad == 0
