@@ -1,0 +1,99 @@
+"""Delta-gap + varbyte posting compression (SURVEY.md §2 C6/H9, §4 O4).
+
+Reference anchor: the posdb 18→12→6-byte key prefix-compression scheme
+(``Posdb.h`` key layout comment block; ``RdbList::addRecord`` posdb-aware
+compression). The reference compresses by sharing key prefixes between
+adjacent sorted 18-byte keys; the standard columnar equivalent is
+delta-gap encoding of the sorted docid sequence + 7-bit varbyte bytes
+(Manning/Raghavan/Schütze ch.5) — strictly better for our layout since
+tf/doclen live in separate streams.
+
+Everything is numpy-vectorized: encode loops at most ⌈64/7⌉ = 10 times
+over *byte positions*, never over values; decode is loop-free except a
+single ``bitwise_or.at`` scatter. No per-row Python (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEVEN = np.uint64(7)
+_MASK7 = np.uint64(0x7F)
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """uint64 array → varbyte stream (7 data bits/byte, MSB = continue)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> _SEVEN
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp >>= _SEVEN
+    ends = np.cumsum(nbytes)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    idx = ends - nbytes
+    rem = v.copy()
+    active = np.ones(v.size, dtype=bool)
+    while active.any():
+        byte = (rem & _MASK7).astype(np.uint8)
+        rem >>= _SEVEN
+        cont = rem > 0
+        sel = active
+        out[idx[sel]] = byte[sel] | (cont[sel].astype(np.uint8) << 7)
+        idx = idx + 1
+        active = active & cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """varbyte stream → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.nonzero(is_last)[0]
+    n = ends.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    pos_in_val = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lens)
+    contribs = (b & 0x7F).astype(np.uint64) << (pos_in_val.astype(np.uint64) * _SEVEN)
+    vid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    out = np.zeros(n, dtype=np.uint64)
+    np.bitwise_or.at(out, vid, contribs)
+    return out
+
+
+def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
+    """strictly-increasing int64/uint64 → gaps (first value kept as-is)."""
+    v = np.ascontiguousarray(sorted_values, dtype=np.uint64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.ascontiguousarray(gaps, dtype=np.uint64), dtype=np.uint64)
+
+
+def pack_docids(sorted_docids: np.ndarray) -> bytes:
+    return varbyte_encode(delta_encode(sorted_docids))
+
+
+def unpack_docids(buf: bytes) -> np.ndarray:
+    return delta_decode(varbyte_decode(buf))
+
+
+def pack_ints(values: np.ndarray) -> bytes:
+    """non-delta stream (tfs, doclens — small positive ints)."""
+    return varbyte_encode(np.ascontiguousarray(values, dtype=np.uint64))
+
+
+def unpack_ints(buf: bytes) -> np.ndarray:
+    return varbyte_decode(buf)

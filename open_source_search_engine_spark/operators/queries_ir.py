@@ -89,6 +89,53 @@ register(
 )(_bm25(["join"], neg=["window"]))
 
 
+# --- D4b/O1: packed block-max WAND path ----------------------------------
+# Checked against the *same* BM25 SQL oracle as the relational path —
+# the packed codec + WAND pruning must reproduce identical top-k.
+
+_PACKED: dict = {}
+
+
+def _packed_index(spark, sf_dir):
+    import tempfile
+
+    from .segments import SegmentStore, build_segments
+    from .wand import PackedIndex
+
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _PACKED:
+        root = tempfile.mkdtemp(prefix="sfx_packed_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(
+            "doc_id", "docid"
+        )
+        store = build_segments(
+            spark, docs, SegmentStore(root), n_segments=2, n_buckets=8
+        )
+        _PACKED[key] = PackedIndex(spark, store)
+    return _PACKED[key]
+
+
+def _wand(terms, mode="and", neg=None, k=10):
+    def run(spark, sf_dir):
+        return _packed_index(spark, sf_dir).wand_topk(
+            terms, k=k, mode=mode, neg_terms=neg
+        )
+
+    return run
+
+
+register("wand_single", bm25_oracle_sql(["join"]))(_wand(["join"]))
+register("wand_and", bm25_oracle_sql(["join", "filter"]))(
+    _wand(["join", "filter"])
+)
+register("wand_or", bm25_oracle_sql(["join", "filter"], mode="or"))(
+    _wand(["join", "filter"], mode="or")
+)
+register(
+    "wand_not", bm25_oracle_sql(["join"], neg_terms=["window"])
+)(_wand(["join"], neg=["window"]))
+
+
 # --- D14: hit-count estimation ("about N results") -----------------------
 
 

@@ -1,0 +1,295 @@
+"""Packed posting segments: skew-safe build, manifest lineage, resume,
+compaction (SURVEY.md §2 C6/C9/A8/A9, §4 O14, I6/I7).
+
+Reference anchors: ``Posdb::makeKey`` + ``RdbList`` compressed keys
+(the packed form), ``RdbDump::dumpList`` (segment flush),
+``RdbMerge``/``RdbList::merge_r`` (compaction), ``Msg4::addMetaList``
+(incremental adds), ``Repair.cpp`` (rebuild is always derivable from
+the forward store).
+
+Layout
+------
+``postings_packed(termid, bucket, n, first_docid, last_docid,
+docids, tfs, dls, blockmax_tf, blockmax_tfnorm)``
+
+- ``bucket = pmod(docid, n_buckets)`` — the docid-range split
+  (reference: ``Msg39::m_numDocIdSplits``) *and* the head-term salt
+  (§4 O14): a stopword's postings land in n_buckets independent
+  groups, so no single reducer sees a whole head termlist. docids are
+  63-bit hashes → buckets are uniform. At 10^12 docs size n_buckets
+  so a head term's per-bucket slice stays ~10^6-10^7 postings
+  (n_buckets ≈ 64k); in the sandbox 8-64 suffices.
+- ``docids`` blob: delta-gap + varbyte over the bucket-sorted docids;
+  ``tfs``/``dls`` parallel varbyte streams (term freq, doc length).
+- ``blockmax_tfnorm`` = max BM25 tf-normalization in the block →
+  block-max WAND upper bounds (§4 O1) without touching blobs.
+
+Segments
+--------
+A build is split into S segments by ``pmod(docid, S)`` (doc-
+partitioned, like the reference's docid-sharded posdb — each doc's
+postings live in exactly one segment, so doclen is complete within a
+segment). Each segment writes to its own directory (overwrite-by-name
+⇒ idempotent re-runs, ref Msg4 replay idempotence) and then appends a
+manifest row; a killed build resumes by skipping segments whose
+manifest row says 'committed' (ref: Process::save / spiderdb resume).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.varbyte import pack_docids, pack_ints
+from .index_build import B, K1, build_index
+
+PACKED_SCHEMA = (
+    "termid long, bucket int, n int, first_docid long, last_docid long, "
+    "docids binary, tfs binary, dls binary, blockmax_tf int, "
+    "blockmax_tfnorm double"
+)
+
+MANIFEST_SCHEMA = (
+    "segment_id string, part_lo int, part_hi int, status string, rows long, "
+    "docs long, sum_doclen long, wall_ms long, committed_at timestamp"
+)
+
+
+def _make_packer(avgdl: float):
+    k1, b = K1, B
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("docid")
+        docids = pdf["docid"].to_numpy(np.uint64)
+        tfs = pdf["tf"].to_numpy(np.uint64)
+        dls = pdf["doclen"].to_numpy(np.uint64)
+        tfnorm = (tfs * (k1 + 1.0)) / (
+            tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
+        )
+        return pd.DataFrame(
+            {
+                "termid": [np.int64(pdf["termid"].iloc[0])],
+                "bucket": [np.int32(pdf["bucket"].iloc[0])],
+                "n": [np.int32(len(docids))],
+                "first_docid": [np.int64(docids[0])],
+                "last_docid": [np.int64(docids[-1])],
+                "docids": [pack_docids(docids)],
+                "tfs": [pack_ints(tfs)],
+                "dls": [pack_ints(dls)],
+                "blockmax_tf": [np.int32(tfs.max())],
+                "blockmax_tfnorm": [float(tfnorm.max())],
+            }
+        )
+
+    return pack_group
+
+
+def pack_postings(
+    postings: DataFrame, avgdl: float, n_buckets: int = 8
+) -> DataFrame:
+    """exploded postings(termid, docid, tf, doclen) → packed blocks.
+
+    The groupBy key (termid, bucket) is the salted repartition: Spark
+    hash-partitions on both columns, so head-term groups spread across
+    the cluster. applyInPandas keeps the per-group codec in one Arrow
+    batch — numpy-vectorized, no per-row Python.
+    """
+    with_bucket = postings.withColumn(
+        "bucket", F.pmod("docid", F.lit(n_buckets)).cast("int")
+    )
+    return (
+        with_bucket.select("termid", "bucket", "docid", "tf", "doclen")
+        .groupBy("termid", "bucket")
+        .applyInPandas(_make_packer(avgdl), schema=PACKED_SCHEMA)
+    )
+
+
+@dataclass
+class SegmentStore:
+    """On-disk packed index: segment dirs + manifest + term_stats."""
+
+    root: str
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    def segment_dir(self, seg: int) -> str:
+        return os.path.join(self.root, f"postings_packed/segment={seg}")
+
+    @property
+    def term_stats_path(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    def committed_segments(self, spark: SparkSession) -> set[int]:
+        if not os.path.exists(self.manifest_path):
+            return set()
+        m = spark.read.parquet(self.manifest_path)
+        return {
+            int(r["part_lo"])
+            for r in m.filter(F.col("status") == "committed")
+            .select("part_lo")
+            .distinct()
+            .collect()
+        }
+
+    def manifest(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.manifest_path)
+
+    def packed(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.root, "postings_packed"))
+
+    def term_stats(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.term_stats_path)
+
+    def globals_(self, spark: SparkSession) -> tuple[int, float]:
+        row = (
+            self.manifest(spark)
+            .filter(F.col("status") == "committed")
+            .agg(F.sum("docs").alias("n"), F.sum("sum_doclen").alias("s"))
+            .first()
+        )
+        n = int(row["n"] or 0)
+        return n, (float(row["s"]) / n if n else 0.0)
+
+
+def build_segments(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: SegmentStore,
+    doc_col: str = "docid",
+    text_col: str = "text",
+    n_segments: int = 4,
+    n_buckets: int = 8,
+    avgdl_hint: float | None = None,
+    fail_after_segment: int | None = None,
+) -> SegmentStore:
+    """Segmented, resumable packed-index build.
+
+    avgdl is a *global* constant baked into blockmax_tfnorm; segments
+    must agree on it, so it is computed once up front (one cheap
+    aggregate over the corpus — the reference similarly needs global
+    stats before scoring) unless supplied.
+
+    ``fail_after_segment`` is a test hook simulating a crash between
+    segment k's commit and k+1's start (SURVEY.md §5 resume test).
+    """
+    docs = docs.select(
+        F.col(doc_col).alias("docid"), F.col(text_col).alias("text")
+    )
+    if avgdl_hint is None:
+        from ..tokenizer import tokens_col
+
+        row = docs.select(
+            F.size(tokens_col("text")).alias("dl")
+        ).agg(F.avg("dl")).first()
+        avgdl_hint = float(row[0])
+
+    done = store.committed_segments(spark)
+    for seg in range(n_segments):
+        if seg in done:
+            continue
+        t0 = time.time()
+        seg_docs = docs.filter(F.pmod(F.xxhash64("docid"), F.lit(n_segments)) == seg)
+        idx = build_index(seg_docs, "docid", "text")
+        packed = pack_postings(idx.postings, avgdl_hint, n_buckets)
+        packed.write.mode("overwrite").parquet(store.segment_dir(seg))
+
+        # per-segment term_stats partial (merged globally at finalize)
+        idx.term_stats.withColumn("segment", F.lit(seg)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store.root, f"term_stats_partial/segment={seg}"))
+
+        stats = idx.doc_stats.agg(
+            F.count(F.lit(1)).alias("docs"), F.sum("doclen").alias("sum_dl")
+        ).first()
+        rows = idx.postings.count()
+        mrow = spark.createDataFrame(
+            [
+                (
+                    f"seg-{seg:05d}",
+                    seg,
+                    seg,
+                    "committed",
+                    rows,
+                    int(stats["docs"]),
+                    int(stats["sum_dl"]),
+                    int((time.time() - t0) * 1000),
+                )
+            ],
+            "segment_id string, part_lo int, part_hi int, status string, "
+            "rows long, docs long, sum_doclen long, wall_ms long",
+        ).withColumn("committed_at", F.current_timestamp())
+        mrow.write.mode("append").parquet(store.manifest_path)
+        if fail_after_segment is not None and seg >= fail_after_segment:
+            raise RuntimeError(f"injected failure after segment {seg}")
+
+    finalize_term_stats(spark, store)
+    return store
+
+
+def finalize_term_stats(spark: SparkSession, store: SegmentStore) -> None:
+    """Merge per-segment term_stats partials into the global table
+    (ref: Posdb::getTermFreq reads per-file RdbMap counts; here one
+    groupBy over tiny partials). Idempotent — overwrite-by-name."""
+    partials = spark.read.parquet(os.path.join(store.root, "term_stats_partial"))
+    (
+        partials.groupBy("termid", "term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+        )
+        .write.mode("overwrite")
+        .parquet(store.term_stats_path)
+    )
+
+
+def compact_segments(
+    spark: SparkSession, store: SegmentStore, out_root: str, n_buckets: int = 8
+) -> SegmentStore:
+    """A9 compaction: k-way merge of per-segment blocks into one block
+    per (termid, bucket) — the RdbMerge analogue. Docids are disjoint
+    across segments (doc-partitioned), so the merge is a concat+resort
+    inside each group; blockmax metadata is recomputed exactly."""
+    packed = store.packed(spark)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.varbyte import unpack_docids, unpack_ints
+
+        docids = np.concatenate([unpack_docids(b) for b in pdf["docids"]])
+        tfs = np.concatenate([unpack_ints(b) for b in pdf["tfs"]])
+        dls = np.concatenate([unpack_ints(b) for b in pdf["dls"]])
+        order = np.argsort(docids, kind="stable")
+        docids, tfs, dls = docids[order], tfs[order], dls[order]
+        blockmax_tfnorm = float(pdf["blockmax_tfnorm"].max())
+        return pd.DataFrame(
+            {
+                "termid": [np.int64(pdf["termid"].iloc[0])],
+                "bucket": [np.int32(pdf["bucket"].iloc[0])],
+                "n": [np.int32(docids.size)],
+                "first_docid": [np.int64(docids[0])],
+                "last_docid": [np.int64(docids[-1])],
+                "docids": [pack_docids(docids)],
+                "tfs": [pack_ints(tfs)],
+                "dls": [pack_ints(dls)],
+                "blockmax_tf": [np.int32(tfs.max())],
+                "blockmax_tfnorm": [blockmax_tfnorm],
+            }
+        )
+
+    merged = packed.groupBy("termid", "bucket").applyInPandas(
+        merge_group, schema=PACKED_SCHEMA
+    )
+    out = SegmentStore(out_root)
+    merged.write.mode("overwrite").parquet(out.segment_dir(0))
+    if os.path.exists(store.manifest_path):
+        store.manifest(spark).write.mode("overwrite").parquet(out.manifest_path)
+    store.term_stats(spark).write.mode("overwrite").parquet(out.term_stats_path)
+    return out

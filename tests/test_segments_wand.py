@@ -1,0 +1,136 @@
+"""Packed segments + resume + compaction + block-max WAND equivalence
+(SURVEY.md §5 items 3-4: path equivalence + resume)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from conftest import SF_SMOKE
+
+from open_source_search_engine_spark.functions.varbyte import (
+    unpack_docids,
+    unpack_ints,
+)
+from open_source_search_engine_spark.operators.bm25 import bm25_topk
+from open_source_search_engine_spark.operators.index_build import cached_index
+from open_source_search_engine_spark.operators.segments import (
+    SegmentStore,
+    build_segments,
+    compact_segments,
+)
+from open_source_search_engine_spark.operators.wand import PackedIndex
+
+
+def _docs(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    return df.withColumnRenamed("doc_id", "docid")
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx"))
+    return build_segments(
+        spark, _docs(spark), SegmentStore(root), n_segments=3, n_buckets=8
+    )
+
+
+def _exploded(spark, store):
+    """Decode every packed block back to (termid, docid, tf, dl) tuples."""
+    out = set()
+    for r in store.packed(spark).collect():
+        docids = unpack_docids(r["docids"])
+        tfs = unpack_ints(r["tfs"])
+        dls = unpack_ints(r["dls"])
+        assert len(docids) == r["n"] == len(tfs) == len(dls)
+        assert int(docids[0]) == r["first_docid"]
+        assert int(docids[-1]) == r["last_docid"]
+        assert int(tfs.max()) == r["blockmax_tf"]
+        for d, t, dl in zip(docids, tfs, dls):
+            out.add((r["termid"], int(d), int(t), int(dl)))
+    return out
+
+
+def test_packed_roundtrip_matches_exploded(spark, store):
+    idx = cached_index(spark, SF_SMOKE)
+    expected = {
+        (r["termid"], r["docid"], r["tf"], r["doclen"])
+        for r in idx.postings.collect()
+    }
+    assert _exploded(spark, store) == expected
+
+
+def test_manifest_complete(spark, store):
+    m = store.manifest(spark)
+    rows = m.filter(m.status == "committed").collect()
+    assert {r["part_lo"] for r in rows} == {0, 1, 2}
+    assert sum(r["docs"] for r in rows) == 500
+    n, avgdl = store.globals_(spark)
+    assert n == 500 and avgdl > 0
+
+
+def test_resume_after_injected_failure(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_resume"))
+    docs = _docs(spark)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_segments(
+            spark,
+            docs,
+            SegmentStore(root),
+            n_segments=3,
+            n_buckets=8,
+            fail_after_segment=0,
+        )
+    st = SegmentStore(root)
+    assert st.committed_segments(spark) == {0}
+    # resume completes remaining segments only and final state matches
+    build_segments(spark, docs, st, n_segments=3, n_buckets=8)
+    assert st.committed_segments(spark) == {0, 1, 2}
+    idx = cached_index(spark, SF_SMOKE)
+    expected = {
+        (r["termid"], r["docid"], r["tf"], r["doclen"])
+        for r in idx.postings.collect()
+    }
+    assert _exploded(spark, st) == expected
+
+
+WAND_CASES = [
+    (["join"], "and", None),
+    (["join", "filter"], "and", None),
+    (["join", "filter", "window"], "and", None),
+    (["join", "filter"], "or", None),
+    (["join"], "and", ["window"]),
+    (["nosuchterm"], "and", None),
+    (["join", "nosuchterm"], "or", None),
+]
+
+
+@pytest.mark.parametrize("terms,mode,neg", WAND_CASES)
+def test_wand_matches_relational(spark, store, terms, mode, neg):
+    """D4b packed block-max WAND ≡ D4a relational baseline — the §5
+    path-equivalence property, incl. tie-break (score desc, docid asc)."""
+    pidx = PackedIndex(spark, store)
+    got = [
+        (r["docid"], r["score"])
+        for r in pidx.wand_topk(terms, k=10, mode=mode, neg_terms=neg).collect()
+    ]
+    idx = cached_index(spark, SF_SMOKE)
+    want = [
+        (r["docid"], r["score"])
+        for r in bm25_topk(idx, terms, k=10, mode=mode, neg_terms=neg).collect()
+    ]
+    assert got == want
+
+
+def test_wand_after_compaction(spark, store, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_compact"))
+    cstore = compact_segments(spark, store, out, n_buckets=8)
+    # one block per (termid, bucket) after compaction
+    pk = cstore.packed(spark)
+    assert (
+        pk.groupBy("termid", "bucket").count().filter("count > 1").count() == 0
+    )
+    pidx = PackedIndex(spark, cstore)
+    idx = cached_index(spark, SF_SMOKE)
+    got = [tuple(r) for r in pidx.wand_topk(["join", "filter"], k=10).collect()]
+    want = [tuple(r) for r in bm25_topk(idx, ["join", "filter"], k=10).collect()]
+    assert got == want
