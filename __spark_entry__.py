@@ -31,6 +31,9 @@ from open_source_search_engine_spark.operators.index_build import (  # noqa: E40
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: two-term AND BM25 top-10 over sf0.001 documents."""
+    from open_source_search_engine_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     idx = cached_index(spark, "/root/testdata/sf0.001")
     return bm25_topk(idx, ["join", "filter"], k=10, mode="and")
 

@@ -5,18 +5,19 @@ Reference anchors: ``Posdb.cpp: Posdb::makeKey`` (posting key build),
 ``Posdb::getTermFreq`` (E1 df stats), density ranks (E2 doc length).
 
 Spark-first design: the whole exploded build is builtin exprs
-(posexplode + two hash aggregations + one window) — no Python in the
-hot path, full whole-stage codegen. The *packed* (delta+varbyte)
-segment build with salted skew handling lives in ``segments.py``;
-this module produces the exploded relational form that Catalyst can
-optimize freely, which is also the oracle-checkable form.
+(posexplode + two hash aggregations) — no Python in the hot path,
+full whole-stage codegen. The *packed* (delta+varbyte) segment build
+with salted skew handling lives in ``segments.py``; this module
+produces the exploded relational form that Catalyst can optimize
+freely, which is also the oracle-checkable form.
 
 Scale notes (100 TB / 10^12 docs):
 - ``explode`` multiplies rows ~300× (avgdl); the groupBy(docid, term)
   partial-aggregates map-side before shuffling, so the shuffle carries
   (docid, term, tf) not raw positions unless positions are requested.
-- doclen is attached via a window over docid (one shuffle) and
-  *denormalized into postings* so the query path never joins
+- doclen = size(token array), computed *before* the explode and
+  carried on each posting row (``first(doclen)`` in the agg), so the
+  whole build is ONE shuffle and the query path never joins
   doc_stats at scale.
 - final postings are repartitioned by termid — queries prune to the
   few partitions holding their terms (the Spark-native analogue of
@@ -28,10 +29,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tokenizer import explode_tokens, term_id
+from ..tokenizer import term_id
 
 K1 = 1.2
 B = 0.75
@@ -77,14 +78,29 @@ def build_index(
     One explode + groupBy(docid, term) (map-side combined) + window for
     doclen + groupBy(term) for stats. All JVM-side.
     """
-    toks = explode_tokens(docs, doc_col, text_col)
-    aggs = [F.count(F.lit(1)).cast("int").alias("tf")]
+    from ..tokenizer import tokens_col
+
+    # doclen = token count = size of the token array — computed BEFORE
+    # the explode, so it rides along each posting row and no second
+    # shuffle (window over docid) is needed. One shuffle total.
+    toks = (
+        docs.select(
+            F.col(doc_col).alias("docid"), tokens_col(text_col).alias("toks")
+        )
+        .select(
+            "docid",
+            F.size("toks").cast("int").alias("doclen"),
+            F.posexplode("toks").alias("pos0", "term"),
+        )
+        .select("docid", "doclen", (F.col("pos0") + 1).alias("pos"), "term")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.first("doclen").alias("doclen"),
+    ]
     if with_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     postings = toks.groupBy("docid", "term").agg(*aggs)
-    postings = postings.withColumn(
-        "doclen", F.sum("tf").over(Window.partitionBy("docid")).cast("int")
-    )
     postings = postings.withColumn("termid", term_id("term"))
     if n_partitions:
         postings = postings.repartition(n_partitions, "termid")

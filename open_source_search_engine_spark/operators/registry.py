@@ -49,6 +49,20 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _with_shipping(fn: Callable) -> Callable:
+    """The driver calls queries() with its OWN SparkSession, possibly
+    from any cwd — ship the package to its Python workers first."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..session import ensure_shipped
+
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # import for registration side effects (modules append via register())
     from . import queries_ir  # noqa: F401
@@ -57,7 +71,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from . import queries_pipeline  # noqa: F401
     except ImportError:
         pass
-    return dict(_QUERIES)
+    return {name: _with_shipping(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_queries() -> dict[str, str]:

@@ -198,18 +198,31 @@ def build_segments(
         t0 = time.time()
         seg_docs = docs.filter(F.pmod(F.xxhash64("docid"), F.lit(n_segments)) == seg)
         idx = build_index(seg_docs, "docid", "text")
+        # One materialization of the exploded postings feeds the packed
+        # write, term_stats partial, doc_stats agg AND the manifest row
+        # count — without the cache each would recompute the explode.
+        idx.postings.cache()
         packed = pack_postings(idx.postings, avgdl_hint, n_buckets)
         packed.write.mode("overwrite").parquet(store.segment_dir(seg))
 
-        # per-segment term_stats partial (merged globally at finalize)
-        idx.term_stats.withColumn("segment", F.lit(seg)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(store.root, f"term_stats_partial/segment={seg}"))
+        # per-segment term_stats partial (merged globally at finalize);
+        # the segment id is encoded in the path, not a column.
+        idx.term_stats.write.mode("overwrite").parquet(
+            os.path.join(store.root, f"term_stats_partial/segment={seg}")
+        )
 
         stats = idx.doc_stats.agg(
             F.count(F.lit(1)).alias("docs"), F.sum("doclen").alias("sum_dl")
         ).first()
-        rows = idx.postings.count()
+        # posting-row count from the packed output's metadata column —
+        # a cheap columnar scan, no recompute of the build.
+        rows = int(
+            spark.read.parquet(store.segment_dir(seg))
+            .agg(F.sum("n"))
+            .first()[0]
+            or 0
+        )
+        idx.postings.unpersist()
         mrow = spark.createDataFrame(
             [
                 (
