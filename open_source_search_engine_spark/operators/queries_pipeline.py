@@ -1,0 +1,121 @@
+"""Registry entries for the training-data pipeline operators
+(dedup / similarity search / text analysis) over the driver's
+``documents`` and ``embeddings`` tables.
+
+Oracle-paired where exactly SQL-expressible (md5-based hashes exist in
+both engines; Jaccard and token math are exact integers); LSH-based
+ops (MinHash banding, SimHash buckets, hyperplane ANN) are registered
+rows-only — their correctness proof is the pytest suite, which checks
+them against the exact oracle-paired baselines (recall/precision).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from . import pipeline as P
+from .registry import register
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("doc_id", "docid")
+    )
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)""",
+)
+def dedup_exact(spark, sf_dir):
+    return P.dedup_exact(_docs(spark, sf_dir))
+
+
+@register("dedup_ngram_jaccard", P.NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return P.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_minhash_lsh")  # rows-only; pytest proves recall vs exact
+def dedup_minhash_lsh(spark, sf_dir):
+    return P.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash")  # rows-only; pytest checks vs pure-python ref
+def dedup_simhash(spark, sf_dir):
+    return P.simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
+
+
+# --- similarity search -----------------------------------------------------
+
+ANN_ORACLE_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * q.qe[i]))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * x)))
+            * sqrt(list_sum(list_transform(q.qe,
+                  x -> CAST(x AS DOUBLE) * x)))),
+         4) AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def _query_vec(spark, sf_dir):
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+@register("ann_bruteforce", ANN_ORACLE_SQL)
+def ann_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return P.ann_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register("ann_lsh")  # rows-only; pytest measures recall vs brute force
+def ann_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return P.ann_lsh(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register("embedding_dups")  # rows-only; pytest checks precision/recall
+def embedding_dups(spark, sf_dir):
+    return P.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@register("lang_id", P.LANG_ID_SQL)
+def lang_id(spark, sf_dir):
+    return P.lang_id(_docs(spark, sf_dir))
+
+
+@register("quality_score", P.QUALITY_SQL)
+def quality_score(spark, sf_dir):
+    return P.quality_score(_docs(spark, sf_dir))
+
+
+@register("token_counts", P.TOKEN_COUNTS_SQL)
+def token_counts(spark, sf_dir):
+    return P.token_counts(_docs(spark, sf_dir))
+
+
+@register("doc_fingerprint", P.FINGERPRINT_SQL)
+def doc_fingerprint(spark, sf_dir):
+    return P.doc_fingerprint(_docs(spark, sf_dir))

@@ -1,0 +1,208 @@
+"""Training-data pipeline operators: dedup (exact / n-gram Jaccard /
+MinHash LSH / SimHash), similarity search (brute + LSH), text analysis.
+
+Oracle-paired ops are asserted against their registered DuckDB SQL via
+the driver-style comparator; LSH ops are proven against the exact
+baselines (recall/precision), and SimHash against a pure-Python
+reference implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from conftest import SF_CORRECT, assert_df_matches_duckdb
+
+from open_source_search_engine_spark.operators import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .withColumnRenamed("doc_id", "docid")
+        .cache()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+# --- oracle-paired ops (same comparison the driver runs) ------------------
+
+
+def _oracle(name):
+    import __spark_entry__ as m
+
+    return m.oracle_sql()[name]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "ann_bruteforce",
+        "lang_id",
+        "quality_score",
+        "token_counts",
+        "doc_fingerprint",
+    ],
+)
+def test_oracle_paired(spark, duck_correct, name):
+    import __spark_entry__ as m
+
+    sdf = m.queries()[name](spark, SF_CORRECT)
+    assert_df_matches_duckdb(sdf, duck_correct, _oracle(name))
+
+
+# --- MinHash LSH vs exact Jaccard -----------------------------------------
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in P.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in P.minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    assert exact, "test corpus must contain near-dup pairs"
+    # precision 1.0 by construction (exact verify step)
+    assert lsh <= exact
+    # banding at r=2,b=64 gives >=0.9999 recall at J=0.4
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"minhash recall {recall}"
+
+
+def test_minhash_signature_properties(spark, docs):
+    sigs = P.minhash_signatures(docs.limit(20)).collect()
+    assert all(len(r["sig"]) == 128 for r in sigs)
+    # deterministic across runs (fixed seed)
+    sigs2 = P.minhash_signatures(docs.limit(20)).collect()
+    assert {r["docid"]: r["sig"] for r in sigs} == {
+        r["docid"]: r["sig"] for r in sigs2
+    }
+
+
+# --- SimHash vs pure-python reference -------------------------------------
+
+
+def _simhash_ref(tokens: list[str], spark) -> int:
+    """Pure-python SimHash using the same xxhash64 token hashes (pulled
+    from the JVM so the reference shares the hash function)."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    tf = Counter(tokens)
+    terms = sorted(tf)
+    hdf = spark.createDataFrame(
+        [(t,) for t in terms], "term string"
+    ).select("term", F.xxhash64("term").alias("h")).collect()
+    hmap = {r["term"]: r["h"] for r in hdf}
+    acc = [0.0] * 64
+    for t, w in tf.items():
+        h = hmap[t] & 0xFFFFFFFFFFFFFFFF
+        for b in range(64):
+            acc[b] += w if (h >> b) & 1 else -w
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def test_simhash_matches_reference(spark, docs):
+    sample = docs.orderBy("docid").limit(5)
+    got = {
+        r["docid"]: r["simhash"]
+        for r in P.simhash_col_docs(sample).collect()
+    }
+    rows = sample.collect()
+    from open_source_search_engine_spark.tokenizer import tokenize
+
+    for r in rows:
+        want = _simhash_ref(tokenize(r["text"]), spark)
+        assert got[r["docid"]] == want, f"doc {r['docid']}"
+
+
+def test_simhash_pairs_symmetric_hamming(spark, docs):
+    pairs = P.simhash_pairs(docs, max_hamming=10).collect()
+    assert pairs, "expected some simhash pairs at hamming<=10"
+    sh = {
+        r["docid"]: r["simhash"] for r in P.simhash_col_docs(docs).collect()
+    }
+    # verify reported hamming equals recomputed popcount(xor)
+    for r in pairs[:50]:
+        x = (sh[r["doc_a"]] ^ sh[r["doc_b"]]) & 0xFFFFFFFFFFFFFFFF
+        assert bin(x).count("1") == r["hamming"]
+
+
+# --- ANN LSH vs brute force -----------------------------------------------
+
+
+def _qvec(emb):
+    row = emb.filter(emb.vec_id == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_ann_lsh_recall(spark, emb):
+    q = _qvec(emb)
+    true10 = [r["vec_id"] for r in P.ann_bruteforce(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in P.ann_lsh(emb, q, k=10).collect()]
+    # query vector itself must always be found (identical signature)
+    assert 0 in approx
+    recall = len(set(true10) & set(approx)) / 10
+    assert recall >= 0.3, f"ann recall@10 {recall}"
+
+
+def test_embedding_dups_against_numpy(spark, emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    np.fill_diagonal(S, -2)
+    ia, ib = np.where(S >= 0.4)
+    true_pairs = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b in zip(ia, ib)
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in P.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    # precision 1.0 (exact verify); recall bounded by banding prob
+    assert got <= true_pairs
+    assert len(got) / len(true_pairs) >= 0.8, (
+        f"embedding dup recall {len(got)}/{len(true_pairs)}"
+    )
+
+
+# --- shingles sanity ------------------------------------------------------
+
+
+def test_shingles_match_python(spark, docs):
+    rows = docs.limit(5).select("docid", "text").collect()
+    got = (
+        docs.limit(5)
+        .select("docid", P.shingles_col("text", 3).alias("sh"))
+        .collect()
+    )
+    from open_source_search_engine_spark.tokenizer import tokenize
+
+    gmap = {r["docid"]: r["sh"] for r in got}
+    for r in rows:
+        t = tokenize(r["text"])
+        want = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        assert gmap[r["docid"]] == want
