@@ -46,14 +46,19 @@ def bm25_candidates(index: InvertedIndex, terms: list[str]) -> DataFrame:
 def bm25_topk(
     index: InvertedIndex,
     terms: list[str],
-    k: int = 10,
+    k: int | None = 10,
     mode: str = "and",
     neg_terms: list[str] | None = None,
     round_to: int | None = 4,
+    restrict: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 (docid, score). mode='and' requires all terms
     (D4: intersection); mode='or' unions (D5); neg_terms anti-join
-    (D6: negative termlists)."""
+    (D6: negative termlists); ``restrict`` semi-joins candidates to a
+    (docid) DataFrame (phrase / field constraints) BEFORE the top-k
+    cut, so constrained queries still rank over all matches.
+    ``k=None`` returns the full scored set unordered (callers that
+    window/cluster before the final cut)."""
     terms = list(dict.fromkeys(terms))
     cand = bm25_candidates(index, terms)
     agg = cand.groupBy("docid").agg(
@@ -62,6 +67,8 @@ def bm25_topk(
     )
     if mode == "and":
         agg = agg.filter(F.col("nmatch") == len(terms))
+    if restrict is not None:
+        agg = agg.join(restrict.select("docid").distinct(), "docid")
     if neg_terms:
         neg = (
             index.postings.join(
@@ -78,11 +85,10 @@ def bm25_topk(
     # rank on identical values, so float noise below 1e-4 can never
     # flip the LIMIT boundary; docid asc breaks ties deterministically.
     score = F.round(F.col("score"), round_to) if round_to else F.col("score")
-    return (
-        agg.select("docid", score.alias("score"))
-        .orderBy(F.desc("score"), F.asc("docid"))
-        .limit(k)
-    )
+    out = agg.select("docid", score.alias("score"))
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc("docid")).limit(k)
 
 
 def phrase_match_docids(index: InvertedIndex, w1: str, w2: str) -> DataFrame:
@@ -109,9 +115,14 @@ def bm25_oracle_sql(
     mode: str = "and",
     neg_terms: list[str] | None = None,
     doc_table: str = "documents",
+    restrict_cte: str | None = None,
 ) -> str:
     """DuckDB-equivalent ANSI SQL for bm25_topk over the driver's
-    documents(doc_id, text) view — the correctness oracle."""
+    documents(doc_id, text) view — the correctness oracle.
+
+    ``restrict_cte``: optional SQL body for a CTE named ``allowed``
+    selecting a ``docid`` column; candidates are limited to it (the
+    SQL mirror of bm25_topk's ``restrict`` argument)."""
     terms = list(dict.fromkeys(terms))
     tlist = ", ".join(f"'{t}'" for t in terms)
     having = (
@@ -124,6 +135,10 @@ def bm25_oracle_sql(
         neg_cte = f""",
 neg AS (SELECT DISTINCT docid FROM postings WHERE term IN ({nlist}))"""
         neg_clause = "AND s.docid NOT IN (SELECT docid FROM neg)"
+    if restrict_cte:
+        neg_cte += f""",
+allowed AS ({restrict_cte})"""
+        neg_clause += " AND s.docid IN (SELECT docid FROM allowed)"
     return f"""
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term

@@ -72,6 +72,7 @@ def build_index(
     with_positions: bool = False,
     n_partitions: int | None = None,
     cache: bool = False,
+    compute_globals: bool = True,
 ) -> InvertedIndex:
     """documents(doc_col, text_col) → InvertedIndex.
 
@@ -117,15 +118,22 @@ def build_index(
         term_stats = term_stats.cache()
         doc_stats = doc_stats.cache()
 
-    row = doc_stats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
-    ).first()
+    # The globals agg EXECUTES the whole build once. Callers that
+    # supply avgdl externally (segmented builds use one corpus-wide
+    # constant) skip it — n_docs/avgdl stay unset (0) and the caller
+    # must not score through this index's idf/tfnorm columns.
+    n_docs, avgdl = 0, 0.0
+    if compute_globals:
+        row = doc_stats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+        ).first()
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"])
     return InvertedIndex(
         postings=postings,
         term_stats=term_stats,
         doc_stats=doc_stats,
-        n_docs=int(row["n"]),
-        avgdl=float(row["avgdl"]),
+        n_docs=n_docs,
+        avgdl=avgdl,
     )
 
 

@@ -1,0 +1,282 @@
+"""Second operator-coverage batch (SURVEY.md §2 A10/A11, B2/D19, C5,
+C12/H4, C13/C14/E3, D2): forward-doc fetch, tombstone deletes, bigram
+terms, URL normalization, link graph / siteRank, synonym expansion,
+exact distinct counts."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from . import linkgraph as L
+from .bm25 import bm25_topk
+from .index_build import cached_index
+from .pipeline import shingles_col
+from .registry import TOK_CTE, register
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("doc_id", "docid")
+    )
+
+
+# --- A10/A11: forward-doc fetch (Msg22 TitleRec join / PageGet) -----------
+
+DOC_FETCH_SQL = f"""
+WITH {TOK_CTE},
+hits AS (SELECT DISTINCT docid FROM postings WHERE term = 'vector')
+SELECT h.docid, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM hits h JOIN documents d ON d.doc_id = h.docid
+"""
+
+
+@register("doc_fetch", DOC_FETCH_SQL)
+def doc_fetch(spark, sf_dir):
+    """Matching docids -> forward store row (ref: Msg22::getTitleRec;
+    broadcast the small docid side against the doc-partitioned
+    forward table)."""
+    idx = cached_index(spark, sf_dir)
+    hits = (
+        idx.postings.filter(F.col("term") == "vector")
+        .select("docid")
+        .distinct()
+    )
+    return F.broadcast(hits).join(_docs(spark, sf_dir), "docid").select(
+        "docid", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+# --- B2/D19: tombstone deletes (negative keys / query-driven delete) ------
+
+TOMBSTONE_SQL = f"""
+WITH {TOK_CTE},
+tomb AS (SELECT doc_id AS docid FROM documents WHERE doc_id % 17 = 0)
+SELECT p.docid, p.term, p.tf
+FROM postings p
+WHERE p.docid NOT IN (SELECT docid FROM tomb)
+"""
+
+
+@register("delete_tombstones", TOMBSTONE_SQL)
+def delete_tombstones(spark, sf_dir):
+    """Delete-annihilation: postings anti-joined against a tombstone
+    set (ref: negative keys in RdbList::merge_r; PageReindex
+    query-driven deletes become MERGE/anti-join in Spark). The
+    tombstone set here is the deterministic docid%17 sample."""
+    idx = cached_index(spark, sf_dir)
+    tomb = _docs(spark, sf_dir).filter(F.col("docid") % 17 == 0).select("docid")
+    return (
+        idx.postings.join(tomb, "docid", "left_anti")
+        .select("docid", "term", F.col("tf").cast("long").alias("tf"))
+    )
+
+
+# --- C5: bigram/phrase term generation (Phrases.cpp) ----------------------
+
+BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+big AS (
+  SELECT docid, s AS bigram
+  FROM toks,
+       LATERAL unnest(CASE WHEN len(t) < 2 THEN []
+                           ELSE list_transform(range(1, len(t)),
+                                i -> array_to_string(t[i:i+1], ' ')) END
+                     ) AS u(s)
+)
+SELECT docid, bigram, CAST(count(*) AS BIGINT) AS tf
+FROM big GROUP BY docid, bigram
+"""
+
+
+@register("bigram_postings", BIGRAM_SQL)
+def bigram_postings(spark, sf_dir):
+    """Two-word phrase terms indexed alongside singles (ref:
+    Phrases::set — enables quoted-phrase queries without a positions
+    join). Same explode pipeline over 2-shingles."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("docid", F.explode(shingles_col("text", 2)).alias("bigram"))
+        .groupBy("docid", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+# --- C12/H4: URL normalization + parts ------------------------------------
+# The driver documents table carries no urls; construct them
+# deterministically (both sides) and exercise the normalizer on them.
+
+URL_EXPR_SPARK = (
+    "concat('HTTPS://', upper(source), '.Example.COM"
+    "', CASE WHEN docid % 2 = 0 THEN ':443' ELSE '' END, "
+    "'/Docs/', CAST(docid AS STRING), '?ref=abc#frag')"
+)
+
+URL_SQL = """
+WITH urls AS (
+  SELECT doc_id AS docid,
+         concat('HTTPS://', upper(source), '.Example.COM',
+                CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END,
+                '/Docs/', CAST(doc_id AS VARCHAR), '?ref=abc#frag') AS url
+  FROM documents
+),
+norm AS (
+  SELECT docid,
+         concat(
+           lower(regexp_extract(url, '^([A-Za-z]+)://', 1)), '://',
+           replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                   ':443', ''),
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+           CASE WHEN url LIKE '%?%'
+                THEN concat('?', regexp_extract(url, '\\?([^#]*)', 1))
+                ELSE '' END
+         ) AS norm_url,
+         replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                 ':443', '') AS host
+  FROM urls
+)
+SELECT docid, norm_url, host,
+       regexp_extract(host, '([a-z0-9-]+\\.[a-z]+)$', 1) AS domain
+FROM norm
+"""
+
+
+@register("url_normalize", URL_SQL)
+def url_normalize(spark, sf_dir):
+    """URL normalization (ref: Url::set — lowercase scheme+host, strip
+    default port and fragment, keep query) + host/registrable-domain
+    parts (``Url::getHost/getDomain``, tldtab). The regex spec is
+    pinned identically on both sides."""
+    docs = _docs(spark, sf_dir).withColumn("url", F.expr(URL_EXPR_SPARK))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)),
+        ":443",
+        "",
+    )
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.when(
+        F.col("url").contains("?"),
+        F.concat(F.lit("?"), F.regexp_extract("url", r"\?([^#]*)", 1)),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "docid",
+        F.concat(scheme, F.lit("://"), host, path, query).alias("norm_url"),
+        host.alias("host"),
+        F.regexp_extract(host, r"([a-z0-9-]+\.[a-z]+)$", 1).alias("domain"),
+    )
+
+
+# --- C13/C14/E3: link graph + siteRank ------------------------------------
+
+
+@register("inlink_counts", L.INLINK_SQL)
+def inlink_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return L.inlink_counts(docs, L.synth_links(docs))
+
+
+@register("site_rank", L.SITE_RANK_SQL)
+def site_rank(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return L.site_rank(docs, L.synth_links(docs))
+
+
+# --- D2: synonym expansion -------------------------------------------------
+
+SYNONYMS = {"join": ["merge"], "filter": ["where"]}
+SYN_WEIGHT = 0.5
+
+
+def bm25_synonyms_topk(idx, base_terms, k=10):
+    """Query-time synonym expansion (ref: Synonyms.cpp +
+    QueryTerm::m_synonymOf — synonym termlists score with a reduced
+    weight). Weighted OR: original terms weight 1.0, synonyms 0.5;
+    a doc matches if it has any of the group's terms."""
+    rows = []
+    for t in base_terms:
+        rows.append((t, 1.0))
+        for s in SYNONYMS.get(t, []):
+            rows.append((s, SYN_WEIGHT))
+    spark = idx.postings.sparkSession
+    qdf = spark.createDataFrame(rows, "term string, weight double")
+    qt = idx.term_stats.join(F.broadcast(qdf), "term").select(
+        "termid", "term", "weight", idx.idf_col().alias("idf")
+    )
+    cand = idx.postings.join(F.broadcast(qt), ["termid", "term"]).withColumn(
+        "partial", F.col("weight") * F.col("idf") * idx.tfnorm_col()
+    )
+    agg = cand.groupBy("docid").agg(F.sum("partial").alias("score"))
+    return (
+        agg.select("docid", F.round("score", 4).alias("score"))
+        .orderBy(F.desc(F.round("score", 4)), F.asc("docid"))
+        .limit(k)
+    )
+
+
+SYNONYM_SQL = """
+WITH tok AS (
+  SELECT doc_id AS docid, t.tokk AS term
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  WHERE t.tokk <> ''
+),
+postings AS (
+  SELECT docid, term, count(*) AS tf FROM tok GROUP BY docid, term
+),
+doclen AS (SELECT docid, count(*) AS dl FROM tok GROUP BY docid),
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+q(term, weight) AS (VALUES ('join', 1.0), ('merge', 0.5)),
+scored AS (
+  SELECT p.docid,
+         sum( q.weight * ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) )
+           AS score
+  FROM postings p
+  JOIN q ON p.term = q.term
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  GROUP BY p.docid
+)
+SELECT docid, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, docid ASC
+LIMIT 10
+"""
+
+
+@register("bm25_synonyms", SYNONYM_SQL)
+def bm25_synonyms(spark, sf_dir):
+    return bm25_synonyms_topk(cached_index(spark, sf_dir), ["join"], k=10)
+
+
+# --- E3-adjacent: exact distinct counts over events -----------------------
+
+DISTINCT_USERS_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("distinct_users", DISTINCT_USERS_SQL)
+def distinct_users(spark, sf_dir):
+    """Exact distinct-user counts per event type (the oracle-paired
+    form; the 10^12-scale variant swaps in approx_count_distinct —
+    ref: Msg25's approximate unique-inlinker counting)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -1,0 +1,291 @@
+"""Registry entries for the query-side surface (SURVEY.md §2 D1, D7,
+D10-D16, B3/B7): phrase match, parsed queries, site clustering,
+facets, range filter, sort-by-field, snippets.
+
+Metadata-dependent ops use the driver ``documents`` columns directly:
+``source`` plays the site role (B3 site:), ``n_chars`` the numeric
+field (B7 gbmin:/gbmax:, D13 gbsortby:), ``lang`` the language filter
+(B5)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from . import search as S
+from .bm25 import bm25_oracle_sql
+from .index_build import cached_index
+from .registry import register
+
+def _docs_meta(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("doc_id", "docid")
+    )
+
+
+def _pos_index(spark, sf_dir):
+    return cached_index(spark, sf_dir, with_positions=True)
+
+
+# --- D7: phrase query ------------------------------------------------------
+
+PHRASE = ["table", "hash"]
+
+# restrict_cte must be a bare CTE body — inline the positional
+# tokenization as subqueries inside the allowed() body.
+PHRASE_RESTRICT_CTE = f"""
+SELECT DISTINCT a.docid
+FROM (SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id AS docid,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents)) a
+JOIN (SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+      FROM (SELECT doc_id AS docid,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents)) b
+  ON a.docid = b.docid AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+"""
+
+
+@register(
+    "phrase_bm25",
+    bm25_oracle_sql(PHRASE, restrict_cte=PHRASE_RESTRICT_CTE),
+)
+def phrase_bm25(spark, sf_dir):
+    return S.phrase_bm25(_pos_index(spark, sf_dir), PHRASE, k=10)
+
+
+# --- D1: parsed end-to-end queries ----------------------------------------
+
+
+@register(
+    "search_parsed_phrase_not",
+    bm25_oracle_sql(
+        PHRASE,
+        neg_terms=["slow"],
+        restrict_cte=PHRASE_RESTRICT_CTE,
+    ),
+)
+def search_parsed_phrase_not(spark, sf_dir):
+    return S.search(
+        _pos_index(spark, sf_dir),
+        _docs_meta(spark, sf_dir),
+        '"table hash" -slow',
+        k=10,
+    )
+
+
+@register(
+    "search_parsed_lang",
+    bm25_oracle_sql(
+        ["join", "filter"],
+        restrict_cte="SELECT doc_id AS docid FROM documents WHERE lang = 'en'",
+    ),
+)
+def search_parsed_lang(spark, sf_dir):
+    return S.search(
+        cached_index(spark, sf_dir),
+        _docs_meta(spark, sf_dir),
+        "join filter lang:en",
+        k=10,
+    )
+
+
+@register("search_parsed_or", bm25_oracle_sql(["join", "window"], mode="or"))
+def search_parsed_or(spark, sf_dir):
+    return S.search(
+        cached_index(spark, sf_dir),
+        _docs_meta(spark, sf_dir),
+        "join | window",
+        k=10,
+    )
+
+
+# --- D10/F2: site clustering ----------------------------------------------
+
+SITE_CLUSTER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS docid, t.tokk AS term
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  WHERE t.tokk <> ''
+),
+postings AS (
+  SELECT docid, term, count(*) AS tf FROM tok GROUP BY docid, term
+),
+doclen AS (SELECT docid, count(*) AS dl FROM tok GROUP BY docid),
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.docid,
+         round(sum( ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) ), 4)
+           AS score
+  FROM postings p
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  WHERE p.term IN ('join', 'filter')
+  GROUP BY p.docid
+  HAVING count(DISTINCT p.term) = 2
+),
+ranked AS (
+  SELECT s.docid, s.score, d.source,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.docid ASC) AS rn
+  FROM scored s JOIN documents d ON d.doc_id = s.docid
+)
+SELECT docid, score, source AS site
+FROM ranked WHERE rn <= 2
+ORDER BY score DESC, docid ASC
+LIMIT 10
+"""
+
+
+@register("site_cluster_topk", SITE_CLUSTER_SQL)
+def site_cluster_topk(spark, sf_dir):
+    return S.site_clustered_topk(
+        cached_index(spark, sf_dir),
+        _docs_meta(spark, sf_dir),
+        ["join", "filter"],
+        site_col="source",
+        per_site=2,
+        k=10,
+    )
+
+
+# --- D12: facets -----------------------------------------------------------
+
+FACET_SQL = """
+WITH tok AS (
+  SELECT doc_id AS docid, t.tokk AS term
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  WHERE t.tokk <> ''
+),
+hits AS (SELECT DISTINCT docid FROM tok WHERE term = 'join')
+SELECT d.source AS facet_value, CAST(count(*) AS BIGINT) AS n
+FROM hits h JOIN documents d ON d.doc_id = h.docid
+GROUP BY d.source
+"""
+
+
+@register("facet_by_source", FACET_SQL)
+def facet_by_source(spark, sf_dir):
+    return S.facet_counts(
+        cached_index(spark, sf_dir), _docs_meta(spark, sf_dir), "join", "source"
+    )
+
+
+FACET_LANG_SQL = FACET_SQL.replace("d.source", "d.lang")
+
+
+@register("facet_by_lang", FACET_LANG_SQL)
+def facet_by_lang(spark, sf_dir):
+    return S.facet_counts(
+        cached_index(spark, sf_dir), _docs_meta(spark, sf_dir), "join", "lang"
+    )
+
+
+# --- B7: numeric range + D13 sort-by --------------------------------------
+
+RANGE_SQL = (
+    bm25_oracle_sql(
+        ["join"],
+        restrict_cte=(
+            "SELECT doc_id AS docid FROM documents "
+            "WHERE n_chars >= 150 AND n_chars <= 300"
+        ),
+    )
+    .replace(
+        "SELECT s.docid, round(s.score, 4) AS score",
+        "SELECT s.docid, round(s.score, 4) AS score, "
+        "CAST(d2.n_chars AS BIGINT) AS nval",
+    )
+    .replace(
+        "FROM scored s",
+        "FROM scored s JOIN documents d2 ON d2.doc_id = s.docid",
+    )
+)
+
+
+@register("range_filter_topk", RANGE_SQL)
+def range_filter_topk(spark, sf_dir):
+    return S.range_filter_topk(
+        cached_index(spark, sf_dir),
+        _docs_meta(spark, sf_dir),
+        "join",
+        "n_chars",
+        150,
+        300,
+        k=10,
+    )
+
+
+SORTBY_SQL = """
+WITH tok AS (
+  SELECT doc_id AS docid, t.tokk AS term
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  WHERE t.tokk <> ''
+),
+hits AS (SELECT DISTINCT docid FROM tok WHERE term = 'join')
+SELECT h.docid, CAST(d.n_chars AS BIGINT) AS sval
+FROM hits h JOIN documents d ON d.doc_id = h.docid
+ORDER BY d.n_chars DESC, h.docid ASC
+LIMIT 10
+"""
+
+
+@register("sortby_topk", SORTBY_SQL)
+def sortby_topk(spark, sf_dir):
+    return S.sortby_topk(
+        cached_index(spark, sf_dir),
+        _docs_meta(spark, sf_dir),
+        "join",
+        "n_chars",
+        desc=True,
+        k=10,
+    )
+
+
+# --- G1/G2: nested boolean query ------------------------------------------
+
+BOOL_RESTRICT_CTE = """
+(SELECT docid FROM postings WHERE term = 'join')
+INTERSECT
+(SELECT docid FROM postings WHERE term IN ('window', 'merge'))
+EXCEPT
+(SELECT docid FROM postings WHERE term = 'slow')
+"""
+
+
+@register(
+    "bool_search",
+    bm25_oracle_sql(
+        ["join", "window", "merge"],
+        mode="or",
+        restrict_cte=BOOL_RESTRICT_CTE,
+    ),
+)
+def bool_search(spark, sf_dir):
+    return S.bool_search(
+        cached_index(spark, sf_dir),
+        "join AND (window OR merge) AND NOT slow",
+        k=10,
+    )
+
+
+# --- D15/D16: snippets (rows-only; pytest pins the pure-python spec) ------
+
+
+@register("snippets_topk")
+def snippets_topk(spark, sf_dir):
+    idx = cached_index(spark, sf_dir)
+    terms = ["join", "filter"]
+    topk = S.bm25_topk(idx, terms, k=10, mode="and")
+    return S.add_snippets(topk, _docs_meta(spark, sf_dir), terms)

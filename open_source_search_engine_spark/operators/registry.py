@@ -65,12 +65,13 @@ def _with_shipping(fn: Callable) -> Callable:
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # import for registration side effects (modules append via register())
-    from . import queries_ir  # noqa: F401
-
-    try:
-        from . import queries_pipeline  # noqa: F401
-    except ImportError:
-        pass
+    from . import (  # noqa: F401
+        queries_ir,
+        queries_ir2,
+        queries_pipeline,
+        queries_search,
+        queries_streaming,
+    )
     return {name: _with_shipping(fn) for name, fn in _QUERIES.items()}
 
 

@@ -61,6 +61,40 @@ MANIFEST_SCHEMA = (
 )
 
 
+def _append_manifest_row(manifest_dir: str, **vals) -> None:
+    """Append one manifest row as its own parquet file (written via
+    pyarrow on the driver — a 1-row Spark job costs two scheduler
+    round-trips for nothing). Write-temp + atomic rename keeps readers
+    from ever seeing a partial file; the unique filename keeps
+    concurrent/re-run segments from clobbering each other
+    (idempotence: a re-run segment overwrites the same name)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(manifest_dir, exist_ok=True)
+    vals["committed_at"] = datetime.datetime.now(datetime.timezone.utc)
+    table = pa.table(
+        {
+            "segment_id": pa.array([vals["segment_id"]], pa.string()),
+            "part_lo": pa.array([vals["part_lo"]], pa.int32()),
+            "part_hi": pa.array([vals["part_hi"]], pa.int32()),
+            "status": pa.array([vals["status"]], pa.string()),
+            "rows": pa.array([vals["rows"]], pa.int64()),
+            "docs": pa.array([vals["docs"]], pa.int64()),
+            "sum_doclen": pa.array([vals["sum_doclen"]], pa.int64()),
+            "wall_ms": pa.array([vals["wall_ms"]], pa.int64()),
+            "committed_at": pa.array([vals["committed_at"]],
+                                     pa.timestamp("us", tz="UTC")),
+        }
+    )
+    final = os.path.join(manifest_dir, f"{vals['segment_id']}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+
 def _make_packer(avgdl: float):
     k1, b = K1, B
 
@@ -197,13 +231,23 @@ def build_segments(
             continue
         t0 = time.time()
         seg_docs = docs.filter(F.pmod(F.xxhash64("docid"), F.lit(n_segments)) == seg)
-        idx = build_index(seg_docs, "docid", "text")
+        # compute_globals=False: the segment index scores through the
+        # corpus-wide avgdl_hint, and the eager globals agg would
+        # execute the whole explode once extra before the cache lands.
+        idx = build_index(seg_docs, "docid", "text", compute_globals=False)
         # One materialization of the exploded postings feeds the packed
         # write, term_stats partial, doc_stats agg AND the manifest row
         # count — without the cache each would recompute the explode.
         idx.postings.cache()
         packed = pack_postings(idx.postings, avgdl_hint, n_buckets)
+        # posting-row count rides along the write via an Observation —
+        # no separate read-back job.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"seg{seg}")
+        packed = packed.observe(obs, F.sum("n").alias("rows"))
         packed.write.mode("overwrite").parquet(store.segment_dir(seg))
+        rows = int(obs.get["rows"] or 0)
 
         # per-segment term_stats partial (merged globally at finalize);
         # the segment id is encoded in the path, not a column.
@@ -214,32 +258,18 @@ def build_segments(
         stats = idx.doc_stats.agg(
             F.count(F.lit(1)).alias("docs"), F.sum("doclen").alias("sum_dl")
         ).first()
-        # posting-row count from the packed output's metadata column —
-        # a cheap columnar scan, no recompute of the build.
-        rows = int(
-            spark.read.parquet(store.segment_dir(seg))
-            .agg(F.sum("n"))
-            .first()[0]
-            or 0
-        )
         idx.postings.unpersist()
-        mrow = spark.createDataFrame(
-            [
-                (
-                    f"seg-{seg:05d}",
-                    seg,
-                    seg,
-                    "committed",
-                    rows,
-                    int(stats["docs"]),
-                    int(stats["sum_dl"]),
-                    int((time.time() - t0) * 1000),
-                )
-            ],
-            "segment_id string, part_lo int, part_hi int, status string, "
-            "rows long, docs long, sum_doclen long, wall_ms long",
-        ).withColumn("committed_at", F.current_timestamp())
-        mrow.write.mode("append").parquet(store.manifest_path)
+        _append_manifest_row(
+            store.manifest_path,
+            segment_id=f"seg-{seg:05d}",
+            part_lo=seg,
+            part_hi=seg,
+            status="committed",
+            rows=rows,
+            docs=int(stats["docs"]),
+            sum_doclen=int(stats["sum_dl"]),
+            wall_ms=int((time.time() - t0) * 1000),
+        )
         if fail_after_segment is not None and seg >= fail_after_segment:
             raise RuntimeError(f"injected failure after segment {seg}")
 

@@ -66,7 +66,28 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Spark 4 does not fork Python workers from a pre-warmed daemon
+        # by default in this environment: every UDF task pays a fresh
+        # interpreter + numpy/pandas import (~0.15 s), which ANTI-scales
+        # with task count (measured 6x slowdown at 32 cores x 128
+        # tasks). The daemon restores cheap forks + worker reuse.
+        .config("spark.python.use.daemon", "true")
+        .config("spark.python.worker.reuse", "true")
+        # Keep the heap MODEST. This VM's host backs guest RAM lazily:
+        # touching a large heap page-faults through the hypervisor
+        # (measured: identical job 11-15 s on a 16g heap vs 31-194 s
+        # on a 64g heap at 32 cores). 16g comfortably fits every
+        # sandbox workload; on a real cluster, size executors normally.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Shuffle/spill to tmpfs when available: the sandbox has ONE
+        # shared disk, which serializes shuffle-heavy stages across
+        # cores (a real cluster has per-executor local NVMe).
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-local"
+            if os.path.isdir("/dev/shm")
+            else "/tmp/spark-local",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.security.manager=allow")
     )

@@ -1,0 +1,239 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched ``mapInPandas`` UDFs.
+
+The reference engine stores every document as opaque bytes + metadata
+(titledb TitleRec: ``XmlDoc::getTitleRecBuf``) and dispatches on
+content type (``filetype:`` terms); this module extends that model to
+media blobs for training-data pipelines.
+
+The Spark-side plumbing — schemas, Arrow batch shapes, partitioning,
+UDF signatures — is real and tested. The codec kernels (JPEG decode,
+audio resample, video frame extraction) are STUBBED: the sandbox has
+no image/audio libraries, so each kernel routes through
+``_decode_kernel``, which raises ``NotImplementedError`` unless the
+deterministic fake codec is enabled (tests use the fake; production
+swaps in Pillow/ffmpeg by replacing one function).
+
+Scale notes:
+- payloads stay ``binary`` end-to-end; nothing re-encodes to base64
+  or strings. Arrow moves them zero-copy into the UDF.
+- ``spark.sql.files.maxPartitionBytes`` governs scan granularity —
+  with ~1 MB media blobs, default 128 MB partitions hold ~128 rows,
+  keeping Arrow batches bounded in MEMORY not row count; set
+  ``arrow.maxRecordsPerBatch`` low (64) for >10 MB blobs.
+- feature extraction fans out embarrassingly parallel: one map stage,
+  no shuffle; downstream groupBys shuffle extracted features
+  (KBs/row), never raw media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),  # images/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),  # audio/video
+    ]
+)
+
+FEATURE_DIM = 16
+
+USE_FAKE_CODEC = True  # sandbox: no Pillow/ffmpeg — see module docstring
+
+
+def _decode_kernel(payload: bytes, kind: str) -> np.ndarray:
+    """Decode a media payload to a float32 sample array.
+
+    STUB: the real implementation is `Image.open(BytesIO(payload))` /
+    ffmpeg. The deterministic fake derives samples from the payload
+    bytes so every downstream shape/value is reproducible in tests.
+    """
+    if not USE_FAKE_CODEC:
+        raise NotImplementedError(
+            "real media codecs are not available in this environment; "
+            "set USE_FAKE_CODEC or plug in Pillow/ffmpeg here"
+        )
+    raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    return (raw.astype(np.float32) / 255.0)[:4096]
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """media -> (media_id, kind, n_samples, sample_mean, sample_std).
+
+    mapInPandas over Arrow record batches; the decode kernel runs
+    per-row inside numpy (media decode is inherently per-blob — the
+    vectorization is across the batch's post-decode arrays).
+    """
+
+    out_schema = (
+        "media_id long, kind string, n_samples int, "
+        "sample_mean double, sample_std double"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                _decode_kernel(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "kind": pdf["kind"],
+                    "n_samples": np.array(
+                        [d.size for d in decoded], np.int32
+                    ),
+                    "sample_mean": np.array(
+                        [float(d.mean()) if d.size else 0.0 for d in decoded]
+                    ),
+                    "sample_std": np.array(
+                        [float(d.std()) if d.size else 0.0 for d in decoded]
+                    ),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """media -> (media_id, kind, feature: array<float>[dim]).
+
+    The feature kernel (fake: bucketed means of the decoded samples;
+    real: a vision/audio model) produces a fixed-dim embedding joining
+    the ``embeddings`` table's pipeline (ANN, dedup — pipeline.py).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                d = _decode_kernel(p, k)
+                if d.size < dim:
+                    d = np.pad(d, (0, dim - d.size))
+                chunks = np.array_split(d, dim)
+                feats.append(
+                    np.array([float(c.mean()) for c in chunks], np.float32)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "kind": pdf["kind"],
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
+    """image media -> (media_id, payload binary, width, height) with
+    the payload re-encoded at (w, h). Fake codec: truncate/pad the
+    byte stream to w*h (stands in for decode-resize-encode)."""
+    out_schema = (
+        "media_id long, payload binary, width int, height int"
+    )
+    n = w * h
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p or b"")
+                payloads.append(b[:n].ljust(n, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(np.int64),
+                    "payload": payloads,
+                    "width": np.full(len(pdf), w, np.int32),
+                    "height": np.full(len(pdf), h, np.int32),
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """video media -> one row per sampled frame (media_id, frame_idx,
+    ts_ms, frame binary). The UDF is a flat-map: output rows != input
+    rows, which mapInPandas supports natively (the reference has no
+    analogue — closest is Sections.cpp splitting docs into parts)."""
+    out_schema = "media_id long, frame_idx int, ts_ms int, frame binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                b = bytes(p or b"")
+                n_frames = min(
+                    max_frames, max(1, int(dur or 0) // every_ms)
+                )
+                step = max(1, len(b) // max(n_frames, 1))
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(b[i * step : i * step + 64])
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(ids, np.int64),
+                    "frame_idx": np.array(idxs, np.int32),
+                    "ts_ms": np.array(tss, np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
+def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table for tests/benches (no
+    external data; payload bytes are a pure function of media_id)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    rng = np.random.RandomState(seed)
+    for i in range(n):
+        kind = kinds[i % 3]
+        size = int(rng.randint(256, 2048))
+        payload = bytes(
+            (np.arange(size, dtype=np.int64) * (i + 7) % 251).astype(np.uint8)
+        )
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                {"image": "image/jpeg", "audio": "audio/wav",
+                 "video": "video/mp4"}[kind],
+                64 if kind != "audio" else None,
+                48 if kind != "audio" else None,
+                None if kind == "image" else int(rng.randint(1000, 9000)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,177 @@
+"""Multimodal mapInPandas plumbing (fake codec) + streaming surface:
+incremental index foreachBatch, watermarked windows, session windows."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from conftest import SF_CORRECT, assert_df_matches_duckdb
+
+from open_source_search_engine_spark.sources import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = M.synth_media(spark, n=48).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_decode_media_schema_and_determinism(spark, media):
+    out = M.decode_media(media)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "kind", "n_samples", "sample_mean", "sample_std",
+    ]
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 48
+    # deterministic fake codec: recompute one row in-process
+    r0 = media.filter(media.media_id == 0).first()
+    d = M._decode_kernel(bytes(r0["payload"]), r0["kind"])
+    assert rows[0]["n_samples"] == d.size
+    assert abs(rows[0]["sample_mean"] - float(d.mean())) < 1e-9
+
+
+def test_extract_features_dim_and_join_ann(spark, media):
+    feats = M.extract_features(media, dim=16).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    m = np.array([r["feature"] for r in feats])
+    assert np.isfinite(m).all()
+
+
+def test_resize_images_only_images_fixed_size(spark, media):
+    out = M.resize_images(media, w=8, h=8).collect()
+    kinds = {r["media_id"] for r in media.filter("kind = 'image'").collect()}
+    assert {r["media_id"] for r in out} == kinds
+    assert all(len(r["payload"]) == 64 for r in out)
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+
+
+def test_sample_frames_flatmap(spark, media):
+    out = M.sample_frames(media, every_ms=1000, max_frames=4).collect()
+    vids = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+    assert {r["media_id"] for r in out} == vids
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, frames in by_id.items():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(idxs)))  # dense frame indices
+        assert all(f["ts_ms"] == f["frame_idx"] * 1000 for f in frames)
+
+
+# --- streaming -------------------------------------------------------------
+
+
+def test_events_windowed_oracle(spark, duck_correct):
+    import __spark_entry__ as m
+
+    sdf = m.queries()["events_windowed"](spark, SF_CORRECT)
+    assert_df_matches_duckdb(sdf, duck_correct, m.oracle_sql()["events_windowed"])
+
+
+def test_events_sessionized_oracle(spark, duck_correct):
+    import __spark_entry__ as m
+
+    sdf = m.queries()["events_sessionized"](spark, SF_CORRECT)
+    assert_df_matches_duckdb(
+        sdf, duck_correct, m.oracle_sql()["events_sessionized"]
+    )
+
+
+def test_windowed_streaming_matches_batch(spark, tmp_path):
+    """The STREAMING windowed agg (watermark + availableNow trigger)
+    over the events parquet produces the same rows as the batch form,
+    because all data is on time (watermark only drops late rows)."""
+    from open_source_search_engine_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    events_path = f"{SF_CORRECT}/events.parquet"
+    batch = windowed_event_counts(spark.read.parquet(events_path))
+    want = sorted(
+        (r["wstart"], r["event_type"], r["n"], r["sum_value"])
+        for r in batch.collect()
+    )
+
+    import shutil
+
+    stream_dir = str(tmp_path / "events_in")
+    os.makedirs(stream_dir)
+    shutil.copy(events_path, os.path.join(stream_dir, "part-0.parquet"))
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    q = (
+        windowed_event_counts(stream, streaming=True)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["wstart"], r["event_type"], r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    )
+    assert got == want and want
+
+
+def test_incremental_index_stream(spark, tmp_path):
+    """Micro-batch indexing: documents dropped as parquet become
+    packed segments + manifest rows; a WAND query over the resulting
+    store matches the relational BM25 over the same docs."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.bm25 import bm25_topk
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.operators.segments import (
+        SegmentStore,
+        finalize_term_stats,
+    )
+    from open_source_search_engine_spark.operators.wand import PackedIndex
+    from open_source_search_engine_spark.streaming.incremental import (
+        start_incremental_index,
+    )
+    from open_source_search_engine_spark.tokenizer import tokens_col
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .withColumnRenamed("doc_id", "docid")
+        .select("docid", "text")
+    )
+    avgdl = float(
+        docs.select(F.avg(F.size(tokens_col("text")))).first()[0]
+    )
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    # two "arrivals"
+    docs.filter("docid % 2 = 0").coalesce(1).write.mode("append").parquet(in_dir)
+    store = SegmentStore(str(tmp_path / "store"))
+    ck = str(tmp_path / "ck2")
+    q = start_incremental_index(spark, in_dir, store, ck, avgdl)
+    q.awaitTermination(180)
+    docs.filter("docid % 2 = 1").coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = start_incremental_index(spark, in_dir, store, ck, avgdl)
+    q2.awaitTermination(180)
+
+    manifest = store.manifest(spark).collect()
+    assert len(manifest) >= 2
+    finalize_term_stats(spark, store)
+
+    pidx = PackedIndex(spark, store)
+    got = [
+        (r["docid"], r["score"])
+        for r in pidx.wand_topk(["join", "filter"], k=10).collect()
+    ]
+    idx = build_index(docs)
+    want = [
+        (r["docid"], r["score"])
+        for r in bm25_topk(idx, ["join", "filter"], k=10).collect()
+    ]
+    assert got == want

@@ -1,0 +1,224 @@
+"""Query-side surface: parser, phrase match, site clustering, facets,
+range filter, sort-by, snippets, end-to-end search()."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_CORRECT, assert_df_matches_duckdb
+
+from open_source_search_engine_spark.operators import search as S
+from open_source_search_engine_spark.tokenizer import tokenize
+
+
+# --- D1: parser ------------------------------------------------------------
+
+
+def test_parse_plain_and():
+    pq = S.parse_query("join filter")
+    assert pq.required == ["join", "filter"]
+    assert pq.mode == "and" and not pq.negated and not pq.phrases
+
+
+def test_parse_or():
+    pq = S.parse_query("join | window")
+    assert pq.mode == "or"
+    assert pq.optional == ["join", "window"]
+    assert pq.required == []
+
+
+def test_parse_not_and_phrase():
+    pq = S.parse_query('"table hash" -slow')
+    assert pq.phrases == [["table", "hash"]]
+    assert pq.required == ["table", "hash"]
+    assert pq.negated == ["slow"]
+
+
+def test_parse_fields():
+    pq = S.parse_query("join lang:en minlen:100 sortby:n_chars")
+    assert pq.fields == {
+        "lang": "en",
+        "minlen": "100",
+        "sortby": "n_chars",
+    }
+    assert pq.required == ["join"]
+
+
+def test_parse_unknown_field_is_term():
+    pq = S.parse_query("foo:bar join")
+    # unknown field prefixes degrade to plain terms (tokenized)
+    assert "join" in pq.required
+    assert "foo" in pq.required and "bar" in pq.required
+
+
+def test_parse_bool_tree():
+    t = S.parse_bool("join AND (window OR merge) AND NOT slow")
+    assert t == (
+        "and",
+        [
+            ("and", [("term", "join"),
+                     ("or", [("term", "window"), ("term", "merge")])]),
+            ("not", ("term", "slow")),
+        ],
+    )
+    # implicit AND binds tighter than OR (reference default-op semantics)
+    assert S.parse_bool("a b OR c") == (
+        "or",
+        [("and", [("term", "a"), ("term", "b")]), ("term", "c")],
+    )
+
+
+def test_bool_search_matches_setalgebra(spark):
+    from open_source_search_engine_spark.operators.index_build import (
+        cached_index,
+    )
+
+    idx = cached_index(spark, SF_CORRECT)
+    got = {r["docid"] for r in S.bool_search(
+        idx, "join AND (window OR merge) AND NOT slow", k=1000
+    ).collect()}
+
+    def docids(term):
+        from pyspark.sql import functions as F
+
+        return {
+            r["docid"]
+            for r in idx.postings.filter(F.col("term") == term)
+            .select("docid").distinct().collect()
+        }
+
+    want = (docids("join") & (docids("window") | docids("merge"))) - docids(
+        "slow"
+    )
+    assert got == want and want
+
+
+# --- oracle-paired surface ops (driver-style comparison) ------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "phrase_bm25",
+        "search_parsed_phrase_not",
+        "search_parsed_lang",
+        "search_parsed_or",
+        "site_cluster_topk",
+        "facet_by_source",
+        "facet_by_lang",
+        "range_filter_topk",
+        "sortby_topk",
+        "bool_search",
+    ],
+)
+def test_oracle_paired_search(spark, duck_correct, name):
+    import __spark_entry__ as m
+
+    sdf = m.queries()[name](spark, SF_CORRECT)
+    assert_df_matches_duckdb(sdf, duck_correct, m.oracle_sql()[name])
+
+
+# --- phrase semantics ------------------------------------------------------
+
+
+def test_phrase_docids_matches_python(spark):
+    from open_source_search_engine_spark.operators.index_build import (
+        cached_index,
+    )
+
+    idx = cached_index(spark, SF_CORRECT, with_positions=True)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").collect()
+    words = ["table", "hash"]
+    want = set()
+    for r in docs:
+        toks = tokenize(r["text"])
+        for i in range(len(toks) - 1):
+            if toks[i] == words[0] and toks[i + 1] == words[1]:
+                want.add(r["doc_id"])
+                break
+    got = {r["docid"] for r in S.phrase_docids(idx, words).collect()}
+    assert got == want and want, f"{len(got)} vs {len(want)}"
+
+
+def test_phrase_three_words(spark):
+    from open_source_search_engine_spark.operators.index_build import (
+        cached_index,
+    )
+
+    idx = cached_index(spark, SF_CORRECT, with_positions=True)
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").collect()
+    # find any 3-token sequence present in the corpus
+    toks0 = tokenize(docs[0]["text"])
+    words = toks0[:3]
+    want = set()
+    for r in docs:
+        toks = tokenize(r["text"])
+        for i in range(len(toks) - 2):
+            if toks[i : i + 3] == words:
+                want.add(r["doc_id"])
+                break
+    got = {r["docid"] for r in S.phrase_docids(idx, words).collect()}
+    assert got == want and docs[0]["doc_id"] in got
+
+
+# --- snippets --------------------------------------------------------------
+
+
+def test_snippets_match_pure_python(spark):
+    import __spark_entry__ as m
+
+    rows = m.queries()["snippets_topk"](spark, SF_CORRECT).collect()
+    assert len(rows) == 10
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_CORRECT}/documents.parquet").collect()
+    }
+    for r in rows:
+        want_snip, want_hits = S._best_snippet(
+            docs[r["docid"]], {"join", "filter"}
+        )
+        assert r["snippet"] == want_snip
+        assert r["n_hits"] == want_hits
+        assert want_hits >= 1  # AND query: both terms in doc
+
+
+# --- end-to-end search with field constraints ------------------------------
+
+
+def test_search_minlen_maxlen(spark, duck_correct):
+    from open_source_search_engine_spark.operators.index_build import (
+        cached_index,
+    )
+    from pyspark.sql import functions as F
+
+    docs_meta = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .withColumnRenamed("doc_id", "docid")
+    )
+    out = S.search(
+        cached_index(spark, SF_CORRECT),
+        docs_meta,
+        "join minlen:150 maxlen:300",
+        k=10,
+    ).collect()
+    assert out
+    lens = {
+        r["docid"]: r["n_chars"] for r in docs_meta.collect()
+    }
+    for r in out:
+        assert 150 <= lens[r["docid"]] <= 300
+
+
+def test_search_sortby(spark):
+    from open_source_search_engine_spark.operators.index_build import (
+        cached_index,
+    )
+
+    docs_meta = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .withColumnRenamed("doc_id", "docid")
+    )
+    out = S.search(
+        cached_index(spark, SF_CORRECT), docs_meta, "join sortby:n_chars", k=5
+    ).collect()
+    svals = [r["sval"] for r in out]
+    assert svals == sorted(svals, reverse=True) and len(out) == 5
