@@ -217,13 +217,24 @@ def build_segments(
     docs = docs.select(
         F.col(doc_col).alias("docid"), F.col(text_col).alias("text")
     )
+    debug = bool(os.environ.get("BENCH_DEBUG"))
+
+    def _dbg(label: str, t: float) -> None:
+        if debug:
+            import sys
+
+            print(f"[segdbg] {label}: {time.time() - t:.1f}s",
+                  file=sys.stderr, flush=True)
+
     if avgdl_hint is None:
         from ..tokenizer import tokens_col
 
+        _t = time.time()
         row = docs.select(
             F.size(tokens_col("text")).alias("dl")
         ).agg(F.avg("dl")).first()
         avgdl_hint = float(row[0])
+        _dbg("avgdl", _t)
 
     done = store.committed_segments(spark)
     for seg in range(n_segments):
@@ -246,19 +257,25 @@ def build_segments(
 
         obs = Observation(f"seg{seg}")
         packed = packed.observe(obs, F.sum("n").alias("rows"))
+        _t = time.time()
         packed.write.mode("overwrite").parquet(store.segment_dir(seg))
         rows = int(obs.get["rows"] or 0)
+        _dbg(f"seg{seg} pack+write", _t)
 
         # per-segment term_stats partial (merged globally at finalize);
         # the segment id is encoded in the path, not a column.
+        _t = time.time()
         idx.term_stats.write.mode("overwrite").parquet(
             os.path.join(store.root, f"term_stats_partial/segment={seg}")
         )
+        _dbg(f"seg{seg} term_stats", _t)
 
+        _t = time.time()
         stats = idx.doc_stats.agg(
             F.count(F.lit(1)).alias("docs"), F.sum("doclen").alias("sum_dl")
         ).first()
         idx.postings.unpersist()
+        _dbg(f"seg{seg} doc_stats", _t)
         _append_manifest_row(
             store.manifest_path,
             segment_id=f"seg-{seg:05d}",
