@@ -120,7 +120,7 @@ def bench_build(spark, sf_dir: str, mult: int = 1) -> dict:
     # scale with cluster parallelism or head-term groups serialize the
     # pack stage (the corpus vocabulary bounds termid-parallelism).
     cores = spark.sparkContext.defaultParallelism
-    n_buckets = int(os.environ.get("BENCH_BUCKETS", str(max(64, 4 * cores))))
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", str(max(16, 2 * cores))))
     # Work-sized segmenting: a segment is a resume unit — size it by
     # docs, not by a fixed count (at 10^12 docs you pick segments of
     # ~minutes of work; forcing many tiny segments on a small corpus

@@ -102,16 +102,31 @@ class PackedIndex:
     def __init__(self, spark: SparkSession, store: SegmentStore):
         self.spark = spark
         self.store = store
-        self.packed = store.packed(spark)
-        self.term_stats = store.term_stats(spark)
+        # cache both tables: every query prunes the SAME packed table
+        # (by termid) and probes term_stats — without the cache each
+        # query re-reads parquet (ref: RdbCache's termlist cache)
+        self.packed = store.packed(spark).cache()
+        self.term_stats = store.term_stats(spark).cache()
         self.n_docs, self.avgdl = store.globals_(spark)
+        self._term_cache: dict[str, tuple] = {}
 
     def _term_rows(self, terms: list[str]) -> list:
-        return (
-            self.term_stats.filter(F.col("term").isin(list(terms)))
-            .select("termid", "term", "df")
-            .collect()
-        )
+        """term_stats rows for query terms, memoized across queries —
+        the driver-side analogue of the reference's termFreq cache
+        (Posdb::getTermFreq hits RdbMap counts, not the lists)."""
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            rows = (
+                self.term_stats.filter(F.col("term").isin(missing))
+                .select("termid", "term", "df")
+                .collect()
+            )
+            for r in rows:
+                self._term_cache[r["term"]] = r
+            for t in missing:
+                self._term_cache.setdefault(t, None)
+        return [self._term_cache[t] for t in terms
+                if self._term_cache[t] is not None]
 
     def wand_topk(
         self,
