@@ -159,7 +159,8 @@ _INDEX_CACHE: dict[tuple, InvertedIndex] = {}
 def cached_index(spark: SparkSession, sf_dir: str, **kw) -> InvertedIndex:
     """Session-lifetime cache so the driver's many queries() calls reuse
     one built (and .cache()'d) index per sf_dir."""
-    key = (id(spark.sparkContext), sf_dir, tuple(sorted(kw.items())))
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir, tuple(sorted(kw.items())))
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = build_index_from_table(spark, sf_dir, cache=True, **kw)
     return _INDEX_CACHE[key]

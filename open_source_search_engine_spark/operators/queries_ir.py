@@ -36,7 +36,7 @@ def postings_build(spark, sf_dir):
 @register(
     "term_stats",
     f"""WITH {TOK_CTE}
-SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf, max(tf) AS max_tf
 FROM postings GROUP BY term""",
 )
 def term_stats(spark, sf_dir):

@@ -92,6 +92,13 @@ def parse_query(q: str) -> ParsedQuery:
         if ":" in raw:
             fname, _, fval = raw.partition(":")
             if fname.lower() in FIELD_NAMES and fval:
+                if neg:
+                    # Negated field constraints are rejected rather
+                    # than silently inverted into a POSITIVE filter
+                    # (exclusion semantics are not implemented).
+                    raise ValueError(
+                        f"negated field constraint unsupported: -{raw}"
+                    )
                 out.fields[fname.lower()] = fval
                 continue
         words = tokenize(raw)
@@ -452,8 +459,11 @@ def search(
     pq = parse_query(qtext)
     sortby = pq.fields.get("sortby")
     if sortby:
-        term = pq.terms[0] if pq.terms else None
-        return sortby_topk(index, docs_meta, term, sortby, k=k)
+        if not pq.terms:
+            raise ValueError(
+                f"sortby: requires at least one searchable term: {qtext!r}"
+            )
+        return sortby_topk(index, docs_meta, pq.terms[0], sortby, k=k)
     if not pq.terms:
         raise ValueError(f"no searchable terms in query: {qtext!r}")
     restrict = None

@@ -154,7 +154,7 @@ class SegmentStore:
     def manifest_path(self) -> str:
         return os.path.join(self.root, "manifest")
 
-    def segment_dir(self, seg: int) -> str:
+    def segment_dir(self, seg: int | str) -> str:
         return os.path.join(self.root, f"postings_packed/segment={seg}")
 
     @property

@@ -13,7 +13,7 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[tuple] = set()
 
 
 def ensure_shipped(spark: SparkSession) -> None:
@@ -23,10 +23,12 @@ def ensure_shipped(spark: SparkSession) -> None:
     Required whenever the driver process is started outside the repo
     root (the grading driver does): cloudpickled UDFs reference this
     package by module name, and worker processes do not inherit the
-    driver's ``sys.path`` mutations. Idempotent per SparkContext.
+    driver's ``sys.path`` mutations. Idempotent per SparkContext —
+    keyed on (applicationId, startTime), which unlike ``id(sc)``
+    cannot be recycled by a later context after GC.
     """
     sc = spark.sparkContext
-    key = id(sc)
+    key = (sc.applicationId, sc.startTime)
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

@@ -66,12 +66,14 @@ def start_incremental_index(
         idx = build_index(batch_df, "docid", "text", compute_globals=False)
         idx.postings.cache()
         packed = pack_postings(idx.postings, avgdl_hint, n_buckets)
-        seg_dir = os.path.join(
-            store.root, f"postings_packed/stream_epoch={epoch_id}"
-        )
-        packed.write.mode("overwrite").parquet(seg_dir)
+        # Same partition-column name as the batch builder (segment=…):
+        # a store holding batch segments AND streaming epochs reads as
+        # one table; mixed segment= values would otherwise raise
+        # Spark's conflicting-partition-columns error.
+        seg_name = f"stream-{epoch_id:06d}"
+        packed.write.mode("overwrite").parquet(store.segment_dir(seg_name))
         idx.term_stats.write.mode("overwrite").parquet(
-            os.path.join(store.root, f"term_stats_partial/stream_epoch={epoch_id}")
+            os.path.join(store.root, f"term_stats_partial/segment={seg_name}")
         )
         stats = idx.doc_stats.agg(
             F.count(F.lit(1)).alias("docs"), F.sum("doclen").alias("s")

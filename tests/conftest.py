@@ -55,16 +55,25 @@ def duck_correct():
 
 def assert_df_matches_duckdb(sdf, duck_con, sql: str, float_round: int = 4):
     """Emulates the driver's correctness gate: row-count + schema-name +
-    order-insensitive value comparison between a Spark DF and DuckDB SQL."""
+    order-insensitive value comparison between a Spark DF and DuckDB SQL.
+
+    The DuckDB side materializes through ``fetchdf()`` (pandas), NOT
+    ``fetchall()``: the driver hashes pandas values, where e.g. a
+    HUGEINT ``sum()`` becomes float64 — a type bug ``fetchall()``'s
+    Python ints would mask (round-1 ``term_stats`` regression). Values
+    are compared type-sensitively (int vs float is a mismatch) for the
+    same reason.
+    """
     import math
 
     spark_rows = [tuple(r) for r in sdf.collect()]
-    duck_rows = [tuple(r) for r in duck_con.execute(sql).fetchall()]
+    ddf = duck_con.execute(sql).fetchdf()
+    duck_rows = [tuple(r) for r in ddf.itertuples(index=False)]
     assert len(spark_rows) == len(duck_rows), (
         f"row count: spark={len(spark_rows)} duck={len(duck_rows)}"
     )
     s_cols = sorted(sdf.columns)
-    d_cols = sorted(d[0] for d in duck_con.execute(sql).description)
+    d_cols = sorted(ddf.columns)
     assert s_cols == d_cols, f"schema: spark={s_cols} duck={d_cols}"
 
     def canon(rows, cols_in_order, want_cols):
@@ -74,16 +83,23 @@ def assert_df_matches_duckdb(sdf, duck_con, sql: str, float_round: int = 4):
             vals = []
             for i in idx:
                 v = r[i]
+                if hasattr(v, "to_pydatetime"):  # pd.Timestamp
+                    v = v.to_pydatetime()
+                elif hasattr(v, "item"):  # numpy scalar
+                    v = v.item()
                 if isinstance(v, float):
                     v = round(v, float_round)
                     if v == -0.0:
                         v = 0.0
                     if math.isnan(v):
                         v = "NaN"
+                    v = ("f", v)
+                elif isinstance(v, int) and not isinstance(v, bool):
+                    v = ("i", v)
                 vals.append(v)
             out.append(tuple(vals))
         return sorted(out, key=repr)
 
     s = canon(spark_rows, sdf.columns, s_cols)
-    d = canon(duck_rows, [x[0] for x in duck_con.execute(sql).description], s_cols)
+    d = canon(duck_rows, list(ddf.columns), s_cols)
     assert s == d, f"value mismatch; first spark={s[:3]} duck={d[:3]}"
