@@ -9,25 +9,30 @@ Distributed shape
 -----------------
 Blocks are keyed by (termid, bucket) where bucket = pmod(docid, B) —
 so *all query terms' postings for a docid range are co-located by the
-bucket key*. WAND then runs in two driver-orchestrated passes:
+bucket key*. WAND is ONE DataFrame plan (a single action, no driver
+round-trips):
 
-1. **Seed pass** — score only the bucket with the highest upper bound
-   ``ub(bucket) = Σ_t idf_t · blockmax_tfnorm_{t,bucket}`` exactly →
-   threshold τ = k-th best score found.
-2. **Pruned pass** — process only buckets with ub > τ (for AND mode,
-   also only buckets containing *all* query terms). Every skipped
-   bucket is provably unable to beat the current top-k: this is
-   block-max pruning with block = bucket, exact by construction.
+1. **Seed branch** — the bucket with the highest upper bound
+   ``ub(bucket) = Σ_t idf_t · blockmax_tfnorm_{t,bucket}`` is scored
+   exactly; τ = its k-th best score (computed in-plan, 1 row).
+2. **Pruned branch** — buckets with ub ≥ τ' (τ in the rounded-score
+   domain minus one grid ulp, so round-equal ties survive; for AND
+   mode, only buckets containing *all* query terms) are selected via
+   a broadcast semi-join of the tiny metadata aggregate — never a
+   driver-collected bucket list. Every skipped bucket is provably
+   unable to place a doc in the top-k: block-max pruning with
+   block = bucket, exact by construction.
 
 Inside a bucket the scorer is numpy-vectorized over the decoded blobs
 (one `np.add.at` scatter per bucket — no per-posting Python). Local
 top-k per bucket, global merge via ORDER BY LIMIT k
 (TakeOrderedAndProject — the Msg3a merge shape).
 
-Scale: at 10^12 docs with 64k buckets the seed pass reads a few blocks;
-the metadata aggregate (one row per candidate bucket) is tiny; the
-pruned pass reads only surviving buckets' blobs. Head queries prune
-little (dense scores) but buckets bound memory (the reference's
+Scale: at 10^12 docs with 64k buckets the seed branch reads a few
+blocks; the metadata aggregate (one row per candidate bucket) stays
+distributed and is broadcast (64k rows ≈ 1 MB), never collect()ed;
+the pruned branch reads only surviving buckets' blobs. Head queries
+prune little (dense scores) but buckets bound memory (the reference's
 docid-range splits, ``Msg39::m_numDocIdSplits``); tail queries prune
 almost everything.
 """
@@ -50,10 +55,34 @@ def _make_bucket_scorer(
     required: set[int],
     neg_termids: set[int],
     k: int,
+    cut: float = float("-inf"),
 ):
     n_required = len(required)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": [], "score": []}).astype(
+            {"docid": np.int64, "score": np.float64}
+        )
+        # Block-max pruning BEFORE any blob decode: the bucket's upper
+        # bound is Σ_t idf_t · max(blockmax_tfnorm) over its per-term
+        # blocks — a handful of float rows. Buckets that cannot place a
+        # doc in the top-k (ub < τ′) return without touching a blob,
+        # and AND-mode buckets missing a required term likewise.
+        tids = pdf["termid"].to_numpy()
+        if n_required and not required.issubset(set(tids.tolist())):
+            return empty
+        pos_mask = ~np.isin(tids, list(neg_termids)) if neg_termids else (
+            np.ones(len(tids), dtype=bool)
+        )
+        if cut > float("-inf"):
+            bm = pdf["blockmax_tfnorm"].to_numpy(np.float64)
+            idfs = np.array([idf_by_termid.get(int(t), 0.0) for t in tids])
+            per_term = {}
+            for t, v in zip(tids[pos_mask], (idfs * bm)[pos_mask]):
+                per_term[t] = max(per_term.get(t, 0.0), v)
+            if sum(per_term.values()) < cut:
+                return empty
+
         docid_parts, score_parts, req_parts = [], [], []
         neg_docids = []
         for row in pdf.itertuples(index=False):
@@ -104,29 +133,57 @@ class PackedIndex:
         self.store = store
         # cache both tables: every query prunes the SAME packed table
         # (by termid) and probes term_stats — without the cache each
-        # query re-reads parquet (ref: RdbCache's termlist cache)
-        self.packed = store.packed(spark).cache()
+        # query re-reads parquet (ref: RdbCache's termlist cache).
+        # Hash-partitioned by bucket so the per-bucket scorer's
+        # ClusteredDistribution(bucket) is already satisfied — the
+        # applyInPandas stage runs WITHOUT a blob shuffle (on a real
+        # cluster this is the bucketed-table layout written at build
+        # time, so queries never move blobs at all).
+        n_part = spark.conf.get("spark.sql.shuffle.partitions", "32")
+        self.packed = (
+            store.packed(spark).repartition(int(n_part), "bucket").cache()
+        )
         self.term_stats = store.term_stats(spark).cache()
         self.n_docs, self.avgdl = store.globals_(spark)
         self._term_cache: dict[str, tuple] = {}
+        self._seed_cache: dict[int, list] = {}
 
     def _term_rows(self, terms: list[str]) -> list:
         """term_stats rows for query terms, memoized across queries —
         the driver-side analogue of the reference's termFreq cache
-        (Posdb::getTermFreq hits RdbMap counts, not the lists)."""
+        (Posdb::getTermFreq hits RdbMap counts, not the lists).
+
+        The SAME collect also fetches each term's bucket-0 packed
+        blocks (the τ seed sample — see ``_seed_rows``) via a left
+        join, so a cold query pays ONE driver round-trip, not two.
+        """
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
-            rows = (
-                self.term_stats.filter(F.col("term").isin(missing))
-                .select("termid", "term", "df")
-                .collect()
+            ts = self.term_stats.filter(F.col("term").isin(missing)).select(
+                "termid", "term", "df"
             )
-            for r in rows:
-                self._term_cache[r["term"]] = r
+            rows = ts.join(
+                self.packed.filter(F.col("bucket") == 0), "termid", "left"
+            ).collect()
             for t in missing:
                 self._term_cache.setdefault(t, None)
+            for r in rows:
+                if self._term_cache[r["term"]] is None:
+                    self._term_cache[r["term"]] = r
+                seeds = self._seed_cache.setdefault(int(r["termid"]), [])
+                if r["docids"] is not None:
+                    seeds.append(r)
         return [self._term_cache[t] for t in terms
                 if self._term_cache[t] is not None]
+
+    def _seed_rows(self, termids: list[int]) -> list:
+        """Bucket-0 blocks for the given termids (the τ seed sample),
+        memoized per termid — populated by ``_term_rows``'s combined
+        fetch; one row per (term, segment), a few KB each."""
+        out: list = []
+        for t in termids:
+            out.extend(self._seed_cache.get(t, []))
+        return out
 
     def wand_topk(
         self,
@@ -160,53 +217,52 @@ class PackedIndex:
             F.col("termid").isin(termids + list(neg_ids))
         ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
 
-        # --- bucket metadata: upper bounds (blob-free, tiny) ----------
-        idf_map = F.create_map(
-            *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
+        # --- τ from a SAMPLED seed bucket, scored driver-side --------
+        # docids are uniform 63-bit hashes, so every bucket is a fair
+        # sample of the score distribution: bucket 0's k-th best score
+        # is a valid τ (any subset's k-th score lower-bounds the
+        # global k-th) and, by uniformity, a near-tight one. Its
+        # blocks are one row per (term, segment), fetched via the
+        # memoized pure-JVM collect below and scored with the same
+        # numpy kernel — the reference's per-shard TopTree seed
+        # (Msg39), far cheaper than a distributed stage just for τ.
+        seed_rows = self._seed_rows(termids + list(neg_ids))
+        tau = float("-inf")
+        if seed_rows:
+            pdf = pd.DataFrame([r.asDict() for r in seed_rows])
+            pdf["inv_avgdl"] = 1.0 / self.avgdl
+            seed_scored = _make_bucket_scorer(idf, required, neg_ids, k)(
+                pdf
+            ).sort_values(["score", "docid"], ascending=[False, True])
+            if len(seed_scored) >= k:
+                tau = float(seed_scored["score"].iloc[k - 1])
+
+        # The survivor cut compares against τ in the ROUNDED domain
+        # minus one ulp of the rounding grid: final ranking is on
+        # round(score, round_to), so a doc whose exact score is below
+        # unrounded-τ but rounds equal (and ties by smaller docid)
+        # must still be scored — `ub > τ(unrounded)` dropped it.
+        if tau > float("-inf") and round_to:
+            cut = round(tau, round_to) - 10.0 ** -round_to
+        else:
+            cut = tau
+
+        # ONE action mirroring the relational path's shape: termid
+        # prune at the (cached, bucket-partitioned) scan → per-bucket
+        # scorer → TakeOrderedAndProject. No shuffle: the cache is
+        # hash-partitioned by bucket, so FlatMapGroupsInPandas's
+        # ClusteredDistribution is already satisfied. Block-max
+        # pruning happens INSIDE the scorer from the blockmax column
+        # (see _make_bucket_scorer) — skipped buckets never decode a
+        # blob. On a real cluster the packed table is additionally
+        # bucket-partitioned on disk, so a broadcast semi-join on the
+        # survivor buckets would also prune the I/O; in-cache here,
+        # the column read is the whole cost and the in-scorer check
+        # avoids a second aggregate+broadcast round over the table.
+        scorer = _make_bucket_scorer(idf, required, neg_ids, k, cut=cut)
+        result = blocks.groupBy("bucket").applyInPandas(
+            scorer, schema=SCORE_SCHEMA
         )
-        pos_blocks = blocks.filter(F.col("termid").isin(termids))
-        meta = (
-            pos_blocks.groupBy("bucket")
-            .agg(
-                F.sum(
-                    idf_map[F.col("termid")] * F.col("blockmax_tfnorm")
-                ).alias("ub"),
-                F.countDistinct("termid").alias("nterms"),
-            )
-        )
-        if mode == "and":
-            meta = meta.filter(F.col("nterms") == len(termids))
-        meta_rows = sorted(
-            meta.collect(), key=lambda r: -float(r["ub"])
-        )
-        if not meta_rows:
-            return self.spark.createDataFrame([], SCORE_SCHEMA)
-
-        scorer = _make_bucket_scorer(idf, required, neg_ids, k)
-
-        def score_buckets(bucket_ids: list[int]) -> DataFrame:
-            return (
-                blocks.filter(F.col("bucket").isin(bucket_ids))
-                .groupBy("bucket")
-                .applyInPandas(scorer, schema=SCORE_SCHEMA)
-            )
-
-        # Pass 1: seed threshold from the best-upper-bound bucket.
-        seed_bucket = int(meta_rows[0]["bucket"])
-        seed = score_buckets([seed_bucket]).orderBy(
-            F.desc("score"), F.asc("docid")
-        ).take(k)
-        tau = float(seed[k - 1]["score"]) if len(seed) == k else float("-inf")
-
-        # Pass 2: only buckets whose upper bound can beat τ.
-        survivors = [
-            int(r["bucket"])
-            for r in meta_rows[1:]
-            if float(r["ub"]) > tau
-        ]
-        result = score_buckets(survivors).unionAll(
-            self.spark.createDataFrame(seed, SCORE_SCHEMA)
-        ) if survivors else self.spark.createDataFrame(seed, SCORE_SCHEMA)
 
         score = F.round(F.col("score"), round_to) if round_to else F.col("score")
         return (

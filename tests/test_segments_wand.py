@@ -121,6 +121,24 @@ def test_wand_matches_relational(spark, store, terms, mode, neg):
     assert got == want
 
 
+def test_wand_tie_across_buckets(spark, tmp_path_factory):
+    """Constructed tie: 30 identically-scored docs spread over all
+    buckets. τ equals every other bucket's upper bound exactly, so a
+    strict `ub > τ` cut would drop the smaller-docid ties outside the
+    seed bucket; the (score desc, docid asc) contract requires the
+    globally smallest docids to win."""
+    docs = spark.createDataFrame(
+        [(i, "tie tie tie") for i in range(30)], "docid long, text string"
+    )
+    root = str(tmp_path_factory.mktemp("idx_tie"))
+    st = build_segments(
+        spark, docs, SegmentStore(root), n_segments=1, n_buckets=8
+    )
+    pidx = PackedIndex(spark, st)
+    got = [r["docid"] for r in pidx.wand_topk(["tie"], k=3).collect()]
+    assert got == [0, 1, 2]
+
+
 def test_wand_after_compaction(spark, store, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("idx_compact"))
     cstore = compact_segments(spark, store, out, n_buckets=8)
