@@ -85,28 +85,35 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, w: int = 3, threshold: float = 0.4
+def jaccard_for_candidates(
+    sh: DataFrame, cand: DataFrame, threshold: float = 0.0
 ) -> DataFrame:
-    """All doc pairs with w-shingle Jaccard >= threshold.
+    """Exact w-shingle Jaccard for an explicit candidate-pair set.
 
-    Candidates come from a self-join on shingle (only pairs sharing at
-    least one shingle are ever materialized — sub-quadratic on real
-    corpora), then |A∩B| via groupBy(pair) count and |A∪B| from
-    per-doc shingle counts. Exact; the correctness baseline for the
-    MinHash path.
-
-    Scale: head shingles (boilerplate) blow up the self-join — at
-    100 TB, drop shingles with document frequency above a cap first
-    (they cannot be discriminative); AQE skew-join handles the rest.
+    ``sh``: (docid, shingle) distinct pairs; ``cand``: (doc_a, doc_b).
+    |A∩B| comes from joining each candidate's shingle set through the
+    pair — cost is bounded by |candidates| × shingles/doc, NEVER by
+    the corpus-wide shared-shingle blowup. This is the verify kernel
+    the LSH paths use: candidate generation decides scale, this step
+    only touches what they emit.
     """
-    sh = doc_shingles(docs, w).cache()
     counts = sh.groupBy("docid").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("docid").alias("doc_a"), "shingle")
-    b = sh.select(F.col("docid").alias("doc_b"), "shingle")
+    # prune the shingle table to docs that appear in any candidate pair
+    # (semi-join), then count shared shingles per pair.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("docid"))
+        .unionAll(cand.select(F.col("doc_b").alias("docid")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "docid", "left_semi")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(
+            sh_c.select(F.col("docid").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh_c.select(F.col("docid").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -126,6 +133,51 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    w: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All doc pairs with w-shingle Jaccard >= threshold.
+
+    Candidates come from a self-join on shingle (only pairs sharing at
+    least one shingle are ever materialized — sub-quadratic on real
+    corpora), then exact |A∩B| / |A∪B| per candidate pair. The
+    correctness baseline for the MinHash path.
+
+    ``max_shingle_df`` is the head-shingle cap: shingles whose document
+    frequency exceeds it (boilerplate — shared by so many docs they
+    cannot discriminate) are excluded from CANDIDATE GENERATION, which
+    is what blows up the self-join at 100 TB. The Jaccard itself is
+    still computed over ALL shingles of each candidate pair, so capped
+    results are exact for every emitted pair; only a pair whose every
+    shared shingle is boilerplate could be missed (at threshold 0.4
+    such a pair shares ≥40% boilerplate — pick the cap so that set is
+    empty, e.g. df ≤ a few % of the corpus). Default None = uncapped
+    (the oracle-paired form).
+    """
+    sh = doc_shingles(docs, w).cache()
+    join_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, "shingle", "left_semi")
+    a = join_sh.select(F.col("docid").alias("doc_a"), "shingle")
+    b = join_sh.select(F.col("docid").alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_for_candidates(sh, cand, threshold)
 
 
 NGRAM_JACCARD_SQL = """
@@ -212,19 +264,24 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame,
     w: int = 3,
-    n_perm: int = 128,
-    bands: int = 64,
+    n_perm: int = 256,
+    bands: int = 128,
     threshold: float = 0.4,
     seed: int = 42,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with EXACT
     w-shingle Jaccard (so precision is 1.0; banding controls recall:
-    P(candidate) = 1-(1-J^r)^bands, r = n_perm/bands — at r=2, b=64,
-    J=0.4 recall is 0.99999).
+    P(candidate) = 1-(1-J^r)^bands, r = n_perm/bands — at the default
+    r=2, b=128, P(miss) at J=0.4 is (1-0.16)^128 ≈ 2e-10, i.e. below
+    1/corpus² at any feasible corpus — recall is exact in practice
+    and the op is oracle-paired against the exact-Jaccard SQL).
 
     Pipeline: signatures -> explode bands -> groupBy (band, bandhash)
     buckets -> within-bucket pairs -> distinct -> exact-Jaccard verify
-    (semi-join back to shingles, only for candidates).
+    computed ONLY for the candidate pairs (``jaccard_for_candidates``
+    semi-joins the shingle table down to candidate docs first — the
+    round-1 form ran the full corpus-wide shared-shingle join here,
+    which is exactly the all-pairs cost the LSH exists to avoid).
 
     Scale: bucket sizes are bounded by collision probability, not
     corpus size; the verify join touches only candidate docs. This is
@@ -250,10 +307,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, w, threshold)
-    return cand.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    return jaccard_for_candidates(doc_shingles(docs, w), cand, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -299,27 +353,42 @@ def simhash_col_docs(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs with SimHash Hamming distance <=
-    max_hamming, via the 4-band pigeonhole trick: any pair within
-    Hamming 3 agrees exactly on at least one 16-bit quarter, so
-    bucketing on each quarter finds all such pairs without an
-    all-pairs scan (Manku et al., WWW'07 — public near-dup paper).
+def hamming_pairs(
+    sh: DataFrame, max_hamming: int = 3, nbits: int = 64
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with Hamming(simhash) <=
+    max_hamming over a (docid, simhash) DataFrame, via the Manku
+    (WWW'07) pigeonhole banding: split the fingerprint into
+    ``max_hamming + 1`` bands — a pair within the radius has too few
+    differing bits to touch every band, so it agrees EXACTLY on at
+    least one band and is found by bucketing per band. The band count
+    adapts to the configured radius (the round-1 form bucketed on 4
+    fixed quarters, silently incomplete beyond Hamming 3).
+
+    Scale: candidate volume rises as bands narrow (radius 10 → 11
+    bands of ~6 bits ≈ 64-value buckets); at 10^12 docs keep the
+    radius ≤ the band width the corpus can afford (Manku's tables ×
+    blocks layout is band composition over this same primitive).
     """
-    sh = simhash_col_docs(docs)
-    quarters = sh.select(
+    nbands = max_hamming + 1
+    width = -(-nbits // nbands)  # ceil: bands cover all bits
+    band_exprs = []
+    for q in range(nbands):
+        lo = q * width
+        if lo >= nbits:
+            break
+        mask = (1 << min(width, nbits - lo)) - 1
+        band_exprs.append(f"shiftright(simhash, {lo}) & {mask}")
+    bands = sh.select(
         "docid",
         "simhash",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "q -> (simhash >> (q * 16)) & 65535)"
-            )
-        ).alias("q", "qval"),
+        F.posexplode(F.expr(f"array({', '.join(band_exprs)})")).alias(
+            "q", "qval"
+        ),
     )
     cand = (
-        quarters.alias("x")
-        .join(quarters.alias("y"), ["q", "qval"])
+        bands.alias("x")
+        .join(bands.alias("y"), ["q", "qval"])
         .filter(F.col("x.docid") < F.col("y.docid"))
         .select(
             F.col("x.docid").alias("doc_a"),
@@ -336,6 +405,13 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) SimHash near-dup pairs — Charikar
+    fingerprints + radius-complete pigeonhole banding (see
+    ``hamming_pairs``)."""
+    return hamming_pairs(simhash_col_docs(docs), max_hamming)
 
 
 # ---------------------------------------------------------------------------

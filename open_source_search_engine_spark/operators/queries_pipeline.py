@@ -47,14 +47,21 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return P.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
-@register("dedup_minhash_lsh")  # rows-only; pytest proves recall vs exact
+# Oracle-paired against the EXACT Jaccard SQL: banding at r=2, b=128
+# puts P(missed pair at J>=0.4) ≈ 2e-10 — far below 1/corpus² — and the
+# verify step is exact, so LSH output == exact output deterministically.
+@register("dedup_minhash_lsh", P.NGRAM_JACCARD_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     return P.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
 @register("dedup_simhash")  # rows-only; pytest checks vs pure-python ref
 def dedup_simhash(spark, sf_dir):
-    return P.simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
+    # radius 3 = the classic Manku web-dedup operating point; the
+    # banding is radius-complete for any max_hamming (pipeline.py
+    # hamming_pairs), but wider radii widen buckets — keep the
+    # registered default scale-honest.
+    return P.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 # --- similarity search -----------------------------------------------------

@@ -77,11 +77,10 @@ def test_minhash_lsh_recall(spark, docs):
         for r in P.minhash_lsh_pairs(docs, threshold=0.4).collect()
     }
     assert exact, "test corpus must contain near-dup pairs"
-    # precision 1.0 by construction (exact verify step)
-    assert lsh <= exact
-    # banding at r=2,b=64 gives >=0.9999 recall at J=0.4
-    recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.95, f"minhash recall {recall}"
+    # r=2, b=128 banding: P(miss at J>=0.4) ≈ 2e-10 and the verify is
+    # exact, so the LSH path must EQUAL the exact path (the op is
+    # oracle-paired on this property).
+    assert lsh == exact
 
 
 def test_minhash_signature_properties(spark, docs):
@@ -134,6 +133,40 @@ def test_simhash_matches_reference(spark, docs):
     for r in rows:
         want = _simhash_ref(tokenize(r["text"]), spark)
         assert got[r["docid"]] == want, f"doc {r['docid']}"
+
+
+def test_ngram_jaccard_df_cap_exact(spark, docs):
+    """The head-shingle df-cap prunes CANDIDATE GENERATION only; the
+    Jaccard of every emitted pair is computed over all shingles, so a
+    sane cap returns the identical pair set on this corpus."""
+    uncapped = {
+        tuple(r) for r in P.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    capped = {
+        tuple(r)
+        for r in P.ngram_jaccard_pairs(
+            docs, threshold=0.4, max_shingle_df=50
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_hamming_pairs_complete_at_radius(spark):
+    """Planted pair at Hamming distance 10 that disagrees in EVERY
+    16-bit quarter: the round-1 fixed 4-quarter bucketing missed it;
+    radius-complete banding (max_hamming+1 bands) must find it."""
+    bits = [2, 10, 18, 26, 34, 42, 50, 58, 60, 62]
+    other = 0
+    for b in bits:
+        other |= 1 << b
+    df = spark.createDataFrame(
+        [(1, 0), (2, other)], "docid long, simhash long"
+    )
+    got = [tuple(r) for r in P.hamming_pairs(df, max_hamming=10).collect()]
+    assert got == [(1, 2, 10)]
+    # sanity: every quarter differs, so quarter-bucketing finds nothing
+    for q in range(4):
+        assert (other >> (q * 16)) & 0xFFFF != 0
 
 
 def test_simhash_pairs_symmetric_hamming(spark, docs):
