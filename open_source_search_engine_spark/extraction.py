@@ -165,6 +165,46 @@ def extract_text(html_in: bytes | bytearray | memoryview | str | None) -> str:
     return "\n".join(blocks)
 
 
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title\s*>", re.IGNORECASE | re.DOTALL)
+
+
+def extract_title(html_in: bytes | bytearray | memoryview | str | None) -> str:
+    """Pinned title extraction (SURVEY.md §2 D16; ref: ``Title.cpp:
+    Title::setTitle`` — prefers the <title> element). Spec (v1):
+    content of the FIRST ``<title>`` element (case-insensitive,
+    non-greedy to the first close tag), entity-decoded, whitespace-
+    normalized like rule 6 of the text spec. Empty string if absent.
+    """
+    if html_in is None:
+        return ""
+    if isinstance(html_in, (bytes, bytearray, memoryview)):
+        s = bytes(html_in).decode("utf-8", "replace")
+    else:
+        s = str(html_in)
+    m = _TITLE_RE.search(s)
+    if not m:
+        return ""
+    return " ".join(_html.unescape(m.group(1)).split())
+
+
+_ALNUM_RUN_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def highlight_terms(text: str, terms: set[str] | frozenset[str]) -> str:
+    """Pinned term highlighting (ref: ``Highlight.cpp`` — wraps query
+    matches in the summary). Spec (v1): every maximal ``[A-Za-z0-9]+``
+    run whose lowercase form is in ``terms`` is wrapped in
+    ``<b>…</b>``; everything else passes through byte-identical."""
+    if not terms:
+        return text
+
+    def repl(m: re.Match) -> str:
+        tok = m.group(0)
+        return f"<b>{tok}</b>" if tok.lower() in terms else tok
+
+    return _ALNUM_RUN_RE.sub(repl, text)
+
+
 EXTRACT_SCHEMA = T.StringType()
 
 

@@ -1,0 +1,339 @@
+"""Real link extraction + anchor-text indexing over the webtext html
+(SURVEY.md §2 C13/C14/E3, B3, D16).
+
+Reference anchors: ``Links.cpp: Links::set`` (outlink extraction from
+the parsed page), ``Msg25.cpp: getLinkInfo`` (per-site unique-inlinker
+counts), ``XmlDoc::hashIncomingLinkText`` (anchor terms indexed into
+the LINKEE), ``XmlDoc::hashUrl`` (site:/inurl: synthetic terms),
+``Posdb.h: getSiteRank``, ``Title.cpp: Title::setTitle``.
+
+Everything here runs over the input_hint-shaped webtext table
+(url, warc_ts, html, text, lang) and is oracle-paired: the DuckDB
+side regexes the SAME html with the SAME pinned patterns, so the
+whole path — href extraction, relative-url resolution, host parsing,
+anchor tokenization, BM25 math — is hash-checked end to end.
+
+Pinned specs (v1):
+- link     = ``<a href="([^"]*)">([^<]*)</a>`` (the generator's exact
+  markup shape; a production crawler widens the pattern in both
+  places at once).
+- resolve  = absolute hrefs pass through; hrefs starting with '/'
+  get the source page's ``scheme://host`` prefix.
+- host(u)  = ``^https?://([^/]+)``.
+- anchor tokens = ``[a-z0-9]+`` runs of the lowercased anchor text
+  (the corpus tokenizer).
+
+Scale notes: link extraction is embarrassingly parallel JVM regex
+(whole-stage codegen, no Python). The inlink aggregation shuffles
+(host, host) string pairs — at 10^12 edges swap the exact
+countDistinct for approx_count_distinct (Msg25 itself approximates).
+Anchor postings shuffle (url, term) — same salted-build shape as the
+body index. The anchor-boost join is a broadcast of the query-term
+rows, so the only data-scale shuffle is the per-doc score aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_webtext
+from .index_build import InvertedIndex, build_index
+
+LINK_RE = '<a href="([^"]*)">([^<]*)</a>'
+HOST_RE = "^https?://([^/]+)"
+SITE_RE = "^(https?://[^/]+)"
+TOKEN_RE = "[a-z0-9]+"
+
+
+def extract_links(web: DataFrame) -> DataFrame:
+    """webtext(url, html, …) → (src_url, dst_url, anchor) edges.
+
+    JVM-only: regexp_extract_all over the decoded html, one struct per
+    match, exploded. Relative hrefs resolve against the source host.
+    """
+    h = F.col("html").cast("string")
+    matches = F.regexp_extract_all(h, F.lit(LINK_RE), F.lit(0))
+    pair = F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, LINK_RE, 1).alias("href"),
+            F.regexp_extract(m, LINK_RE, 2).alias("anchor"),
+        ),
+    )
+    exploded = web.select(
+        F.col("url").alias("src_url"), F.explode(pair).alias("lk")
+    ).select("src_url", F.col("lk.href").alias("href"),
+             F.col("lk.anchor").alias("anchor"))
+    prefix = F.regexp_extract("src_url", SITE_RE, 1)
+    dst = F.when(
+        F.col("href").startswith("http"), F.col("href")
+    ).otherwise(F.concat(prefix, F.col("href")))
+    return exploded.select(
+        "src_url", dst.alias("dst_url"), "anchor"
+    )
+
+
+LINKS_SQL_CTE = f"""
+pages AS (SELECT url, decode(html) AS h, text FROM read_parquet('{{path}}')),
+rawlinks AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(h, '{LINK_RE}', 1)) AS href,
+         unnest(regexp_extract_all(h, '{LINK_RE}', 2)) AS anchor
+  FROM pages
+),
+links AS (
+  SELECT src_url,
+         CASE WHEN href LIKE 'http%' THEN href
+              ELSE regexp_extract(src_url, '{SITE_RE}', 1) || href END
+           AS dst_url,
+         anchor
+  FROM rawlinks
+)"""
+
+
+def inlink_counts_web(links: DataFrame) -> DataFrame:
+    """Per linkee host: total inlinks + distinct linker hosts (the
+    Msg25 unique c-class inlinker count over REAL extracted edges)."""
+    return (
+        links.select(
+            F.regexp_extract("dst_url", HOST_RE, 1).alias("dst_host"),
+            F.regexp_extract("src_url", HOST_RE, 1).alias("src_host"),
+        )
+        .groupBy("dst_host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+            F.countDistinct("src_host").cast("long").alias("n_linker_hosts"),
+        )
+    )
+
+
+def site_rank_web(links: DataFrame) -> DataFrame:
+    """(dst_host, site_rank): log-bucketed 0..15 rank from the host's
+    distinct-linker count (ref: getSiteRank)."""
+    return inlink_counts_web(links).select(
+        "dst_host",
+        F.least(
+            F.lit(15), F.floor(F.log2(1 + F.col("n_linker_hosts")))
+        ).cast("int").alias("site_rank"),
+    )
+
+
+def anchor_postings(links: DataFrame) -> DataFrame:
+    """(dst_url, term, atf): anchor terms indexed into the LINKEE
+    (ref: XmlDoc::hashIncomingLinkText — the anchor text scores the
+    page it points AT, the signal a web engine runs on)."""
+    toks = F.expr(f"regexp_extract_all(lower(anchor), '{TOKEN_RE}', 0)")
+    return (
+        links.select(F.col("dst_url").alias("docid"),
+                     F.explode(toks).alias("term"))
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("atf"))
+    )
+
+
+ANCHOR_W = 0.5  # anchor-component weight (ref: link-text weighting)
+K1 = 1.2
+
+
+def anchor_boosted_topk(
+    idx: InvertedIndex,
+    anchors: DataFrame,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 body score + ANCHOR_W · anchor component, OR semantics.
+
+    anchor component per (doc, term) = idf_t · (atf·(k1+1))/(atf+k1)
+    — BM25 saturation with no length norm (anchor streams are short).
+    idf comes from the BODY df (one stats table, the reference's
+    single termFreq source). Docs matching only via anchors still
+    rank (full outer merge of the two component aggregates).
+    """
+    terms = list(dict.fromkeys(terms))
+    qt = idx.term_stats.filter(F.col("term").isin(terms)).select(
+        "term", idx.idf_col().alias("idf")
+    )
+    body = (
+        idx.postings.join(F.broadcast(qt), "term")
+        .withColumn("part", F.col("idf") * idx.tfnorm_col())
+        .groupBy("docid")
+        .agg(F.sum("part").alias("bscore"))
+    )
+    atf = F.col("atf").cast("double")
+    anch = (
+        anchors.join(F.broadcast(qt), "term")
+        .withColumn(
+            "part",
+            F.lit(ANCHOR_W) * F.col("idf")
+            * (atf * (K1 + 1.0)) / (atf + K1),
+        )
+        .groupBy("docid")
+        .agg(F.sum("part").alias("ascore"))
+    )
+    merged = body.join(anch, "docid", "full_outer").select(
+        "docid",
+        F.round(
+            F.coalesce("bscore", F.lit(0.0))
+            + F.coalesce("ascore", F.lit(0.0)),
+            4,
+        ).alias("score"),
+    )
+    return merged.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def titles(web: DataFrame) -> DataFrame:
+    """(url, title): pinned <title> extraction, JVM regex form (the
+    python ``extraction.extract_title`` is the spec owner; equality on
+    entity-free titles is pinned in pytest)."""
+    h = F.col("html").cast("string")
+    raw = F.regexp_extract(h, "<title[^>]*>(.*?)</title>", 1)
+    return web.select(
+        "url",
+        F.trim(F.regexp_replace(raw, r"\s+", " ")).alias("title"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders (same pinned regexes over the same parquet)
+# ---------------------------------------------------------------------------
+
+
+def links_sql(path: str) -> str:
+    return f"""WITH {LINKS_SQL_CTE.format(path=path)}
+SELECT src_url, dst_url, anchor FROM links"""
+
+
+def inlink_counts_sql(path: str) -> str:
+    return f"""WITH {LINKS_SQL_CTE.format(path=path)}
+SELECT regexp_extract(dst_url, '{HOST_RE}', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT regexp_extract(src_url, '{HOST_RE}', 1)) AS BIGINT)
+         AS n_linker_hosts
+FROM links GROUP BY 1"""
+
+
+def site_rank_sql(path: str) -> str:
+    return f"""WITH {LINKS_SQL_CTE.format(path=path)}
+SELECT regexp_extract(dst_url, '{HOST_RE}', 1) AS dst_host,
+       CAST(least(15, floor(log2(1 + count(DISTINCT
+            regexp_extract(src_url, '{HOST_RE}', 1))))) AS INT) AS site_rank
+FROM links GROUP BY 1"""
+
+
+WEB_BM25_CTE = f"""
+tok AS (
+  SELECT url AS docid, t.tokk AS term
+  FROM pages, LATERAL unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+       AS t(tokk)
+),
+postings AS (
+  SELECT docid, term, count(*) AS tf FROM tok GROUP BY docid, term
+),
+doclen AS (SELECT docid, count(*) AS dl FROM tok GROUP BY docid),
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term)"""
+
+
+def anchor_bm25_sql(path: str, terms: list[str], k: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH {LINKS_SQL_CTE.format(path=path)},
+{WEB_BM25_CTE},
+apost AS (
+  SELECT dst_url AS docid, t.tokk AS term, count(*) AS atf
+  FROM links, LATERAL unnest(regexp_extract_all(lower(anchor), '{TOKEN_RE}'))
+       AS t(tokk)
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT t.term, ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0) AS idf
+  FROM ts t CROSS JOIN consts c WHERE t.term IN ({tlist})
+),
+body AS (
+  SELECT p.docid,
+         sum(i.idf * (p.tf * ({K1} + 1.0))
+             / (p.tf + {K1} * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)))
+           AS bscore
+  FROM postings p
+  JOIN idf i ON p.term = i.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  GROUP BY p.docid
+),
+anch AS (
+  SELECT a.docid,
+         sum({ANCHOR_W} * i.idf * (a.atf * ({K1} + 1.0)) / (a.atf + {K1}))
+           AS ascore
+  FROM apost a JOIN idf i ON a.term = i.term
+  GROUP BY a.docid
+)
+SELECT coalesce(b.docid, a.docid) AS docid,
+       round(coalesce(b.bscore, 0) + coalesce(a.ascore, 0), 4) AS score
+FROM body b FULL JOIN anch a ON b.docid = a.docid
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def site_filter_bm25_sql(
+    path: str, terms: list[str], host: str, k: int = 10
+) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH pages AS (
+  SELECT url, decode(html) AS h, text FROM read_parquet('{path}')
+),
+{WEB_BM25_CTE},
+allowed AS (
+  SELECT url AS docid FROM pages
+  WHERE regexp_extract(url, '{HOST_RE}', 1) = '{host}'
+),
+scored AS (
+  SELECT p.docid,
+         sum(ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+             * (p.tf * ({K1} + 1.0))
+               / (p.tf + {K1} * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)))
+           AS score
+  FROM postings p
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  WHERE p.term IN ({tlist})
+  GROUP BY p.docid
+  HAVING count(DISTINCT p.term) = {len(terms)}
+)
+SELECT s.docid, round(s.score, 4) AS score
+FROM scored s JOIN allowed w ON s.docid = w.docid
+ORDER BY round(s.score, 4) DESC, s.docid ASC
+LIMIT {k}"""
+
+
+def titles_sql(path: str) -> str:
+    return f"""SELECT url,
+       trim(regexp_replace(
+            regexp_extract(decode(html), '<title[^>]*>(.*?)</title>', 1),
+            '\\s+', ' ', 'g')) AS title
+FROM read_parquet('{path}')"""
+
+
+# ---------------------------------------------------------------------------
+# session-scoped webtext index cache (mirrors index_build.cached_index)
+# ---------------------------------------------------------------------------
+
+_WEB_CACHE: dict[tuple, tuple] = {}
+
+
+def cached_web(spark: SparkSession, n_docs: int):
+    """(web_df, InvertedIndex keyed by url, links_df) — built once per
+    session; every webtext query reuses the same cached tables."""
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, n_docs)
+    if key not in _WEB_CACHE:
+        web = load_webtext(spark, n_docs).cache()
+        idx = build_index(
+            web.select(F.col("url").alias("docid"), "text"), cache=True
+        )
+        links = extract_links(web).cache()
+        _WEB_CACHE[key] = (web, idx, links)
+    return _WEB_CACHE[key]

@@ -1,0 +1,74 @@
+"""Registry entries for the webtext-html surface (SURVEY.md §2 C13/
+C14/E3 real link graph, B3 site: over real URLs, D16 titles): link
+extraction, inlink counts, siteRank, anchor-boosted BM25, site-
+filtered BM25, title extraction.
+
+These run over the input_hint-shaped webtext fixture (url, warc_ts,
+html, text, lang — sources/webtext.py, deterministic), NOT the driver
+``documents`` table: the whole point is extracting edges/anchors/
+sites/titles from real html. The DuckDB oracles read the SAME parquet
+via read_parquet() and apply the SAME pinned regexes, so every op
+here is hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.webtext import webtext_path
+from . import linkextract as L
+from .bm25 import bm25_topk
+from .registry import register
+
+N_WEB = 1200
+_PATH = webtext_path(N_WEB)
+
+ANCHOR_TERMS = ["w1", "w2"]
+SITE_TERMS = ["w0"]
+SITE_HOST = "host3.example.com"
+
+
+@register("links_extract", L.links_sql(_PATH))
+def links_extract(spark, sf_dir):
+    _, _, links = L.cached_web(spark, N_WEB)
+    return links
+
+
+@register("inlink_counts_web", L.inlink_counts_sql(_PATH))
+def inlink_counts_web(spark, sf_dir):
+    _, _, links = L.cached_web(spark, N_WEB)
+    return L.inlink_counts_web(links)
+
+
+@register("site_rank_web", L.site_rank_sql(_PATH))
+def site_rank_web(spark, sf_dir):
+    _, _, links = L.cached_web(spark, N_WEB)
+    return L.site_rank_web(links)
+
+
+@register("anchor_bm25", L.anchor_bm25_sql(_PATH, ANCHOR_TERMS))
+def anchor_bm25(spark, sf_dir):
+    _, idx, links = L.cached_web(spark, N_WEB)
+    return L.anchor_boosted_topk(
+        idx, L.anchor_postings(links), ANCHOR_TERMS, k=10
+    )
+
+
+@register(
+    "search_site_filter",
+    L.site_filter_bm25_sql(_PATH, SITE_TERMS, SITE_HOST),
+)
+def search_site_filter(spark, sf_dir):
+    """site: over real URLs (B3; ref XmlDoc::hashUrl FIELD_SITE) —
+    BM25 restricted to docs whose url host matches."""
+    web, idx, _ = L.cached_web(spark, N_WEB)
+    allowed = web.filter(
+        F.regexp_extract("url", L.HOST_RE, 1) == SITE_HOST
+    ).select(F.col("url").alias("docid"))
+    return bm25_topk(idx, SITE_TERMS, k=10, mode="and", restrict=allowed)
+
+
+@register("titles_web", L.titles_sql(_PATH))
+def titles_web(spark, sf_dir):
+    web, _, _ = L.cached_web(spark, N_WEB)
+    return L.titles(web)

@@ -71,6 +71,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_pipeline,
         queries_search,
         queries_streaming,
+        queries_web,
     )
     return {name: _with_shipping(fn) for name, fn in _QUERIES.items()}
 

@@ -419,25 +419,31 @@ def add_snippets(
     topk: DataFrame, docs: DataFrame, terms: list[str]
 ) -> DataFrame:
     """Join top-k docids back to the forward store and generate a
-    best-window snippet (ref: Msg20 → Summary::setSummary; the
-    TitleRec join is A10/Msg22). Broadcast the top-k side — it is k
-    rows; the pandas UDF touches only k documents."""
-    qset = set(terms)
+    best-window snippet plus its term-highlighted form (ref: Msg20 →
+    Summary::setSummary; Highlight.cpp; the TitleRec join is
+    A10/Msg22). Broadcast the top-k side — it is k rows; the pandas
+    UDF touches only k documents."""
+    from ..extraction import highlight_terms
+
+    qset = frozenset(terms)
 
     @F.pandas_udf(T.StructType([
         T.StructField("snippet", T.StringType()),
+        T.StructField("snippet_hl", T.StringType()),
         T.StructField("n_hits", T.IntegerType()),
     ]))
     def snip(texts: pd.Series) -> pd.DataFrame:
         vals = [_best_snippet(t or "", qset) for t in texts]
         return pd.DataFrame(
             {"snippet": [v[0] for v in vals],
+             "snippet_hl": [highlight_terms(v[0], qset) for v in vals],
              "n_hits": pd.array([v[1] for v in vals], dtype="int32")}
         )
 
     joined = docs.join(F.broadcast(topk), "docid")
     return joined.withColumn("s", snip("text")).select(
         "docid", "score", F.col("s.snippet").alias("snippet"),
+        F.col("s.snippet_hl").alias("snippet_hl"),
         F.col("s.n_hits").alias("n_hits"),
     )
 

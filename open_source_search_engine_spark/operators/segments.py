@@ -21,8 +21,15 @@ docids, tfs, dls, blockmax_tf, blockmax_tfnorm)``
   (n_buckets ≈ 64k); in the sandbox 8-64 suffices.
 - ``docids`` blob: delta-gap + varbyte over the bucket-sorted docids;
   ``tfs``/``dls`` parallel varbyte streams (term freq, doc length).
-- ``blockmax_tfnorm`` = max BM25 tf-normalization in the block →
-  block-max WAND upper bounds (§4 O1) without touching blobs.
+- ``blockmax_tf`` / ``blockmin_dl`` = per-block extrema → block-max
+  WAND upper bounds (§4 O1) without touching blobs. The bound is
+  computed at QUERY time as tfnorm(blockmax_tf, blockmin_dl, avgdl)
+  with the exact corpus avgdl from the manifest sums — tfnorm is
+  increasing in tf and decreasing in dl, so f(max_tf, min_dl) bounds
+  every doc in the block. Storing extrema instead of a precomputed
+  tfnorm means the BUILD needs no corpus-global constant at all (the
+  round-1 layout required a serial full-corpus avgdl pre-pass before
+  segment 0 — a non-scaling stage the north rule punishes).
 
 Segments
 --------
@@ -52,7 +59,7 @@ from .index_build import B, K1, build_index
 PACKED_SCHEMA = (
     "termid long, bucket int, n int, first_docid long, last_docid long, "
     "docids binary, tfs binary, dls binary, blockmax_tf int, "
-    "blockmax_tfnorm double"
+    "blockmin_dl int"
 )
 
 MANIFEST_SCHEMA = (
@@ -95,38 +102,28 @@ def _append_manifest_row(manifest_dir: str, **vals) -> None:
     os.replace(tmp, final)
 
 
-def _make_packer(avgdl: float):
-    k1, b = K1, B
-
-    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("docid")
-        docids = pdf["docid"].to_numpy(np.uint64)
-        tfs = pdf["tf"].to_numpy(np.uint64)
-        dls = pdf["doclen"].to_numpy(np.uint64)
-        tfnorm = (tfs * (k1 + 1.0)) / (
-            tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl)
-        )
-        return pd.DataFrame(
-            {
-                "termid": [np.int64(pdf["termid"].iloc[0])],
-                "bucket": [np.int32(pdf["bucket"].iloc[0])],
-                "n": [np.int32(len(docids))],
-                "first_docid": [np.int64(docids[0])],
-                "last_docid": [np.int64(docids[-1])],
-                "docids": [pack_docids(docids)],
-                "tfs": [pack_ints(tfs)],
-                "dls": [pack_ints(dls)],
-                "blockmax_tf": [np.int32(tfs.max())],
-                "blockmax_tfnorm": [float(tfnorm.max())],
-            }
-        )
-
-    return pack_group
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("docid")
+    docids = pdf["docid"].to_numpy(np.uint64)
+    tfs = pdf["tf"].to_numpy(np.uint64)
+    dls = pdf["doclen"].to_numpy(np.uint64)
+    return pd.DataFrame(
+        {
+            "termid": [np.int64(pdf["termid"].iloc[0])],
+            "bucket": [np.int32(pdf["bucket"].iloc[0])],
+            "n": [np.int32(len(docids))],
+            "first_docid": [np.int64(docids[0])],
+            "last_docid": [np.int64(docids[-1])],
+            "docids": [pack_docids(docids)],
+            "tfs": [pack_ints(tfs)],
+            "dls": [pack_ints(dls)],
+            "blockmax_tf": [np.int32(tfs.max())],
+            "blockmin_dl": [np.int32(dls.min())],
+        }
+    )
 
 
-def pack_postings(
-    postings: DataFrame, avgdl: float, n_buckets: int = 8
-) -> DataFrame:
+def pack_postings(postings: DataFrame, n_buckets: int = 8) -> DataFrame:
     """exploded postings(termid, docid, tf, doclen) → packed blocks.
 
     The groupBy key (termid, bucket) is the salted repartition: Spark
@@ -140,7 +137,7 @@ def pack_postings(
     return (
         with_bucket.select("termid", "bucket", "docid", "tf", "doclen")
         .groupBy("termid", "bucket")
-        .applyInPandas(_make_packer(avgdl), schema=PACKED_SCHEMA)
+        .applyInPandas(_pack_group, schema=PACKED_SCHEMA)
     )
 
 
@@ -201,15 +198,15 @@ def build_segments(
     text_col: str = "text",
     n_segments: int = 4,
     n_buckets: int = 8,
-    avgdl_hint: float | None = None,
     fail_after_segment: int | None = None,
 ) -> SegmentStore:
     """Segmented, resumable packed-index build.
 
-    avgdl is a *global* constant baked into blockmax_tfnorm; segments
-    must agree on it, so it is computed once up front (one cheap
-    aggregate over the corpus — the reference similarly needs global
-    stats before scoring) unless supplied.
+    No corpus-global pre-pass: the packed blocks store per-block
+    (blockmax_tf, blockmin_dl) extrema, and the WAND upper bound is
+    derived at query time with the exact avgdl from the manifest sums
+    — so segments are fully independent and the build has no serial
+    stage ahead of segment 0.
 
     ``fail_after_segment`` is a test hook simulating a crash between
     segment k's commit and k+1's start (SURVEY.md §5 resume test).
@@ -226,31 +223,21 @@ def build_segments(
             print(f"[segdbg] {label}: {time.time() - t:.1f}s",
                   file=sys.stderr, flush=True)
 
-    if avgdl_hint is None:
-        from ..tokenizer import tokens_col
-
-        _t = time.time()
-        row = docs.select(
-            F.size(tokens_col("text")).alias("dl")
-        ).agg(F.avg("dl")).first()
-        avgdl_hint = float(row[0])
-        _dbg("avgdl", _t)
-
     done = store.committed_segments(spark)
     for seg in range(n_segments):
         if seg in done:
             continue
         t0 = time.time()
         seg_docs = docs.filter(F.pmod(F.xxhash64("docid"), F.lit(n_segments)) == seg)
-        # compute_globals=False: the segment index scores through the
-        # corpus-wide avgdl_hint, and the eager globals agg would
-        # execute the whole explode once extra before the cache lands.
+        # compute_globals=False: query-time scoring uses the manifest
+        # globals, and the eager globals agg would execute the whole
+        # explode once extra before the cache lands.
         idx = build_index(seg_docs, "docid", "text", compute_globals=False)
         # One materialization of the exploded postings feeds the packed
         # write, term_stats partial, doc_stats agg AND the manifest row
         # count — without the cache each would recompute the explode.
         idx.postings.cache()
-        packed = pack_postings(idx.postings, avgdl_hint, n_buckets)
+        packed = pack_postings(idx.postings, n_buckets)
         # posting-row count rides along the write via an Observation —
         # no separate read-back job.
         from pyspark.sql import Observation
@@ -328,7 +315,6 @@ def compact_segments(
         dls = np.concatenate([unpack_ints(b) for b in pdf["dls"]])
         order = np.argsort(docids, kind="stable")
         docids, tfs, dls = docids[order], tfs[order], dls[order]
-        blockmax_tfnorm = float(pdf["blockmax_tfnorm"].max())
         return pd.DataFrame(
             {
                 "termid": [np.int64(pdf["termid"].iloc[0])],
@@ -340,7 +326,7 @@ def compact_segments(
                 "tfs": [pack_ints(tfs)],
                 "dls": [pack_ints(dls)],
                 "blockmax_tf": [np.int32(tfs.max())],
-                "blockmax_tfnorm": [blockmax_tfnorm],
+                "blockmin_dl": [np.int32(dls.min())],
             }
         )
 

@@ -12,9 +12,9 @@ so *all query terms' postings for a docid range are co-located by the
 bucket key*. WAND is ONE DataFrame plan (a single action, no driver
 round-trips):
 
-1. **Seed branch** — the bucket with the highest upper bound
-   ``ub(bucket) = Σ_t idf_t · blockmax_tfnorm_{t,bucket}`` is scored
-   exactly; τ = its k-th best score (computed in-plan, 1 row).
+1. **Seed branch** — a sampled bucket is scored exactly driver-side;
+   τ = its k-th best score. ub(bucket) = Σ_t idf_t ·
+   tfnorm(blockmax_tf, blockmin_dl) with the exact corpus avgdl.
 2. **Pruned branch** — buckets with ub ≥ τ' (τ in the rounded-score
    domain minus one grid ulp, so round-equal ties survive; for AND
    mode, only buckets containing *all* query terms) are selected via
@@ -64,10 +64,14 @@ def _make_bucket_scorer(
             {"docid": np.int64, "score": np.float64}
         )
         # Block-max pruning BEFORE any blob decode: the bucket's upper
-        # bound is Σ_t idf_t · max(blockmax_tfnorm) over its per-term
-        # blocks — a handful of float rows. Buckets that cannot place a
-        # doc in the top-k (ub < τ′) return without touching a blob,
-        # and AND-mode buckets missing a required term likewise.
+        # bound is Σ_t idf_t · tfnorm(blockmax_tf, blockmin_dl) over
+        # its per-term blocks — a handful of scalar rows. tfnorm is
+        # increasing in tf and decreasing in dl, so the (max tf,
+        # min dl) corner bounds every doc in the block, with the EXACT
+        # avgdl (inv_avgdl rides on the rows) — no build-time global.
+        # Buckets that cannot place a doc in the top-k (ub < τ′)
+        # return without touching a blob, and AND-mode buckets missing
+        # a required term likewise.
         tids = pdf["termid"].to_numpy()
         if n_required and not required.issubset(set(tids.tolist())):
             return empty
@@ -75,7 +79,12 @@ def _make_bucket_scorer(
             np.ones(len(tids), dtype=bool)
         )
         if cut > float("-inf"):
-            bm = pdf["blockmax_tfnorm"].to_numpy(np.float64)
+            bm_tf = pdf["blockmax_tf"].to_numpy(np.float64)
+            bm_dl = pdf["blockmin_dl"].to_numpy(np.float64)
+            inv_avgdl = float(pdf["inv_avgdl"].iloc[0])
+            bm = (bm_tf * 2.2) / (
+                bm_tf + 1.2 * (0.25 + 0.75 * bm_dl * inv_avgdl)
+            )
             idfs = np.array([idf_by_termid.get(int(t), 0.0) for t in tids])
             per_term = {}
             for t, v in zip(tids[pos_mask], (idfs * bm)[pos_mask]):

@@ -50,14 +50,17 @@ def get_spark(
     """Build (or reuse) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS (driver contract) or 32.
-    ``shuffle_partitions`` defaults to ``cores`` — at 100 TB scale this
-    would instead be sized so each shuffle partition holds ~128-256 MB;
-    AQE coalescing makes the exact number forgiving.
+    ``shuffle_partitions`` defaults to 4×``cores`` — multiple waves
+    per stage, so one straggler task costs a fraction of a wave
+    instead of stalling a whole 1-wave stage (the dominant non-scaling
+    term in the round-1 scaling runs). At 100 TB scale this would
+    instead be sized so each shuffle partition holds ~128-256 MB; AQE
+    coalescing makes the exact number forgiving in both regimes.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        shuffle_partitions = max(4 * cores, 8)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)

@@ -46,6 +46,16 @@ SCHEMA = pa.schema(
 )
 
 
+N_HOSTS = 97  # ~12 docs/host at n=1200: sites are real clusters
+_TLDS = [".com", ".org", ".net"]
+
+
+def url_of(i: int) -> str:
+    """Deterministic page url; host is stable per (i mod N_HOSTS)."""
+    h = i % N_HOSTS
+    return f"https://host{h}.example{_TLDS[h % 3]}/p/{i}"
+
+
 def _vocab() -> list[str]:
     return STOPWORDS + [f"w{k}" for k in range(VOCAB_SIZE)]
 
@@ -55,7 +65,12 @@ def _zipf_probs(v: int) -> np.ndarray:
     return p / p.sum()
 
 
-def _build_html(title_words: list[str], paragraphs: list[list[str]], i: int) -> str:
+def _build_html(
+    title_words: list[str],
+    paragraphs: list[list[str]],
+    i: int,
+    links: list[tuple[str, str]] | None = None,
+) -> str:
     parts = [
         "<html><head><title>",
         " ".join(title_words),
@@ -71,6 +86,8 @@ def _build_html(title_words: list[str], paragraphs: list[list[str]], i: int) -> 
         parts.append("<p>" + " ".join(words) + "</p>")
         if j == 0:
             parts.append("<!-- boilerplate comment -->")
+    for href, anchor in links or []:
+        parts.append(f'<p>See <a href="{href}">{anchor}</a> for details</p>')
     parts.append("</body></html>")
     return "".join(parts)
 
@@ -93,7 +110,6 @@ def generate_webtext(
     lang_idx = rng.choice(len(LANGS), size=n_docs, p=LANG_P)
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    tlds = [".com", ".org", ".net"]
     for i in range(n_docs):
         words = words_flat[offsets[i] : offsets[i + 1]].tolist()
         title = words[:5]
@@ -101,8 +117,26 @@ def generate_webtext(
         paragraphs = [
             body[p : p + PARA_WORDS] for p in range(0, len(body), PARA_WORDS)
         ]
-        html = _build_html(title, paragraphs, i)
-        urls.append(f"https://host{i % 997}.example{tlds[i % 3]}/p/{i}")
+        # Real cross-document link graph: doc i links to 2-4 pseudo-
+        # random targets; the anchor text is the TARGET's first title
+        # words (so anchor-term indexing into the linkee is
+        # exercised with on-topic anchors, the Gigablast
+        # hashIncomingLinkText shape).
+        targets = [
+            (i * 31 + 7 * j + 1) % n_docs for j in range(2 + i % 3)
+        ]
+        links = [
+            (
+                url_of(t),
+                " ".join(
+                    words_flat[offsets[t] : offsets[t] + 2].tolist()
+                ),
+            )
+            for t in targets
+            if t != i
+        ]
+        html = _build_html(title, paragraphs, i, links)
+        urls.append(url_of(i))
         tss.append((EPOCH_2024 + i) * 1_000_000)
         htmls.append(html.encode("utf-8"))
         texts.append(extract_text(html))
@@ -126,7 +160,9 @@ def generate_webtext(
 def webtext_path(n_docs: int, seed: int = 42, base: str | None = None) -> str:
     """Generate-once cache under the repo (gitignored)."""
     base = base or os.path.join(os.path.dirname(__file__), "..", "..", ".data")
-    path = os.path.abspath(os.path.join(base, f"webtext_n{n_docs}_s{seed}.parquet"))
+    path = os.path.abspath(
+        os.path.join(base, f"webtext_n{n_docs}_s{seed}_v2.parquet")
+    )
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"

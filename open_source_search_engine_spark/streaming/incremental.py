@@ -37,7 +37,6 @@ def start_incremental_index(
     input_dir: str,
     store: SegmentStore,
     checkpoint_dir: str,
-    avgdl_hint: float,
     n_buckets: int = 8,
     schema: str = "docid long, text string",
 ):
@@ -65,7 +64,7 @@ def start_incremental_index(
             return
         idx = build_index(batch_df, "docid", "text", compute_globals=False)
         idx.postings.cache()
-        packed = pack_postings(idx.postings, avgdl_hint, n_buckets)
+        packed = pack_postings(idx.postings, n_buckets)
         # Same partition-column name as the batch builder (segment=…):
         # a store holding batch segments AND streaming epochs reads as
         # one table; mixed segment= values would otherwise raise

@@ -8,7 +8,12 @@ import os
 
 from golden_cases import CASES
 
-from open_source_search_engine_spark.extraction import extract_text, with_extracted_text
+from open_source_search_engine_spark.extraction import (
+    extract_text,
+    extract_title,
+    highlight_terms,
+    with_extracted_text,
+)
 from open_source_search_engine_spark.sources.webtext import generate_webtext
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "extract_text.json")
@@ -42,6 +47,36 @@ def test_webtext_deterministic():
     a = generate_webtext(50, seed=42)
     b = generate_webtext(50, seed=42)
     assert a.equals(b)
+
+
+def test_extract_title_pinned():
+    assert extract_title("<html><head><title>A  B</title></head></html>") == "A B"
+    assert extract_title("<TITLE lang=x>Hi &amp; Lo</TITLE>") == "Hi & Lo"
+    assert extract_title("<p>no title</p>") == ""
+    assert extract_title(None) == ""
+    assert extract_title(b"<title>bytes ok</title>") == "bytes ok"
+    # first title wins
+    assert extract_title("<title>one</title><title>two</title>") == "one"
+
+
+def test_extract_title_matches_jvm_regex(spark):
+    """The JVM-regex form used by the titles_web query equals the
+    pinned python function on the (entity-free-title) fixture."""
+    from open_source_search_engine_spark.operators.linkextract import titles
+
+    t = generate_webtext(150, seed=42)
+    df = spark.createDataFrame(t.to_pandas())
+    got = {r["url"]: r["title"] for r in titles(df).collect()}
+    for u, h in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        assert got[u] == extract_title(h), u
+
+
+def test_highlight_terms_pinned():
+    assert highlight_terms("a quick Fox", {"fox", "a"}) == "<b>a</b> quick <b>Fox</b>"
+    assert highlight_terms("nothing here", set()) == "nothing here"
+    assert highlight_terms("x,y;x", {"x"}) == "<b>x</b>,y;<b>x</b>"
+    # non-matching substrings are not wrapped (maximal runs only)
+    assert highlight_terms("foxes", {"fox"}) == "foxes"
 
 
 def test_udf_matches_pinned_function(spark):

@@ -138,15 +138,11 @@ def test_incremental_index_stream(spark, tmp_path):
     from open_source_search_engine_spark.streaming.incremental import (
         start_incremental_index,
     )
-    from open_source_search_engine_spark.tokenizer import tokens_col
 
     docs = (
         spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
         .withColumnRenamed("doc_id", "docid")
         .select("docid", "text")
-    )
-    avgdl = float(
-        docs.select(F.avg(F.size(tokens_col("text")))).first()[0]
     )
     in_dir = str(tmp_path / "incoming")
     os.makedirs(in_dir)
@@ -154,10 +150,10 @@ def test_incremental_index_stream(spark, tmp_path):
     docs.filter("docid % 2 = 0").coalesce(1).write.mode("append").parquet(in_dir)
     store = SegmentStore(str(tmp_path / "store"))
     ck = str(tmp_path / "ck2")
-    q = start_incremental_index(spark, in_dir, store, ck, avgdl)
+    q = start_incremental_index(spark, in_dir, store, ck)
     q.awaitTermination(180)
     docs.filter("docid % 2 = 1").coalesce(1).write.mode("append").parquet(in_dir)
-    q2 = start_incremental_index(spark, in_dir, store, ck, avgdl)
+    q2 = start_incremental_index(spark, in_dir, store, ck)
     q2.awaitTermination(180)
 
     manifest = store.manifest(spark).collect()
