@@ -350,6 +350,23 @@ per-segment independence).
   vs 31-194 s at 64g).
 - `spark.local.dir` on tmpfs: the sandbox's single shared disk
   serializes shuffle I/O across cores.
+
+## What closed the round-1 gap (0.757 → current)
+
+- No serial pre-pass: packed blocks store (blockmax_tf, blockmin_dl)
+  extrema and the WAND bound is derived at query time with the exact
+  manifest avgdl, so the full-corpus avgdl aggregate that ran ahead
+  of segment 0 is gone entirely.
+- Multi-wave stages: shuffle partitions default to 4× cores, so a
+  straggler task costs a fraction of a wave instead of stalling a
+  1-wave stage (the dominant tail term at local[8]).
+
+## Headline throughput (same run)
+
+{r["n_docs"]:,} docs end-to-end (tokenize → postings → salted pack →
+varbyte segments + manifest): {r["docs_per_sec_hi"]:,} docs/sec at
+local[{r["cores_hi"]}] ({r["t_build_hi"]} s build),
+{r["docs_per_sec_lo"]:,} docs/sec at local[{r["cores_lo"]}].
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)

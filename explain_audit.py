@@ -35,6 +35,16 @@ CHECKS = {
         ("Window", "per-site ranking is a window, not a self-join"),
         ("BroadcastHashJoin", "metadata join broadcast"),
     ],
+    "wand_topk": [
+        ("TakeOrderedAndProject", "global top-k merge is partial-heap"),
+        ("FlatMapGroupsInPandas", "per-bucket numpy scorer"),
+    ],
+    "minhash_verify": [
+        ("LeftSemi", "verify stage prunes shingles to candidate docs"),
+    ],
+    "link_extract": [
+        ("Generate", "href explode is builtin, no Python"),
+    ],
 }
 
 
@@ -74,6 +84,41 @@ def main() -> None:
             idx, docs_meta, ["join", "filter"], k=10
         ),
     }
+
+    # WAND over a freshly packed store (single-action plan: the blob
+    # scan feeds the per-bucket scorer with no shuffle — the only
+    # Exchange in the plan text is the one-time cache-fill repartition
+    # inside InMemoryRelation).
+    import tempfile
+
+    from open_source_search_engine_spark.operators.segments import (
+        SegmentStore,
+        build_segments,
+    )
+    from open_source_search_engine_spark.operators.wand import PackedIndex
+
+    root = tempfile.mkdtemp(prefix="audit_store_")
+    store = build_segments(
+        spark, docs_meta.select("docid", "text"), SegmentStore(root),
+        n_segments=1, n_buckets=8,
+    )
+    pidx = PackedIndex(spark, store)
+    plans["wand_topk"] = pidx.wand_topk(["join", "filter"], k=10)
+
+    # MinHash verify stage: candidate-pruned exact Jaccard
+    from open_source_search_engine_spark.operators.pipeline import (
+        minhash_lsh_pairs,
+    )
+
+    plans["minhash_verify"] = minhash_lsh_pairs(docs_meta.limit(50))
+
+    # link extraction over webtext html
+    from open_source_search_engine_spark.operators.linkextract import (
+        extract_links,
+    )
+    from open_source_search_engine_spark.sources.catalog import load_webtext
+
+    plans["link_extract"] = extract_links(load_webtext(spark, 1200))
 
     lines = ["# BENCH/plans.md — physical-plan audit (explain_audit.py)\n"]
     failures = []

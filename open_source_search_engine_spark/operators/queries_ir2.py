@@ -189,8 +189,30 @@ def site_rank(spark, sf_dir):
 
 # --- D2: synonym expansion -------------------------------------------------
 
-SYNONYMS = {"join": ["merge"], "filter": ["where"]}
 SYN_WEIGHT = 0.5
+_SYN_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "synonyms.tsv",
+)
+
+
+def load_synonyms(path: str = _SYN_FILE) -> dict[str, list[str]]:
+    """Synonym dictionary from the packaged data file (ref:
+    Synonyms.cpp loads its Wiktionary-derived file at startup; the
+    dict is driver-resident — it is query-side metadata, tiny)."""
+    out: dict[str, list[str]] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            term, syn = line.split("\t")
+            out.setdefault(term, []).append(syn)
+    return out
+
+
+SYNONYMS = load_synonyms()
 
 
 def bm25_synonyms_topk(idx, base_terms, k=10):
@@ -219,7 +241,19 @@ def bm25_synonyms_topk(idx, base_terms, k=10):
     )
 
 
-SYNONYM_SQL = """
+def _syn_values(base_terms: list[str]) -> str:
+    """VALUES list mirroring the expansion the Spark side performs
+    from the same synonyms.tsv — the oracle sees the identical
+    (term, weight) rows."""
+    rows = []
+    for t in base_terms:
+        rows.append(f"('{t}', 1.0)")
+        for s in SYNONYMS.get(t, []):
+            rows.append(f"('{s}', {SYN_WEIGHT})")
+    return ", ".join(rows)
+
+
+SYNONYM_SQL = f"""
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
   FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
@@ -234,7 +268,7 @@ consts AS (
          (SELECT avg(dl) FROM doclen) AS avgdl
 ),
 ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
-q(term, weight) AS (VALUES ('join', 1.0), ('merge', 0.5)),
+q(term, weight) AS (VALUES {_syn_values(["join"])}),
 scored AS (
   SELECT p.docid,
          sum( q.weight * ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)

@@ -1,0 +1,379 @@
+"""Third operator-coverage batch (SURVEY.md §2 D14 approx counts,
+B4/H5 ip: filter + ip↔int, B6 family filter, B8 filetype filter,
+H7 JSON field indexing, F3 proximity scoring).
+
+Reference anchors: ``Msg39`` docid-range-sampled hit estimation,
+``Query.cpp`` FIELD_IP / ``ip.h: atoip`` (B4/H5),
+``SearchInput::m_familyFilter`` + ``Speller``-adjacent content flags
+(B6), ``Url::getExtension`` filetype terms (B8),
+``Json.cpp``/``XmlDoc::hashJSONFields`` (H7), ``PosdbTable``
+sliding-window proximity scoring (F3).
+
+The driver ``documents`` table carries no ip/url/json columns, so the
+fielded inputs are DERIVED DETERMINISTICALLY from doc ids on BOTH
+sides (the established url_normalize pattern) — the operator under
+test is the parsing/conversion/filter/scoring expression itself,
+which runs on real strings in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from .bm25 import bm25_oracle_sql, bm25_topk
+from .index_build import cached_index
+from .registry import TOK_CTE, register
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumnRenamed("doc_id", "docid")
+    )
+
+
+# --- D14: count estimation by docid-range sampling ------------------------
+
+SAMPLE_MOD = 16
+
+MATCH_COUNT_SAMPLED_SQL = f"""
+WITH {TOK_CTE},
+hits AS (
+  SELECT DISTINCT docid FROM postings
+  WHERE term = 'join' AND docid % {SAMPLE_MOD} = 0
+)
+SELECT CAST({SAMPLE_MOD} * count(*) AS BIGINT) AS est_matches FROM hits
+"""
+
+
+@register("match_count_sampled", MATCH_COUNT_SAMPLED_SQL)
+def match_count_sampled(spark, sf_dir):
+    """Estimated hit count from a 1/{mod} docid-range sample — the
+    Msg39 shape: each docid split reports its count, the estimate
+    extrapolates without reading the remaining ranges. Deterministic
+    (modulus sampling), so oracle-checkable, unlike an HLL sketch."""
+    idx = cached_index(spark, sf_dir)
+    hits = (
+        idx.postings.filter(
+            (F.col("term") == "join") & (F.col("docid") % SAMPLE_MOD == 0)
+        )
+        .select("docid")
+        .distinct()
+    )
+    return hits.agg(
+        (F.lit(SAMPLE_MOD) * F.count(F.lit(1))).cast("long").alias(
+            "est_matches"
+        )
+    )
+
+
+# --- B4/H5: ip: filter + ip<->int conversion ------------------------------
+# Deterministic ip per doc (both sides): 10.(docid%16).(docid%256).((docid*7)%256)
+
+IP_EXPR_SPARK = (
+    "concat('10.', CAST(docid % 16 AS STRING), '.', "
+    "CAST(docid % 256 AS STRING), '.', CAST((docid * 7) % 256 AS STRING))"
+)
+
+IP_FILTER_SQL = """
+WITH ips AS (
+  SELECT doc_id AS docid,
+         concat('10.', CAST(doc_id % 16 AS VARCHAR), '.',
+                CAST(doc_id % 256 AS VARCHAR), '.',
+                CAST((doc_id * 7) % 256 AS VARCHAR)) AS ip
+  FROM documents
+),
+parsed AS (
+  SELECT docid, ip,
+         CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+       + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+       + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+       + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_int
+  FROM ips
+)
+SELECT docid, ip, ip_int
+FROM parsed
+WHERE ip_int >= 167968768 AND ip_int < 168034304
+"""
+
+
+@register("ip_filter", IP_FILTER_SQL)
+def ip_filter(spark, sf_dir):
+    """ip: range filter (B4) through a REAL string→int conversion
+    (H5, ref ``atoip``): the ip string is parsed back with split()
+    — never shortcut from docid — then range-filtered on the int
+    form (10.3.0.0/16 here: [167968768, 168034304))."""
+    docs = _docs(spark, sf_dir).withColumn("ip", F.expr(IP_EXPR_SPARK))
+    parts = F.split("ip", r"\.")
+    ip_int = (
+        parts.getItem(0).cast("long") * 16777216
+        + parts.getItem(1).cast("long") * 65536
+        + parts.getItem(2).cast("long") * 256
+        + parts.getItem(3).cast("long")
+    )
+    return (
+        docs.withColumn("ip_int", ip_int)
+        .filter((F.col("ip_int") >= 167968768) & (F.col("ip_int") < 168034304))
+        .select("docid", "ip", "ip_int")
+    )
+
+
+# --- B6: adult/family filter ----------------------------------------------
+
+BLOCKED_TERMS = ["casino", "slow"]  # blocklist-file stand-in
+
+FAMILY_FILTER_SQL = f"""
+WITH {TOK_CTE},
+flagged AS (
+  SELECT DISTINCT docid FROM postings
+  WHERE term IN ({", ".join(f"'{t}'" for t in BLOCKED_TERMS)})
+)
+SELECT d.doc_id AS docid,
+       (d.doc_id IN (SELECT docid FROM flagged)) AS is_flagged
+FROM documents d
+"""
+
+
+@register("family_filter", FAMILY_FILTER_SQL)
+def family_filter(spark, sf_dir):
+    """Content flag from a blocked-term list (B6; ref:
+    SearchInput::m_familyFilter — the reference flags docs at INDEX
+    time and filters at query time; here the flag column is the
+    indexed artifact and any query can anti-join it)."""
+    idx = cached_index(spark, sf_dir)
+    flagged = (
+        idx.postings.filter(F.col("term").isin(BLOCKED_TERMS))
+        .select("docid")
+        .distinct()
+        .withColumn("is_flagged", F.lit(True))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("docid")
+        .join(flagged, "docid", "left")
+        .select(
+            "docid", F.coalesce("is_flagged", F.lit(False)).alias("is_flagged")
+        )
+    )
+
+
+# --- B8: filetype filter ---------------------------------------------------
+
+EXTS = ["html", "pdf", "txt"]
+URL_EXT_SPARK = (
+    "concat('https://docs.example.com/f/', CAST(docid AS STRING), '.', "
+    "element_at(array('html', 'pdf', 'txt'), CAST(docid % 3 AS INT) + 1))"
+)
+
+FILETYPE_SQL = """
+WITH urls AS (
+  SELECT doc_id AS docid,
+         concat('https://docs.example.com/f/', CAST(doc_id AS VARCHAR), '.',
+                ['html', 'pdf', 'txt'][(doc_id % 3) + 1]) AS url
+  FROM documents
+)
+SELECT docid, url, regexp_extract(url, '\\.([a-z0-9]+)$', 1) AS filetype
+FROM urls
+WHERE regexp_extract(url, '\\.([a-z0-9]+)$', 1) = 'pdf'
+"""
+
+
+@register("filetype_filter", FILETYPE_SQL)
+def filetype_filter(spark, sf_dir):
+    """filetype: constraint (B8; ref: Url::getExtension indexed as a
+    synthetic term). The extension is parsed from the URL STRING with
+    the pinned regex on both sides, then filtered."""
+    docs = _docs(spark, sf_dir).withColumn("url", F.expr(URL_EXT_SPARK))
+    ftype = F.regexp_extract("url", r"\.([a-z0-9]+)$", 1)
+    return (
+        docs.withColumn("filetype", ftype)
+        .filter(F.col("filetype") == "pdf")
+        .select("docid", "url", "filetype")
+    )
+
+
+# --- H7: JSON field indexing ----------------------------------------------
+
+JSON_FIELD_SQL = """
+SELECT doc_id AS docid,
+       concat('lang:', lang) AS fterm_lang,
+       concat('source:', source) AS fterm_source
+FROM documents
+WHERE lang = 'en' AND source IN ('src3', 'src7')
+"""
+
+
+@register("json_field_search", JSON_FIELD_SQL)
+def json_field_search(spark, sf_dir):
+    """JSON field:value synthetic terms (H7; ref: Json.cpp +
+    XmlDoc::hashJSONFields — each JSON scalar becomes a field:value
+    term). The Spark side serializes the doc metadata to a REAL JSON
+    document and re-extracts the fields with get_json_object (the
+    actual H7 operator); the oracle reads the same values from the
+    columns the JSON was built from."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "js", F.to_json(F.struct("lang", "source", "n_chars"))
+    )
+    lang = F.get_json_object("js", "$.lang")
+    source = F.get_json_object("js", "$.source")
+    return (
+        docs.filter((lang == "en") & source.isin("src3", "src7"))
+        .select(
+            "docid",
+            F.concat(F.lit("lang:"), lang).alias("fterm_lang"),
+            F.concat(F.lit("source:"), source).alias("fterm_source"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+GROUP BY event_type
+"""
+
+
+@register("json_props_rollup", JSON_PROPS_SQL)
+def json_props_rollup(spark, sf_dir):
+    """JSON extraction over a REAL json column (H7; the events.props
+    payload): filter + rollup on an extracted field — both engines
+    parse the same JSON strings."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
+# --- I3: priority scheduling ----------------------------------------------
+
+PRIORITY_SQL = """
+WITH ranked AS (
+  SELECT event_id, user_id, value AS priority,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS r
+  FROM events
+)
+SELECT event_id, user_id, round(priority, 4) AS priority,
+       CAST(r AS BIGINT) AS site_seq
+FROM ranked
+ORDER BY r ASC, priority DESC, event_id ASC
+LIMIT 20
+"""
+
+
+@register("priority_schedule", PRIORITY_SQL)
+def priority_schedule(spark, sf_dir):
+    """Priority scheduling with per-source fairness (I3; ref:
+    Spiderdb priority queues + SpiderLoop's per-IP round-robin doling:
+    highest-priority item per site first, sites interleaved). Window
+    rank within site, then global order by (site_seq, priority) —
+    the doled-out order; one window shuffle keyed by site."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value"), 4).alias("priority"),
+            F.row_number().over(w).cast("long").alias("site_seq"),
+        )
+        .orderBy(F.asc("site_seq"), F.desc("priority"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+# --- F3: proximity scoring -------------------------------------------------
+
+PROX_TERMS = ["join", "filter"]
+PROX_W = 0.5
+
+# positional tokenization CTE (DuckDB): 1-based token ordinals, the
+# pinned position spec (tokenizer.py).
+POS_TOK_CTE = """
+ptok AS (
+  SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id AS docid,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents)
+)"""
+
+PROXIMITY_SQL = f"""WITH {TOK_CTE},
+{POS_TOK_CTE.strip()},
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+base AS (
+  SELECT p.docid,
+         sum( ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) )
+           AS score
+  FROM postings p
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  WHERE p.term IN ('{PROX_TERMS[0]}', '{PROX_TERMS[1]}')
+  GROUP BY p.docid
+  HAVING count(DISTINCT p.term) = 2
+),
+spans AS (
+  SELECT a.docid, min(abs(a.pos - b.pos)) AS mindist
+  FROM ptok a JOIN ptok b ON a.docid = b.docid
+  WHERE a.term = '{PROX_TERMS[0]}' AND b.term = '{PROX_TERMS[1]}'
+  GROUP BY a.docid
+)
+SELECT b.docid,
+       round(b.score + {PROX_W} / s.mindist, 4) AS score
+FROM base b JOIN spans s ON b.docid = s.docid
+ORDER BY round(b.score + {PROX_W} / s.mindist, 4) DESC, b.docid ASC
+LIMIT 10
+"""
+
+
+@register("proximity_bm25", PROXIMITY_SQL)
+def proximity_bm25(spark, sf_dir):
+    """Proximity-boosted BM25 (F3; ref: PosdbTable's sliding-window
+    span scoring — closer query terms score higher). Pinned spec:
+    score = BM25_AND + {W}/mindist where mindist is the minimum token
+    distance between any occurrence pair of the two terms. The span
+    join runs only over the two terms' position lists (pruned at the
+    scan), grouped per doc — one shuffle keyed by docid."""
+    idx = cached_index(spark, sf_dir, with_positions=True)
+    base = bm25_topk(idx, PROX_TERMS, k=None, mode="and", round_to=None)
+    p1 = idx.postings.filter(F.col("term") == PROX_TERMS[0]).select(
+        "docid", F.explode("positions").alias("p1")
+    )
+    p2 = idx.postings.filter(F.col("term") == PROX_TERMS[1]).select(
+        "docid", F.explode("positions").alias("p2")
+    )
+    spans = (
+        p1.join(p2, "docid")
+        .groupBy("docid")
+        .agg(F.min(F.abs(F.col("p1") - F.col("p2"))).alias("mindist"))
+    )
+    boosted = base.join(spans, "docid").select(
+        "docid",
+        F.round(
+            F.col("score") + F.lit(PROX_W) / F.col("mindist"), 4
+        ).alias("score"),
+    )
+    return boosted.orderBy(F.desc("score"), F.asc("docid")).limit(10)

@@ -68,6 +68,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import (  # noqa: F401
         queries_ir,
         queries_ir2,
+        queries_ir3,
         queries_pipeline,
         queries_search,
         queries_streaming,
