@@ -315,36 +315,50 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_col_docs(docs: DataFrame) -> DataFrame:
-    """(docid, simhash long): 64-bit Charikar SimHash over tf-weighted
-    token hashes.
+SIMHASH_BITS = 60
 
-    Token hashes are JVM xxhash64; the bit-majority runs vectorized in
-    numpy (unpack 64 bits of every token hash in one op, weight by tf,
-    sign of the column sums). No per-row Python.
+
+def simhash_token_hash(term_col: str = "term"):
+    """Pinned SimHash token hash: the low 60 bits of md5 (15 hex
+    chars, positions 18-32) — chosen over xxhash64 because BOTH
+    engines compute it identically (DuckDB: ``('0x' ||
+    substr(md5(t), 18, 15))::BIGINT``), which makes the whole SimHash
+    pipeline oracle-checkable. 60 bits keeps the value in a signed
+    long with no sign games."""
+    return F.conv(F.substring(F.md5(F.col(term_col)), 18, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def simhash_col_docs(docs: DataFrame) -> DataFrame:
+    """(docid, simhash long): 60-bit Charikar SimHash over tf-weighted
+    token hashes (pinned md5-60 hash, see ``simhash_token_hash``).
+
+    The bit-majority runs vectorized in numpy (unpack 60 bits of every
+    token hash in one op, weight by tf, sign of the column sums). No
+    per-row Python.
     """
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(hashes: pd.Series, tfs: pd.Series) -> pd.Series:
         out = np.empty(len(hashes), dtype=np.int64)
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
         for i, (hs, ws) in enumerate(zip(hashes, tfs)):
             if hs is None or len(hs) == 0:
                 out[i] = 0
                 continue
-            h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            h = np.asarray(hs, dtype=np.int64)
             w_arr = np.asarray(ws, dtype=np.float64)
-            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            bits = (h[:, None] >> shifts[None, :]) & 1
             acc = ((bits.astype(np.float64) * 2.0) - 1.0).T @ w_arr
-            out[i] = np.int64(((acc > 0).astype(np.uint64)
-                               << np.arange(64, dtype=np.uint64)).sum()
-                              .astype(np.uint64).view(np.int64))
+            out[i] = int(((acc > 0).astype(np.int64) << shifts).sum())
         return pd.Series(out)
 
     per_tok = (
         docs.select("docid", F.explode(tokens_col("text")).alias("term"))
         .groupBy("docid", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .select("docid", F.xxhash64("term").alias("h"), "tf")
+        .select("docid", simhash_token_hash("term").alias("h"), "tf")
         .groupBy("docid")
         .agg(F.collect_list("h").alias("hs"), F.collect_list("tf").alias("ws"))
     )
@@ -410,8 +424,45 @@ def hamming_pairs(
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming) SimHash near-dup pairs — Charikar
     fingerprints + radius-complete pigeonhole banding (see
-    ``hamming_pairs``)."""
-    return hamming_pairs(simhash_col_docs(docs), max_hamming)
+    ``hamming_pairs``). Oracle-paired: DuckDB recomputes the same
+    pinned md5-60 hashes, bit-majority and (brute-force) Hamming
+    pairs."""
+    return hamming_pairs(
+        simhash_col_docs(docs), max_hamming, nbits=SIMHASH_BITS
+    ).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS docid,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tfs AS (SELECT docid, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+hashed AS (
+  SELECT docid, tf,
+         ('0x' || substr(md5(term), 18, 15))::BIGINT AS h
+  FROM tfs
+),
+bits AS (
+  SELECT docid, b.b AS b,
+         sum(CASE WHEN ((h >> b.b) & 1) = 1 THEN tf ELSE -tf END) AS acc
+  FROM hashed, (SELECT unnest(range({SIMHASH_BITS})) AS b) b
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT docid,
+         CAST(sum(CASE WHEN acc > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY 1
+)
+SELECT a.docid AS doc_a, b.docid AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.docid < b.docid
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -55,7 +55,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     return P.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
-@register("dedup_simhash")  # rows-only; pytest checks vs pure-python ref
+# Oracle-paired: the pinned md5-60 token hash is computable in BOTH
+# engines, so DuckDB rebuilds the fingerprints bit-for-bit and checks
+# the banded pair search against its brute-force Hamming join.
+@register("dedup_simhash", P.SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
     # radius 3 = the classic Manku web-dedup operating point; the
     # banding is radius-complete for any max_hamming (pipeline.py

@@ -97,28 +97,22 @@ def test_minhash_signature_properties(spark, docs):
 
 
 def _simhash_ref(tokens: list[str], spark) -> int:
-    """Pure-python SimHash using the same xxhash64 token hashes (pulled
-    from the JVM so the reference shares the hash function)."""
+    """Pure-python SimHash over the pinned md5-60 token hash — a
+    fully independent reference (hashlib, no JVM involved)."""
+    import hashlib
     from collections import Counter
 
-    import pyspark.sql.functions as F
-
     tf = Counter(tokens)
-    terms = sorted(tf)
-    hdf = spark.createDataFrame(
-        [(t,) for t in terms], "term string"
-    ).select("term", F.xxhash64("term").alias("h")).collect()
-    hmap = {r["term"]: r["h"] for r in hdf}
-    acc = [0.0] * 64
+    acc = [0.0] * P.SIMHASH_BITS
     for t, w in tf.items():
-        h = hmap[t] & 0xFFFFFFFFFFFFFFFF
-        for b in range(64):
+        h = int(hashlib.md5(t.encode()).hexdigest()[17:32], 16)
+        for b in range(P.SIMHASH_BITS):
             acc[b] += w if (h >> b) & 1 else -w
     out = 0
-    for b in range(64):
+    for b in range(P.SIMHASH_BITS):
         if acc[b] > 0:
             out |= 1 << b
-    return out - (1 << 64) if out >= 1 << 63 else out
+    return out
 
 
 def test_simhash_matches_reference(spark, docs):
