@@ -253,6 +253,35 @@ def sortby_topk(spark, sf_dir):
     )
 
 
+SORTBY_FILTERED_SQL = """
+WITH tok AS (
+  SELECT doc_id AS docid, t.tokk AS term
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  WHERE t.tokk <> ''
+),
+hits AS (SELECT DISTINCT docid FROM tok WHERE term = 'join'),
+neg AS (SELECT DISTINCT docid FROM tok WHERE term = 'slow')
+SELECT h.docid, CAST(d.n_chars AS BIGINT) AS sval
+FROM hits h JOIN documents d ON d.doc_id = h.docid
+WHERE d.lang = 'en' AND h.docid NOT IN (SELECT docid FROM neg)
+ORDER BY d.n_chars DESC, h.docid ASC
+LIMIT 10
+"""
+
+
+@register("search_sortby_filtered", SORTBY_FILTERED_SQL)
+def search_sortby_filtered(spark, sf_dir):
+    """gbsortby: through the FULL parsed-search path — negation and
+    metadata constraints apply before the field ordering (the round-1
+    sortby path dropped them)."""
+    return S.search(
+        cached_index(spark, sf_dir),
+        _docs_meta(spark, sf_dir),
+        "join -slow lang:en sortby:n_chars",
+        k=10,
+    )
+
+
 # --- G1/G2: nested boolean query ------------------------------------------
 
 BOOL_RESTRICT_CTE = """

@@ -463,13 +463,6 @@ def search(
     phrase post-filter → field constraints → top-k (the §3.1 lifecycle
     as one DataFrame plan)."""
     pq = parse_query(qtext)
-    sortby = pq.fields.get("sortby")
-    if sortby:
-        if not pq.terms:
-            raise ValueError(
-                f"sortby: requires at least one searchable term: {qtext!r}"
-            )
-        return sortby_topk(index, docs_meta, pq.terms[0], sortby, k=k)
     if not pq.terms:
         raise ValueError(f"no searchable terms in query: {qtext!r}")
     restrict = None
@@ -492,6 +485,26 @@ def search(
             cond = cond & c
         meta_ok = docs_meta.filter(cond).select("docid")
         restrict = meta_ok if restrict is None else restrict.join(meta_ok, "docid")
+    sortby = pq.fields.get("sortby")
+    if sortby:
+        # gbsortby: keeps the FULL match semantics (AND/OR, phrases,
+        # negation, metadata constraints) and only swaps the ranking
+        # key — the round-1 form scored just the first term and
+        # silently dropped every other constraint.
+        matched = bm25_topk(
+            index,
+            pq.terms,
+            k=None,
+            mode=pq.mode,
+            neg_terms=pq.negated or None,
+            restrict=restrict,
+        ).select("docid")
+        joined = matched.join(docs_meta.select("docid", sortby), "docid")
+        return (
+            joined.orderBy(F.desc(sortby), F.asc("docid"))
+            .limit(k)
+            .select("docid", F.col(sortby).cast("long").alias("sval"))
+        )
     return bm25_topk(
         index,
         pq.terms,

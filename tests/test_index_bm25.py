@@ -42,7 +42,8 @@ def test_term_stats(index, spark, duck):
              FROM documents, LATERAL unnest(string_split(lower(text),' ')) t(tokk)
              WHERE t.tokk <> ''),
            p AS (SELECT docid, term, count(*) tf FROM tok GROUP BY 1,2)
-           SELECT term, count(*) AS df, sum(tf) AS cf, max(tf) AS max_tf
+           SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+                  max(tf) AS max_tf
            FROM p GROUP BY term""",
     )
 
