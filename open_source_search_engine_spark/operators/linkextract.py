@@ -120,35 +120,39 @@ def site_rank_web(links: DataFrame) -> DataFrame:
 
 
 def anchor_postings(links: DataFrame) -> DataFrame:
-    """(dst_url, term, atf): anchor terms indexed into the LINKEE
-    (ref: XmlDoc::hashIncomingLinkText — the anchor text scores the
-    page it points AT, the signal a web engine runs on)."""
+    """(docid=dst_url, term, ftf): anchor terms indexed into the
+    LINKEE (ref: XmlDoc::hashIncomingLinkText — the anchor text
+    scores the page it points AT, the signal a web engine runs on)."""
     toks = F.expr(f"regexp_extract_all(lower(anchor), '{TOKEN_RE}', 0)")
     return (
         links.select(F.col("dst_url").alias("docid"),
                      F.explode(toks).alias("term"))
         .groupBy("docid", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("atf"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ftf"))
     )
 
 
 ANCHOR_W = 0.5  # anchor-component weight (ref: link-text weighting)
+TITLE_W = 1.0   # title-component weight (ref: title hashgroup weight)
 K1 = 1.2
 
 
-def anchor_boosted_topk(
+def field_boosted_topk(
     idx: InvertedIndex,
-    anchors: DataFrame,
+    field_postings: DataFrame,
     terms: list[str],
+    weight: float,
     k: int = 10,
 ) -> DataFrame:
-    """BM25 body score + ANCHOR_W · anchor component, OR semantics.
+    """BM25 body score + weight · field component, OR semantics.
 
-    anchor component per (doc, term) = idf_t · (atf·(k1+1))/(atf+k1)
-    — BM25 saturation with no length norm (anchor streams are short).
-    idf comes from the BODY df (one stats table, the reference's
-    single termFreq source). Docs matching only via anchors still
-    rank (full outer merge of the two component aggregates).
+    field component per (doc, term) = idf_t · (ftf·(k1+1))/(ftf+k1) —
+    BM25 saturation with no length norm (anchor/title streams are
+    short). idf comes from the BODY df (one stats table, the
+    reference's single termFreq source). Docs matching only via the
+    field still rank (full outer merge of the two component
+    aggregates). This is the hashgroup-weighting shape
+    (``Posdb.cpp`` HASHGROUP_INLINKTEXT / HASHGROUP_TITLE scores).
     """
     terms = list(dict.fromkeys(terms))
     qt = idx.term_stats.filter(F.col("term").isin(terms)).select(
@@ -160,26 +164,51 @@ def anchor_boosted_topk(
         .groupBy("docid")
         .agg(F.sum("part").alias("bscore"))
     )
-    atf = F.col("atf").cast("double")
-    anch = (
-        anchors.join(F.broadcast(qt), "term")
+    ftf = F.col("ftf").cast("double")
+    fld = (
+        field_postings.join(F.broadcast(qt), "term")
         .withColumn(
             "part",
-            F.lit(ANCHOR_W) * F.col("idf")
-            * (atf * (K1 + 1.0)) / (atf + K1),
+            F.lit(weight) * F.col("idf") * (ftf * (K1 + 1.0)) / (ftf + K1),
         )
         .groupBy("docid")
-        .agg(F.sum("part").alias("ascore"))
+        .agg(F.sum("part").alias("fscore"))
     )
-    merged = body.join(anch, "docid", "full_outer").select(
+    merged = body.join(fld, "docid", "full_outer").select(
         "docid",
         F.round(
             F.coalesce("bscore", F.lit(0.0))
-            + F.coalesce("ascore", F.lit(0.0)),
+            + F.coalesce("fscore", F.lit(0.0)),
             4,
         ).alias("score"),
     )
     return merged.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def anchor_boosted_topk(
+    idx: InvertedIndex, anchors: DataFrame, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Anchor-text boost (XmlDoc::hashIncomingLinkText)."""
+    return field_boosted_topk(idx, anchors, terms, ANCHOR_W, k)
+
+
+def title_postings(web: DataFrame) -> DataFrame:
+    """(docid=url, term, ftf) from the extracted <title> text — the
+    title hashgroup (``XmlDoc::hashTitle``)."""
+    toks = F.expr(f"regexp_extract_all(lower(title), '{TOKEN_RE}', 0)")
+    return (
+        titles(web)
+        .select(F.col("url").alias("docid"), F.explode(toks).alias("term"))
+        .groupBy("docid", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("ftf"))
+    )
+
+
+def title_boosted_topk(
+    idx: InvertedIndex, web: DataFrame, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Title-term boost (title hashgroup weighting)."""
+    return field_boosted_topk(idx, title_postings(web), terms, TITLE_W, k)
 
 
 def titles(web: DataFrame) -> DataFrame:
@@ -288,6 +317,85 @@ def site_filter_bm25_sql(
 allowed AS (
   SELECT url AS docid FROM pages
   WHERE regexp_extract(url, '{HOST_RE}', 1) = '{host}'
+),
+scored AS (
+  SELECT p.docid,
+         sum(ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+             * (p.tf * ({K1} + 1.0))
+               / (p.tf + {K1} * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)))
+           AS score
+  FROM postings p
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  WHERE p.term IN ({tlist})
+  GROUP BY p.docid
+  HAVING count(DISTINCT p.term) = {len(terms)}
+)
+SELECT s.docid, round(s.score, 4) AS score
+FROM scored s JOIN allowed w ON s.docid = w.docid
+ORDER BY round(s.score, 4) DESC, s.docid ASC
+LIMIT {k}"""
+
+
+def title_bm25_sql(path: str, terms: list[str], k: int = 10) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH pages AS (
+  SELECT url, decode(html) AS h, text FROM read_parquet('{path}')
+),
+{WEB_BM25_CTE},
+tpost AS (
+  SELECT url AS docid, t.tokk AS term, count(*) AS ftf
+  FROM (SELECT url,
+               trim(regexp_replace(
+                    regexp_extract(h, '<title[^>]*>(.*?)</title>', 1),
+                    '\\s+', ' ', 'g')) AS title
+        FROM pages),
+       LATERAL unnest(regexp_extract_all(lower(title), '{TOKEN_RE}'))
+       AS t(tokk)
+  GROUP BY 1, 2
+),
+idf AS (
+  SELECT t.term, ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0) AS idf
+  FROM ts t CROSS JOIN consts c WHERE t.term IN ({tlist})
+),
+body AS (
+  SELECT p.docid,
+         sum(i.idf * (p.tf * ({K1} + 1.0))
+             / (p.tf + {K1} * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)))
+           AS bscore
+  FROM postings p
+  JOIN idf i ON p.term = i.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  GROUP BY p.docid
+),
+fld AS (
+  SELECT a.docid,
+         sum({TITLE_W} * i.idf * (a.ftf * ({K1} + 1.0)) / (a.ftf + {K1}))
+           AS fscore
+  FROM tpost a JOIN idf i ON a.term = i.term
+  GROUP BY a.docid
+)
+SELECT coalesce(b.docid, f.docid) AS docid,
+       round(coalesce(b.bscore, 0) + coalesce(f.fscore, 0), 4) AS score
+FROM body b FULL JOIN fld f ON b.docid = f.docid
+ORDER BY score DESC, docid ASC
+LIMIT {k}"""
+
+
+def inurl_bm25_sql(
+    path: str, terms: list[str], urltok: str, k: int = 10
+) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH pages AS (
+  SELECT url, decode(html) AS h, text FROM read_parquet('{path}')
+),
+{WEB_BM25_CTE},
+allowed AS (
+  SELECT url AS docid FROM pages
+  WHERE list_contains(regexp_extract_all(lower(url), '{TOKEN_RE}'),
+                      '{urltok}')
 ),
 scored AS (
   SELECT p.docid,

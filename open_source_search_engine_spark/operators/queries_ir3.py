@@ -228,6 +228,66 @@ def json_field_search(spark, sf_dir):
     )
 
 
+# --- E4: build-stats table (Statsdb analogue) -----------------------------
+
+BUILD_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id AS docid,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT docid, doc_id_seg, len(t) AS dl,
+         len(list_distinct(t)) AS n_terms
+  FROM (SELECT docid, docid % 3 AS doc_id_seg, t FROM toks)
+)
+SELECT concat('seg-', lpad(CAST(doc_id_seg AS VARCHAR), 5, '0'))
+         AS segment_id,
+       'committed' AS status,
+       CAST(sum(n_terms) AS BIGINT) AS rows,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(dl) AS BIGINT) AS sum_doclen
+FROM per_doc
+GROUP BY doc_id_seg
+"""
+
+_STORE_CACHE: dict[tuple, object] = {}
+
+
+@register("build_stats", BUILD_STATS_SQL)
+def build_stats(spark, sf_dir):
+    """E4 stats table (ref: ``Statsdb`` — per-period build/ops metrics
+    queryable like any table). Runs a real segmented build (modulo
+    split so the oracle reproduces the segment assignment) and reads
+    the manifest back: per segment, committed posting rows, docs and
+    doclen mass — the lineage record that makes a killed 10^12-doc
+    build resumable and auditable."""
+    import tempfile
+
+    from .segments import SegmentStore, build_segments
+
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir)
+    if key not in _STORE_CACHE:
+        root = tempfile.mkdtemp(prefix="build_stats_")
+        docs = _docs(spark, sf_dir)
+        _STORE_CACHE[key] = build_segments(
+            spark,
+            docs,
+            SegmentStore(root),
+            n_segments=3,
+            segment_col=F.pmod(F.col("docid"), F.lit(3)),
+        )
+    store = _STORE_CACHE[key]
+    return store.manifest(spark).select(
+        "segment_id",
+        "status",
+        F.col("rows").cast("long").alias("rows"),
+        F.col("docs").cast("long").alias("docs"),
+        F.col("sum_doclen").cast("long").alias("sum_doclen"),
+    )
+
+
 JSON_PROPS_SQL = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,

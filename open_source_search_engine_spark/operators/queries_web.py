@@ -72,3 +72,32 @@ def search_site_filter(spark, sf_dir):
 def titles_web(spark, sf_dir):
     web, _, _ = L.cached_web(spark, N_WEB)
     return L.titles(web)
+
+
+TITLE_TERMS = ["w3", "w5"]
+
+
+@register("title_bm25", L.title_bm25_sql(_PATH, TITLE_TERMS))
+def title_bm25(spark, sf_dir):
+    """Title-hashgroup boost (ref: XmlDoc::hashTitle weighting — a
+    query term in the <title> outranks the same term buried in the
+    body)."""
+    web, idx, _ = L.cached_web(spark, N_WEB)
+    return L.title_boosted_topk(idx, web, TITLE_TERMS, k=10)
+
+
+INURL_TOK = "host7"
+
+
+@register(
+    "search_inurl_filter", L.inurl_bm25_sql(_PATH, SITE_TERMS, INURL_TOK)
+)
+def search_inurl_filter(spark, sf_dir):
+    """inurl: constraint (B3; ref: Query.cpp FIELD_URL — url words
+    are indexed as synthetic terms; here the url token-set filter)."""
+    web, idx, _ = L.cached_web(spark, N_WEB)
+    toks = F.expr(f"regexp_extract_all(lower(url), '{L.TOKEN_RE}', 0)")
+    allowed = web.filter(
+        F.array_contains(toks, INURL_TOK)
+    ).select(F.col("url").alias("docid"))
+    return bm25_topk(idx, SITE_TERMS, k=10, mode="and", restrict=allowed)

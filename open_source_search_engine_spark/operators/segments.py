@@ -199,6 +199,7 @@ def build_segments(
     n_segments: int = 4,
     n_buckets: int = 8,
     fail_after_segment: int | None = None,
+    segment_col=None,
 ) -> SegmentStore:
     """Segmented, resumable packed-index build.
 
@@ -228,7 +229,15 @@ def build_segments(
         if seg in done:
             continue
         t0 = time.time()
-        seg_docs = docs.filter(F.pmod(F.xxhash64("docid"), F.lit(n_segments)) == seg)
+        # segment assignment: uniform hash split by default;
+        # ``segment_col`` overrides (e.g. pmod(docid, n) where an
+        # external system must reproduce the split).
+        seg_expr = (
+            segment_col
+            if segment_col is not None
+            else F.pmod(F.xxhash64("docid"), F.lit(n_segments))
+        )
+        seg_docs = docs.filter(seg_expr == seg)
         # compute_globals=False: query-time scoring uses the manifest
         # globals, and the eager globals agg would execute the whole
         # explode once extra before the cache lands.
