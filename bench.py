@@ -190,7 +190,15 @@ def run_bench(
 ) -> dict:
     from open_source_search_engine_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cores)
+    # Build-only (scaling) legs are pure-throughput: multi-wave task
+    # sizing (4x cores) evens out stragglers. The mixed default bench
+    # keeps the session default (= cores): query latency dominates
+    # there and every cached table inherits the partition count.
+    spark = get_spark(
+        "bench",
+        cores=cores,
+        shuffle_partitions=4 * cores if build_only else None,
+    )
     t_all = time.time()
     build = bench_build(spark, sf_dir, mult=mult)
     store_root = build.pop("_store_root")

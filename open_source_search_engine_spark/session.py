@@ -50,17 +50,21 @@ def get_spark(
     """Build (or reuse) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS (driver contract) or 32.
-    ``shuffle_partitions`` defaults to 4×``cores`` — multiple waves
-    per stage, so one straggler task costs a fraction of a wave
-    instead of stalling a whole 1-wave stage (the dominant non-scaling
-    term in the round-1 scaling runs). At 100 TB scale this would
-    instead be sized so each shuffle partition holds ~128-256 MB; AQE
-    coalescing makes the exact number forgiving in both regimes.
+    ``shuffle_partitions`` defaults to ``cores`` — right for the
+    interactive query path, where every cached table inherits this
+    count and each query scans it (measured: a 128-partition cache at
+    local[32] doubles bm25 p50 vs 32). THROUGHPUT jobs (the segment
+    build) pass ``shuffle_partitions=4*cores`` explicitly: multiple
+    waves per stage mean one straggler costs a fraction of a wave
+    instead of stalling a 1-wave stage — that setting closed the
+    round-1 scaling gap. At 100 TB scale both would instead be sized
+    so a shuffle partition holds ~128-256 MB; AQE coalescing makes
+    the exact number forgiving in every regime.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(4 * cores, 8)
+        shuffle_partitions = max(cores, 8)
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
