@@ -228,6 +228,88 @@ def json_field_search(spark, sf_dir):
     )
 
 
+# --- D17: spell suggestion -------------------------------------------------
+
+SPELL_INPUT = "fitler"  # classic transposition of 'filter'
+
+SPELL_SQL = f"""
+WITH {TOK_CTE},
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(levenshtein(term, '{SPELL_INPUT}') AS BIGINT) AS dist
+FROM ts
+WHERE levenshtein(term, '{SPELL_INPUT}') <= 2
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 5
+"""
+
+
+@register("spell_suggest", SPELL_SQL)
+def spell_suggest(spark, sf_dir):
+    """Spelling suggestion (D17; ref: ``Speller.cpp: getRecommendation``
+    — candidates from the indexed dictionary ranked by popularity).
+    Edit-distance ≤ 2 against the term dictionary, ranked by
+    (distance, df). The dictionary scan is the term_stats table — at
+    10^12 docs that is millions of rows, not postings-scale, and the
+    levenshtein prune is a single map over it."""
+    idx = cached_index(spark, sf_dir)
+    dist = F.levenshtein(F.col("term"), F.lit(SPELL_INPUT))
+    return (
+        idx.term_stats.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(5)
+    )
+
+
+# --- D18: scroll / deep pagination ----------------------------------------
+
+SCROLL_SQL = f"""
+WITH {TOK_CTE},
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.docid,
+         round(sum( ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) ), 4)
+           AS score
+  FROM postings p
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  WHERE p.term = 'join'
+  GROUP BY p.docid
+)
+SELECT docid, score FROM scored
+ORDER BY score DESC, docid ASC
+LIMIT 10 OFFSET 10
+"""
+
+
+@register("scroll_page2", SCROLL_SQL)
+def scroll_page2(spark, sf_dir):
+    """Deep pagination (D18; ref: ``Msg40`` re-query with a larger
+    firstResultNum). Page 2 = top-20 minus top-10 by docid anti-join:
+    two TakeOrderedAndProject passes, never a global single-partition
+    window — the scale-safe scroll shape (each page costs one bounded
+    top-k, like the reference's re-query-with-offset)."""
+    idx = cached_index(spark, sf_dir)
+    top20 = bm25_topk(idx, ["join"], k=20)
+    top10 = bm25_topk(idx, ["join"], k=10)
+    return (
+        top20.join(top10.select("docid"), "docid", "left_anti")
+        .orderBy(F.desc("score"), F.asc("docid"))
+    )
+
+
 # --- E4: build-stats table (Statsdb analogue) -----------------------------
 
 BUILD_STATS_SQL = """
