@@ -49,6 +49,46 @@ def test_webtext_deterministic():
     assert a.equals(b)
 
 
+def test_extraction_properties():
+    """Hypothesis: extract_text is total, deterministic, and
+    whitespace-normalized on arbitrary (non-HTML) input — the crawler
+    feeds it whatever the web serves."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.one_of(st.text(max_size=400), st.binary(max_size=400)))
+    @settings(max_examples=300, deadline=None)
+    def check(raw):
+        out = extract_text(raw)
+        assert out == extract_text(raw)
+        if out:
+            for line in out.split("\n"):
+                assert line == " ".join(line.split()) and line != ""
+        # title extraction is total too
+        extract_title(raw)
+
+    check()
+
+
+def test_parse_query_total():
+    """Hypothesis: the query parser never raises anything but
+    ValueError on arbitrary printable input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_source_search_engine_spark.operators.search import parse_query
+
+    @given(st.text(max_size=120))
+    @settings(max_examples=300, deadline=None)
+    def check(q):
+        try:
+            parse_query(q)
+        except ValueError:
+            pass
+
+    check()
+
+
 def test_extract_title_pinned():
     assert extract_title("<html><head><title>A  B</title></head></html>") == "A B"
     assert extract_title("<TITLE lang=x>Hi &amp; Lo</TITLE>") == "Hi & Lo"
