@@ -44,7 +44,11 @@ def dedup_exact(spark, sf_dir):
 
 @register("dedup_ngram_jaccard", P.NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
-    return P.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    # df-cap ON in the registered path (the 100 TB form): candidate
+    # generation skips boilerplate shingles; emitted Jaccards stay
+    # exact, so the uncapped oracle still matches (pinned in pytest
+    # and checked at both driver tiers).
+    return P.ngram_jaccard_pairs(_docs(spark, sf_dir), max_shingle_df=50)
 
 
 # Oracle-paired against the EXACT Jaccard SQL: banding at r=2, b=128
