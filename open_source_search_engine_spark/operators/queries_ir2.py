@@ -190,25 +190,28 @@ def site_rank(spark, sf_dir):
 # --- D2: synonym expansion -------------------------------------------------
 
 SYN_WEIGHT = 0.5
-_SYN_FILE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "data",
-    "synonyms.tsv",
-)
 
 
-def load_synonyms(path: str = _SYN_FILE) -> dict[str, list[str]]:
+def load_synonyms() -> dict[str, list[str]]:
     """Synonym dictionary from the packaged data file (ref:
     Synonyms.cpp loads its Wiktionary-derived file at startup; the
-    dict is driver-resident — it is query-side metadata, tiny)."""
+    dict is driver-resident — it is query-side metadata, tiny).
+    importlib.resources so it also resolves when the package ships as
+    a --py-files zip."""
+    from importlib import resources
+
+    text = (
+        resources.files("open_source_search_engine_spark")
+        .joinpath("data/synonyms.tsv")
+        .read_text()
+    )
     out: dict[str, list[str]] = {}
-    with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            term, syn = line.split("\t")
-            out.setdefault(term, []).append(syn)
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        term, syn = line.split("\t")
+        out.setdefault(term, []).append(syn)
     return out
 
 
