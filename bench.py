@@ -365,9 +365,14 @@ per-segment independence).
   extrema and the WAND bound is derived at query time with the exact
   manifest avgdl, so the full-corpus avgdl aggregate that ran ahead
   of segment 0 is gone entirely.
-- Multi-wave stages: shuffle partitions default to 4× cores, so a
-  straggler task costs a fraction of a wave instead of stalling a
-  1-wave stage (the dominant tail term at local[8]).
+- Multi-wave stages: build-only legs run shuffle partitions = 4×
+  cores, so a straggler task costs a fraction of a wave instead of
+  stalling a 1-wave stage (the dominant tail term at local[8]).
+- Coarse-group pack: the pack stage groups on (pmod(termid, 64),
+  bucket) and emits per-(termid, bucket) blocks with numpy slicing +
+  grouped varbyte kernels — per-group Arrow overhead no longer scales
+  with vocabulary × buckets (BENCH/wand_prune.md has the 548 s → 17 s
+  real-vocabulary measurement).
 
 ## Headline throughput (same run)
 

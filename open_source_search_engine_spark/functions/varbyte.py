@@ -95,5 +95,65 @@ def pack_ints(values: np.ndarray) -> bytes:
     return varbyte_encode(np.ascontiguousarray(values, dtype=np.uint64))
 
 
+# --- grouped (segmented) encoders ----------------------------------------
+# One vectorized encode over a whole partition's concatenated values,
+# then per-group byte-range slices. The per-group-call form costs
+# ~30 µs/group in numpy fixed overhead — at a real vocabulary's
+# hundreds of thousands of (termid, bucket) groups per partition that
+# dominated the pack stage; the grouped form pays the fixed cost once.
+
+
+def _byte_lengths(v: np.ndarray) -> np.ndarray:
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> _SEVEN
+    while tmp.any():
+        nbytes += tmp > 0
+        tmp >>= _SEVEN
+    return nbytes
+
+
+def varbyte_encode_grouped(
+    values: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Encode ``values`` once; return one varbyte blob per
+    [starts[i], ends[i]) group. Byte-identical to calling
+    ``varbyte_encode`` per group (property-tested)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b"" for _ in range(len(starts))]
+    nbytes = _byte_lengths(v)
+    bends = np.cumsum(nbytes)
+    out = np.zeros(int(bends[-1]), dtype=np.uint8)
+    idx = bends - nbytes
+    rem = v.copy()
+    active = np.ones(v.size, dtype=bool)
+    while active.any():
+        byte = (rem & _MASK7).astype(np.uint8)
+        rem >>= _SEVEN
+        cont = rem > 0
+        sel = active
+        out[idx[sel]] = byte[sel] | (cont[sel].astype(np.uint8) << 7)
+        idx = idx + 1
+        active = active & cont
+    bstarts = bends - nbytes  # byte offset where each VALUE starts
+    return [
+        out[bstarts[s]:bends[e - 1]].tobytes() if e > s else b""
+        for s, e in zip(starts, ends)
+    ]
+
+
+def pack_docids_grouped(
+    sorted_docids: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> list[bytes]:
+    """Per-group delta-gap + varbyte: gaps computed globally, each
+    group's first value kept absolute."""
+    v = np.ascontiguousarray(sorted_docids, dtype=np.uint64)
+    gaps = np.empty_like(v)
+    if v.size:
+        gaps[1:] = v[1:] - v[:-1]
+        gaps[starts] = v[starts]
+    return varbyte_encode_grouped(gaps, starts, ends)
+
+
 def unpack_ints(buf: bytes) -> np.ndarray:
     return varbyte_decode(buf)

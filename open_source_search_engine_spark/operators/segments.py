@@ -53,7 +53,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.varbyte import pack_docids, pack_ints
+from ..functions.varbyte import pack_docids_grouped, varbyte_encode_grouped
 from .index_build import B, K1, build_index
 
 PACKED_SCHEMA = (
@@ -102,42 +102,71 @@ def _append_manifest_row(manifest_dir: str, **vals) -> None:
     os.replace(tmp, final)
 
 
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("docid")
-    docids = pdf["docid"].to_numpy(np.uint64)
-    tfs = pdf["tf"].to_numpy(np.uint64)
-    dls = pdf["doclen"].to_numpy(np.uint64)
+def _pack_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pack EVERY (termid, bucket) group inside one pandas frame.
+
+    The round-1 shape grouped by the FULL (termid, bucket) key and
+    shipped each group through Arrow as its own pandas DataFrame —
+    fine for a 31-word test vocabulary, catastrophic for a real one:
+    a 50k-term Zipf corpus makes ~300k tiny groups and the ~1 ms
+    per-group pandas/Arrow overhead dominates the build (measured
+    548 s for an 8k-doc webtext build vs ~20 s after this change).
+    Here a frame holds MANY terms; group boundaries are numpy slices
+    over the lexsorted arrays and the varbyte codec runs ONE
+    vectorized pass over the whole frame (grouped encoders), so
+    per-group cost is byte output, not fixed overhead.
+    """
+    tid = pdf["termid"].to_numpy(np.int64)
+    bkt = pdf["bucket"].to_numpy(np.int32)
+    docid = pdf["docid"].to_numpy(np.int64)
+    tf = pdf["tf"].to_numpy(np.uint64)
+    dl = pdf["doclen"].to_numpy(np.uint64)
+    order = np.lexsort((docid, bkt, tid))
+    tid, bkt, tf, dl = tid[order], bkt[order], tf[order], dl[order]
+    docid = docid[order].astype(np.uint64)
+    change = np.flatnonzero((tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(tid)]))
     return pd.DataFrame(
         {
-            "termid": [np.int64(pdf["termid"].iloc[0])],
-            "bucket": [np.int32(pdf["bucket"].iloc[0])],
-            "n": [np.int32(len(docids))],
-            "first_docid": [np.int64(docids[0])],
-            "last_docid": [np.int64(docids[-1])],
-            "docids": [pack_docids(docids)],
-            "tfs": [pack_ints(tfs)],
-            "dls": [pack_ints(dls)],
-            "blockmax_tf": [np.int32(tfs.max())],
-            "blockmin_dl": [np.int32(dls.min())],
+            "termid": tid[starts].astype(np.int64),
+            "bucket": bkt[starts].astype(np.int32),
+            "n": (ends - starts).astype(np.int32),
+            "first_docid": docid[starts].astype(np.int64),
+            "last_docid": docid[ends - 1].astype(np.int64),
+            "docids": pack_docids_grouped(docid, starts, ends),
+            "tfs": varbyte_encode_grouped(tf, starts, ends),
+            "dls": varbyte_encode_grouped(dl, starts, ends),
+            "blockmax_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
+            "blockmin_dl": np.minimum.reduceat(dl, starts).astype(np.int32),
         }
     )
 
 
-def pack_postings(postings: DataFrame, n_buckets: int = 8) -> DataFrame:
+def pack_postings(
+    postings: DataFrame, n_buckets: int = 8, n_term_groups: int = 64
+) -> DataFrame:
     """exploded postings(termid, docid, tf, doclen) → packed blocks.
 
-    The groupBy key (termid, bucket) is the salted repartition: Spark
-    hash-partitions on both columns, so head-term groups spread across
-    the cluster. applyInPandas keeps the per-group codec in one Arrow
-    batch — numpy-vectorized, no per-row Python.
+    The groupBy key is (pmod(termid, n_term_groups), bucket) — COARSE
+    on the term axis: each pandas group carries many terms (the
+    per-group fixed overhead amortizes over a real vocabulary's
+    hundreds of thousands of term-bucket blocks) while the bucket in
+    the key keeps the head-term salt (a stopword still spreads over
+    n_buckets reducers). ``_pack_frame`` emits the per-(termid,
+    bucket) blocks from inside each coarse group with numpy slicing.
+    Group count = n_term_groups × n_buckets — size it a few × the
+    cluster's cores, exactly like shuffle partitions.
     """
     with_bucket = postings.withColumn(
         "bucket", F.pmod("docid", F.lit(n_buckets)).cast("int")
+    ).withColumn(
+        "tgrp", F.pmod("termid", F.lit(n_term_groups)).cast("int")
     )
     return (
-        with_bucket.select("termid", "bucket", "docid", "tf", "doclen")
-        .groupBy("termid", "bucket")
-        .applyInPandas(_pack_group, schema=PACKED_SCHEMA)
+        with_bucket.select("tgrp", "termid", "bucket", "docid", "tf", "doclen")
+        .groupBy("tgrp", "bucket")
+        .applyInPandas(_pack_frame, schema=PACKED_SCHEMA)
     )
 
 
@@ -312,35 +341,57 @@ def compact_segments(
 ) -> SegmentStore:
     """A9 compaction: k-way merge of per-segment blocks into one block
     per (termid, bucket) — the RdbMerge analogue. Docids are disjoint
-    across segments (doc-partitioned), so the merge is a concat+resort
-    inside each group; blockmax metadata is recomputed exactly."""
+    across segments (doc-partitioned), so the merge is a decode +
+    resort + repack inside each (termid, bucket); blockmax metadata
+    is recomputed exactly. Grouped COARSELY on (pmod(termid, 64),
+    bucket) like ``pack_postings`` — per-block Arrow overhead would
+    otherwise dominate on a real vocabulary's block count."""
     packed = store.packed(spark)
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.varbyte import unpack_docids, unpack_ints
 
-        docids = np.concatenate([unpack_docids(b) for b in pdf["docids"]])
+        pdf = pdf.sort_values(["termid", "bucket"], kind="stable")
+        docids = np.concatenate(
+            [unpack_docids(b).astype(np.int64) for b in pdf["docids"]]
+        )
         tfs = np.concatenate([unpack_ints(b) for b in pdf["tfs"]])
         dls = np.concatenate([unpack_ints(b) for b in pdf["dls"]])
-        order = np.argsort(docids, kind="stable")
-        docids, tfs, dls = docids[order], tfs[order], dls[order]
+        ns = pdf["n"].to_numpy(np.int64)
+        tid = np.repeat(pdf["termid"].to_numpy(np.int64), ns)
+        bkt = np.repeat(pdf["bucket"].to_numpy(np.int64), ns)
+        order = np.lexsort((docids, bkt, tid))
+        tid, bkt = tid[order], bkt[order]
+        docids = docids[order].astype(np.uint64)
+        tfs, dls = tfs[order], dls[order]
+        change = (
+            np.flatnonzero((tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])) + 1
+        )
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(tid)]))
         return pd.DataFrame(
             {
-                "termid": [np.int64(pdf["termid"].iloc[0])],
-                "bucket": [np.int32(pdf["bucket"].iloc[0])],
-                "n": [np.int32(docids.size)],
-                "first_docid": [np.int64(docids[0])],
-                "last_docid": [np.int64(docids[-1])],
-                "docids": [pack_docids(docids)],
-                "tfs": [pack_ints(tfs)],
-                "dls": [pack_ints(dls)],
-                "blockmax_tf": [np.int32(tfs.max())],
-                "blockmin_dl": [np.int32(dls.min())],
+                "termid": tid[starts].astype(np.int64),
+                "bucket": bkt[starts].astype(np.int32),
+                "n": (ends - starts).astype(np.int32),
+                "first_docid": docids[starts].astype(np.int64),
+                "last_docid": docids[ends - 1].astype(np.int64),
+                "docids": pack_docids_grouped(docids, starts, ends),
+                "tfs": varbyte_encode_grouped(tfs, starts, ends),
+                "dls": varbyte_encode_grouped(dls, starts, ends),
+                "blockmax_tf": np.maximum.reduceat(tfs, starts).astype(
+                    np.int32
+                ),
+                "blockmin_dl": np.minimum.reduceat(dls, starts).astype(
+                    np.int32
+                ),
             }
         )
 
-    merged = packed.groupBy("termid", "bucket").applyInPandas(
-        merge_group, schema=PACKED_SCHEMA
+    merged = (
+        packed.withColumn("tgrp", F.pmod("termid", F.lit(64)).cast("int"))
+        .groupBy("tgrp", "bucket")
+        .applyInPandas(merge_frame, schema=PACKED_SCHEMA)
     )
     out = SegmentStore(out_root)
     merged.write.mode("overwrite").parquet(out.segment_dir(0))

@@ -194,21 +194,23 @@ class PackedIndex:
             out.extend(self._seed_cache.get(t, []))
         return out
 
-    def wand_topk(
+    def _query_ctx(
         self,
         terms: list[str],
         k: int = 10,
         mode: str = "and",
         neg_terms: list[str] | None = None,
         round_to: int | None = 4,
-    ) -> DataFrame:
+    ) -> dict | None:
+        """Shared query prologue: term stats, idf, pruned block scan,
+        and the seed-sampled τ cut. None = provably empty result."""
         terms = list(dict.fromkeys(terms))
         rows = self._term_rows(terms)
         found = {r["term"]: r for r in rows}
         if mode == "and" and len(found) < len(terms):
-            return self.spark.createDataFrame([], SCORE_SCHEMA)
+            return None
         if not found:
-            return self.spark.createDataFrame([], SCORE_SCHEMA)
+            return None
 
         n = float(self.n_docs)
         idf = {
@@ -255,6 +257,26 @@ class PackedIndex:
             cut = round(tau, round_to) - 10.0 ** -round_to
         else:
             cut = tau
+        return {
+            "blocks": blocks,
+            "idf": idf,
+            "required": required,
+            "neg_ids": neg_ids,
+            "cut": cut,
+            "k": k,
+        }
+
+    def wand_topk(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "and",
+        neg_terms: list[str] | None = None,
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        ctx = self._query_ctx(terms, k, mode, neg_terms, round_to)
+        if ctx is None:
+            return self.spark.createDataFrame([], SCORE_SCHEMA)
 
         # ONE action mirroring the relational path's shape: termid
         # prune at the (cached, bucket-partitioned) scan → per-bucket
@@ -268,8 +290,10 @@ class PackedIndex:
         # survivor buckets would also prune the I/O; in-cache here,
         # the column read is the whole cost and the in-scorer check
         # avoids a second aggregate+broadcast round over the table.
-        scorer = _make_bucket_scorer(idf, required, neg_ids, k, cut=cut)
-        result = blocks.groupBy("bucket").applyInPandas(
+        scorer = _make_bucket_scorer(
+            ctx["idf"], ctx["required"], ctx["neg_ids"], k, cut=ctx["cut"]
+        )
+        result = ctx["blocks"].groupBy("bucket").applyInPandas(
             scorer, schema=SCORE_SCHEMA
         )
 
@@ -279,3 +303,61 @@ class PackedIndex:
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(k)
         )
+
+    def prune_stats(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "and",
+        neg_terms: list[str] | None = None,
+    ) -> dict:
+        """Diagnostic: block-max pruning effectiveness for a query —
+        how many buckets (and what fraction of blob bytes) the τ cut
+        skips without decoding. Pure-JVM aggregate over the blockmax
+        columns; mirrors exactly the test the scorer applies."""
+        ctx = self._query_ctx(terms, k, mode, neg_terms)
+        if ctx is None:
+            return {"buckets": 0, "buckets_scored": 0,
+                    "bytes_total": 0, "bytes_scored": 0, "cut": None}
+        idf_map = F.create_map(
+            *[x for t, v in ctx["idf"].items() for x in (F.lit(t), F.lit(v))]
+        )
+        bm_tf = F.col("blockmax_tf").cast("double")
+        bm_dl = F.col("blockmin_dl").cast("double")
+        tfnorm_ub = (bm_tf * 2.2) / (
+            bm_tf + 1.2 * (0.25 + 0.75 * bm_dl * F.col("inv_avgdl"))
+        )
+        pos = ctx["blocks"].filter(F.col("termid").isin(list(ctx["idf"])))
+        nbytes = (
+            F.octet_length("docids")
+            + F.octet_length("tfs")
+            + F.octet_length("dls")
+        )
+        per_bucket = (
+            pos.groupBy("bucket", "termid")
+            .agg(
+                F.max(idf_map[F.col("termid")] * tfnorm_ub).alias("term_ub"),
+                F.sum(nbytes).alias("nb"),
+                F.count(F.lit(1)).alias("nterms_rows"),
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("term_ub").alias("ub"),
+                F.sum("nb").alias("nb"),
+                F.countDistinct("termid").alias("nterms"),
+            )
+        )
+        need = len(ctx["required"]) or None
+        rows = per_bucket.collect()
+        cut = ctx["cut"]
+        scored = [
+            r for r in rows
+            if float(r["ub"]) >= cut and (need is None or r["nterms"] == need)
+        ]
+        return {
+            "buckets": len(rows),
+            "buckets_scored": len(scored),
+            "bytes_total": int(sum(r["nb"] for r in rows)),
+            "bytes_scored": int(sum(r["nb"] for r in scored)),
+            "cut": cut,
+        }

@@ -12,7 +12,10 @@ from open_source_search_engine_spark.functions.varbyte import (
     unpack_ints,
 )
 from open_source_search_engine_spark.operators.bm25 import bm25_topk
-from open_source_search_engine_spark.operators.index_build import cached_index
+from open_source_search_engine_spark.operators.index_build import (
+    build_index,
+    cached_index,
+)
 from open_source_search_engine_spark.operators.segments import (
     SegmentStore,
     build_segments,
@@ -137,6 +140,34 @@ def test_wand_tie_across_buckets(spark, tmp_path_factory):
     pidx = PackedIndex(spark, st)
     got = [r["docid"] for r in pidx.wand_topk(["tie"], k=3).collect()]
     assert got == [0, 1, 2]
+
+
+def test_wand_prune_stats(spark, tmp_path_factory):
+    """Block-max pruning measurably bites: buckets whose upper bound
+    cannot reach τ are skipped (and their blob bytes never decoded).
+    Corpus constructed so half the buckets hold only low-tfnorm docs."""
+    rows = []
+    for docid in range(64):
+        if docid % 8 < 4:
+            text = "hot " * 8
+        else:
+            text = "hot " + "aa bb cc dd " * 12
+        rows.append((docid, text.strip()))
+    docs = spark.createDataFrame(rows, "docid long, text string")
+    root = str(tmp_path_factory.mktemp("idx_prune"))
+    st = build_segments(
+        spark, docs, SegmentStore(root), n_segments=1, n_buckets=8
+    )
+    pidx = PackedIndex(spark, st)
+    stats = pidx.prune_stats(["hot"], k=3)
+    assert stats["buckets"] == 8
+    assert 1 <= stats["buckets_scored"] <= 4, stats
+    assert stats["bytes_scored"] < stats["bytes_total"]
+    # pruning never changes results
+    idx = build_index(docs)
+    got = [tuple(r) for r in pidx.wand_topk(["hot"], k=3).collect()]
+    want = [tuple(r) for r in bm25_topk(idx, ["hot"], k=3).collect()]
+    assert got == want
 
 
 def test_wand_after_compaction(spark, store, tmp_path_factory):

@@ -71,3 +71,35 @@ def test_golden_blobs():
     for case in golden:
         arr = np.array(case["values"], dtype=np.uint64)
         assert pack_docids(arr).hex() == case["packed_hex"], case["name"]
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                 min_size=1, max_size=30),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_grouped_encode_matches_per_group(groups):
+    """The one-pass grouped encoder is byte-identical to encoding each
+    group separately (both plain and delta-gap forms)."""
+    from open_source_search_engine_spark.functions.varbyte import (
+        pack_docids_grouped,
+        varbyte_encode,
+        varbyte_encode_grouped,
+    )
+
+    flat = np.array([v for g in groups for v in g], dtype=np.uint64)
+    lens = np.array([len(g) for g in groups])
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    got = varbyte_encode_grouped(flat, starts, ends)
+    want = [varbyte_encode(np.array(g, dtype=np.uint64)) for g in groups]
+    assert got == want
+
+    sorted_groups = [np.sort(np.array(g, dtype=np.uint64)) for g in groups]
+    flat_sorted = np.concatenate(sorted_groups)
+    got_d = pack_docids_grouped(flat_sorted, starts, ends)
+    want_d = [pack_docids(g) for g in sorted_groups]
+    assert got_d == want_d
