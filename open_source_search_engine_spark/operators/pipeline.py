@@ -311,6 +311,99 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# dedup: connected components (duplicate clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    ids: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(docid, cluster_id): connected components over a near-dup pair
+    set by iterative min-label propagation — the Clusterdb analogue
+    (each doc keyed to its duplicate group; cluster_id = smallest
+    docid in the component, the canonical representative a dedup
+    keep-policy selects).
+
+    Iterative: O(component diameter) rounds, each one join + one
+    min-aggregate, with a driver-side convergence check (near-dup
+    components are shallow — a handful of rounds; at 10^12 docs the
+    standard upgrade is the large-star/small-star algorithm
+    (Kiveris et al.), same join primitive, O(log n) rounds).
+    """
+    e = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    edges = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    labels = ids.select(
+        F.col("docid").alias("u"), F.col("docid").alias("lbl")
+    ).cache()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), "lbl"), "v"
+            )
+            .select("u", "lbl")
+        )
+        new_labels = (
+            labels.unionAll(prop)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias("docid"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def dedup_clusters(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Duplicate clusters over the exact near-dup pair set: every doc
+    labeled with its component's smallest docid."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+    return connected_components(
+        docs.select("docid"), pairs.select("doc_a", "doc_b")
+    )
+
+
+DEDUP_CLUSTERS_SQL = (
+    NGRAM_JACCARD_SQL.replace("WITH toks AS (", "WITH RECURSIVE toks AS (", 1)
+    .rsplit("SELECT i.doc_a", 1)[0]
+    + """,
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN counts ca ON ca.docid = i.doc_a
+  JOIN counts cb ON cb.docid = i.doc_b
+  WHERE round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 4) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(u, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+)
+SELECT u AS docid, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY u
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # dedup: SimHash
 # ---------------------------------------------------------------------------
 

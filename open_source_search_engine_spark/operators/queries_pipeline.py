@@ -59,6 +59,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     return P.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+@register("dedup_clusters", P.DEDUP_CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clusters (Clusterdb shape): connected components over
+    the near-dup pair set via iterative min-label propagation; the
+    oracle recomputes them with a recursive CTE."""
+    return P.dedup_clusters(_docs(spark, sf_dir))
+
+
 # Oracle-paired: the pinned md5-60 token hash is computable in BOTH
 # engines, so DuckDB rebuilds the fingerprints bit-for-bit and checks
 # the banded pair search against its brute-force Hamming join.
