@@ -656,6 +656,105 @@ def ann_lsh(
     )
 
 
+IVF_CENTROID_MOD = 37  # vec_id % MOD == 1 -> deterministic centroid set
+
+
+def ann_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: vectors are assigned to
+    their nearest centroid (coarse quantizer); a query probes only the
+    ``n_probe`` nearest centroids' inverted lists and scans those
+    exactly.
+
+    The centroid set is a deterministic sample of the corpus
+    (vec_id % {mod} == 1) instead of a k-means fit, which makes the
+    whole path — assignment argmax, probe choice, candidate scan —
+    reproducible in the SQL oracle; a k-means coarse quantizer drops
+    in without changing the plan. Scale: write the table PARTITIONED
+    BY (centroid_id) and the probe becomes Parquet/Iceberg partition
+    pruning — the query reads n_probe/n_centroids of the data.
+    """
+    centroids = (
+        emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    crows = sorted(
+        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        for r in centroids.collect()
+    )
+    cids = np.array([c[0] for c in crows])
+    cmat = np.array([c[1] for c in crows], dtype=np.float64)
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.LongType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ cnorm.T
+        # ties broken by smallest centroid id (cids sorted ascending,
+        # argmax returns the first max) — pinned, mirrored in SQL
+        return pd.Series(cids[np.argmax(sims, axis=1)])
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qsims = (q / np.linalg.norm(q)) @ cnorm.T
+    order = np.lexsort((cids, -qsims))
+    probe = [int(cids[i]) for i in order[:n_probe]]
+
+    assigned = emb.withColumn("cid", assign_udf("embedding"))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("cid").isin(probe)).withColumn(
+        "q", qlit
+    ).withColumn("cosine", F.round(_cosine_expr("embedding", "q"), 4))
+    return (
+        cand.select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_sql(query_vec_sql: str, k: int = 10, n_probe: int = 3) -> str:
+    """DuckDB mirror: same centroid sample, same argmax assignment
+    (row_number over cosine desc, cid asc), same probe set."""
+    cos = (
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * {b}[i])) "
+        "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x))) "
+        "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
+    )
+    return f"""
+WITH q AS (SELECT {query_vec_sql} AS qe),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 1
+),
+assigned AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY {cos.format(a="embedding", b="cvec")} DESC, cid ASC
+         ) AS rn
+  FROM embeddings CROSS JOIN cent
+),
+probe AS (
+  SELECT cid,
+         row_number() OVER (
+           ORDER BY {cos.format(a="qe", b="cvec")} DESC, cid ASC
+         ) AS prn
+  FROM cent CROSS JOIN q
+)
+SELECT a.vec_id,
+       round({cos.format(a="a.embedding", b="qe")}, 4) AS cosine
+FROM assigned a CROSS JOIN q
+WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe WHERE prn <= {n_probe})
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {k}
+"""
+
+
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.4, k_planes: int = 4, seed: int = 11,
     dim: int = 64, n_tables: int = 24,

@@ -115,6 +115,19 @@ def ann_lsh(spark, sf_dir):
     return P.ann_lsh(emb, _query_vec(spark, sf_dir), k=10)
 
 
+@register(
+    "ann_ivf",
+    P.ann_ivf_sql("(SELECT embedding FROM embeddings WHERE vec_id = 0)"),
+)
+def ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the scale path the training-data
+    brief names alongside LSH): probe n nearest centroids, scan only
+    their inverted lists; oracle-paired — the deterministic centroid
+    sample makes assignment + probing SQL-expressible."""
+    emb = _emb(spark, sf_dir)
+    return P.ann_ivf(emb, _query_vec(spark, sf_dir), k=10)
+
+
 @register("embedding_dups")  # rows-only; pytest checks precision/recall
 def embedding_dups(spark, sf_dir):
     return P.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)

@@ -193,6 +193,17 @@ def test_ann_lsh_recall(spark, emb):
     assert recall >= 0.3, f"ann recall@10 {recall}"
 
 
+def test_ann_ivf_recall(spark, emb):
+    """IVF probe-3 recall vs brute force, and the query's own cluster
+    is always probed (vec 0's nearest centroid contains vec 0)."""
+    q = _qvec(emb)
+    true10 = [r["vec_id"] for r in P.ann_bruteforce(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in P.ann_ivf(emb, q, k=10).collect()]
+    assert 0 in approx  # the query vector itself survives the probe
+    recall = len(set(true10) & set(approx)) / 10
+    assert recall >= 0.3, f"ivf recall@10 {recall}"
+
+
 def test_embedding_dups_against_numpy(spark, emb):
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows])
