@@ -228,6 +228,40 @@ def json_field_search(spark, sf_dir):
     )
 
 
+# --- E5: grouping sets / rollup -------------------------------------------
+
+ROLLUP_SQL = """
+SELECT coalesce(source, 'ALL') AS source,
+       coalesce(lang, 'ALL') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY ROLLUP (source, lang)
+"""
+
+
+@register("facet_rollup", ROLLUP_SQL)
+def facet_rollup(spark, sf_dir):
+    """Hierarchical facet rollup (E5 — absent in the reference, which
+    accumulates one facet level at a time in PosdbTable; ROLLUP gives
+    the (source), (source, lang) and grand-total tiers in ONE pass
+    with partial aggregation, the Spark-native upgrade)."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 # --- D17: spell suggestion -------------------------------------------------
 
 SPELL_INPUT = "fitler"  # classic transposition of 'filter'
