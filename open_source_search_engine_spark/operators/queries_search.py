@@ -33,9 +33,11 @@ def _pos_index(spark, sf_dir):
 
 PHRASE = ["table", "hash"]
 
-# restrict_cte must be a bare CTE body — inline the positional
-# tokenization as subqueries inside the allowed() body.
-PHRASE_RESTRICT_CTE = f"""
+
+def phrase_restrict_cte(w1: str, w2: str) -> str:
+    """Bare CTE body selecting docids where w2 directly follows w1 —
+    the positional tokenization inlined as subqueries."""
+    return f"""
 SELECT DISTINCT a.docid
 FROM (SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
       FROM (SELECT doc_id AS docid,
@@ -46,8 +48,11 @@ JOIN (SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
                    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
             FROM documents)) b
   ON a.docid = b.docid AND b.pos = a.pos + 1
-WHERE a.term = '{PHRASE[0]}' AND b.term = '{PHRASE[1]}'
+WHERE a.term = '{w1}' AND b.term = '{w2}'
 """
+
+
+PHRASE_RESTRICT_CTE = phrase_restrict_cte(*PHRASE)
 
 
 @register(
@@ -280,6 +285,104 @@ def search_sortby_filtered(spark, sf_dir):
         "join -slow lang:en sortby:n_chars",
         k=10,
     )
+
+
+# --- D3: wiki-title phrase weighting ---------------------------------------
+
+
+def load_wiki_titles() -> frozenset[str]:
+    """Known-title phrase list from the packaged data file (ref:
+    Wiki.cpp loads titledb's wikipedia-title hash table at startup;
+    query bigrams that match a known title score as a unit)."""
+    from importlib import resources
+
+    text = (
+        resources.files("open_source_search_engine_spark")
+        .joinpath("data/wiki_titles.tsv")
+        .read_text()
+    )
+    return frozenset(
+        ln.strip() for ln in text.splitlines() if ln.strip()
+    )
+
+
+WIKI_TITLES = load_wiki_titles()
+WIKI_W = 1.0
+
+
+def wiki_title_boosted(idx, terms: list[str], k: int = 10):
+    """BM25 (OR) + WIKI_W per query bigram that is a KNOWN title and
+    appears adjacently in the doc (ref: Query.cpp m_inTitles /
+    Posdb's wiki-bigram proximity weighting — 'hash table' as a
+    title-phrase outranks scattered 'hash … table')."""
+    from pyspark.sql import functions as FF
+
+    from .bm25 import bm25_topk
+    from .search import phrase_docids
+
+    base = bm25_topk(idx, terms, k=None, mode="or", round_to=None)
+    boosts = None
+    for i in range(len(terms) - 1):
+        if f"{terms[i]} {terms[i + 1]}" in WIKI_TITLES:
+            ph = phrase_docids(idx, [terms[i], terms[i + 1]]).withColumn(
+                "b", FF.lit(WIKI_W)
+            )
+            boosts = ph if boosts is None else boosts.unionAll(ph)
+    if boosts is not None:
+        boosts = boosts.groupBy("docid").agg(FF.sum("b").alias("b"))
+        base = base.join(boosts, "docid", "left").select(
+            "docid",
+            (FF.col("score") + FF.coalesce("b", FF.lit(0.0))).alias("score"),
+        )
+    return (
+        base.select("docid", FF.round("score", 4).alias("score"))
+        .orderBy(FF.desc("score"), FF.asc("docid"))
+        .limit(k)
+    )
+
+
+WIKI_TITLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS docid, t.tokk AS term
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  WHERE t.tokk <> ''
+),
+postings AS (
+  SELECT docid, term, count(*) AS tf FROM tok GROUP BY docid, term
+),
+doclen AS (SELECT docid, count(*) AS dl FROM tok GROUP BY docid),
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.docid,
+         sum( ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) )
+           AS score
+  FROM postings p
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  WHERE p.term IN ('hash', 'table')
+  GROUP BY p.docid
+),
+ph AS ({phrase_restrict_cte("hash", "table")})
+SELECT s.docid,
+       round(s.score + CASE WHEN s.docid IN (SELECT docid FROM ph)
+                            THEN 1.0 ELSE 0 END, 4) AS score
+FROM scored s
+ORDER BY round(s.score + CASE WHEN s.docid IN (SELECT docid FROM ph)
+                              THEN 1.0 ELSE 0 END, 4) DESC, s.docid ASC
+LIMIT 10
+"""
+
+
+@register("wiki_title_bm25", WIKI_TITLE_SQL)
+def wiki_title_bm25(spark, sf_dir):
+    return wiki_title_boosted(_pos_index(spark, sf_dir), ["hash", "table"])
 
 
 # --- G1/G2: nested boolean query ------------------------------------------
