@@ -478,14 +478,22 @@ def hamming_pairs(
     blocks layout is band composition over this same primitive).
     """
     nbands = max_hamming + 1
-    width = -(-nbits // nbands)  # ceil: bands cover all bits
+    # Partition the nbits into EXACTLY nbands contiguous bands,
+    # distributing the remainder (first nbits % nbands bands are one
+    # bit wider). The round-2 form used a ceil width and stopped when
+    # lo >= nbits, which for nbits=60, radius 10 produced only 10
+    # bands — a pair at Hamming 10 with one differing bit per band
+    # matched no band and was silently missed. Pigeonhole needs
+    # nbands = max_hamming + 1 bands, always.
+    base, extra = divmod(nbits, nbands)
+    assert base >= 1, f"radius {max_hamming} too wide for {nbits} bits"
     band_exprs = []
+    lo = 0
     for q in range(nbands):
-        lo = q * width
-        if lo >= nbits:
-            break
-        mask = (1 << min(width, nbits - lo)) - 1
+        width = base + (1 if q < extra else 0)
+        mask = (1 << width) - 1
         band_exprs.append(f"shiftright(simhash, {lo}) & {mask}")
+        lo += width
     bands = sh.select(
         "docid",
         "simhash",

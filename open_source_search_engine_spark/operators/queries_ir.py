@@ -102,7 +102,10 @@ def _packed_index(spark, sf_dir):
     from .segments import SegmentStore, build_segments
     from .wand import PackedIndex
 
-    key = (id(spark.sparkContext), sf_dir)
+    # keyed like cached_index/ensure_shipped: (applicationId, startTime)
+    # cannot be recycled by a later context after GC, unlike id(sc).
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir)
     if key not in _PACKED:
         root = tempfile.mkdtemp(prefix="sfx_packed_")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(

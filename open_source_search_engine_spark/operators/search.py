@@ -463,7 +463,10 @@ def search(
     phrase post-filter → field constraints → top-k (the §3.1 lifecycle
     as one DataFrame plan)."""
     pq = parse_query(qtext)
-    if not pq.terms:
+    if not pq.terms and not pq.fields.get("sortby"):
+        # a sortby query may be metadata-only ("lang:en sortby:n_chars"
+        # — round-1 behavior, restored): the restrict set is ordered
+        # directly. Everything else needs at least one scoring term.
         raise ValueError(f"no searchable terms in query: {qtext!r}")
     restrict = None
     for words in pq.phrases:
@@ -490,15 +493,30 @@ def search(
         # gbsortby: keeps the FULL match semantics (AND/OR, phrases,
         # negation, metadata constraints) and only swaps the ranking
         # key — the round-1 form scored just the first term and
-        # silently dropped every other constraint.
-        matched = bm25_topk(
-            index,
-            pq.terms,
-            k=None,
-            mode=pq.mode,
-            neg_terms=pq.negated or None,
-            restrict=restrict,
-        ).select("docid")
+        # silently dropped every other constraint. A TERM-LESS sortby
+        # ("lang:en sortby:n_chars") orders the restrict set directly.
+        if pq.terms:
+            matched = bm25_topk(
+                index,
+                pq.terms,
+                k=None,
+                mode=pq.mode,
+                neg_terms=pq.negated or None,
+                restrict=restrict,
+            ).select("docid")
+        elif restrict is not None:
+            matched = restrict.select("docid").distinct()
+            for w in pq.negated:
+                bad = (
+                    index.postings.filter(F.col("term") == w)
+                    .select("docid")
+                    .distinct()
+                )
+                matched = matched.join(bad, "docid", "left_anti")
+        else:
+            raise ValueError(
+                f"sortby query needs terms or constraints: {qtext!r}"
+            )
         joined = matched.join(docs_meta.select("docid", sortby), "docid")
         return (
             joined.orderBy(F.desc(sortby), F.asc("docid"))

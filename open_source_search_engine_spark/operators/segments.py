@@ -188,12 +188,21 @@ class SegmentStore:
         return os.path.join(self.root, "term_stats")
 
     def committed_segments(self, spark: SparkSession) -> set[int]:
+        """Committed BATCH segment numbers. Manifest rows are filtered
+        to ``seg-*`` ids: streaming epochs share the manifest (rows
+        named ``stream-*`` with part_lo = epoch id), and an epoch id
+        must never satisfy batch-segment resume — a store holding
+        stream epochs 0..N would otherwise silently skip batch
+        segments 0..N, dropping their postings."""
         if not os.path.exists(self.manifest_path):
             return set()
         m = spark.read.parquet(self.manifest_path)
         return {
             int(r["part_lo"])
-            for r in m.filter(F.col("status") == "committed")
+            for r in m.filter(
+                (F.col("status") == "committed")
+                & F.col("segment_id").startswith("seg-")
+            )
             .select("part_lo")
             .distinct()
             .collect()

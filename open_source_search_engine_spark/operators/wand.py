@@ -45,9 +45,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.varbyte import unpack_docids, unpack_ints
+from .index_build import B, K1
 from .segments import SegmentStore
 
 SCORE_SCHEMA = "docid long, score double"
+
+# BM25 constants shared with the relational path (index_build.K1/B) —
+# precomputed once so the block-max upper bound and the scorer can
+# never silently diverge from bm25_topk if K1/B change (an invalid
+# upper bound would DROP true top-k docs, not just mis-score them).
+_K1P1 = K1 + 1.0
+_K1_1MB = K1 * (1.0 - B)
+_K1B = K1 * B
 
 
 def _make_bucket_scorer(
@@ -82,8 +91,8 @@ def _make_bucket_scorer(
             bm_tf = pdf["blockmax_tf"].to_numpy(np.float64)
             bm_dl = pdf["blockmin_dl"].to_numpy(np.float64)
             inv_avgdl = float(pdf["inv_avgdl"].iloc[0])
-            bm = (bm_tf * 2.2) / (
-                bm_tf + 1.2 * (0.25 + 0.75 * bm_dl * inv_avgdl)
+            bm = (bm_tf * _K1P1) / (
+                bm_tf + _K1_1MB + _K1B * bm_dl * inv_avgdl
             )
             idfs = np.array([idf_by_termid.get(int(t), 0.0) for t in tids])
             per_term = {}
@@ -101,7 +110,9 @@ def _make_bucket_scorer(
                 continue
             tfs = unpack_ints(row.tfs).astype(np.float64)
             dls = unpack_ints(row.dls).astype(np.float64)
-            tfnorm = (tfs * 2.2) / (tfs + 1.2 * (0.25 + 0.75 * dls * row.inv_avgdl))
+            tfnorm = (tfs * _K1P1) / (
+                tfs + _K1_1MB + _K1B * dls * row.inv_avgdl
+            )
             docid_parts.append(docids)
             score_parts.append(idf_by_termid[row.termid] * tfnorm)
             req_parts.append(
@@ -354,8 +365,8 @@ class PackedIndex:
         )
         bm_tf = F.col("blockmax_tf").cast("double")
         bm_dl = F.col("blockmin_dl").cast("double")
-        tfnorm_ub = (bm_tf * 2.2) / (
-            bm_tf + 1.2 * (0.25 + 0.75 * bm_dl * F.col("inv_avgdl"))
+        tfnorm_ub = (bm_tf * _K1P1) / (
+            bm_tf + _K1_1MB + _K1B * bm_dl * F.col("inv_avgdl")
         )
         pos = ctx["blocks"].filter(F.col("termid").isin(list(ctx["idf"])))
         nbytes = (
