@@ -213,13 +213,55 @@ WHERE round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 4) >= 0.4
 # ---------------------------------------------------------------------------
 
 MERSENNE_P = (1 << 61) - 1
+_P61 = np.uint64(MERSENNE_P)
+_U61 = np.uint64(61)
+_U31 = np.uint64(31)
+_U30 = np.uint64(30)
+_MASK31 = np.uint64((1 << 31) - 1)
+_MASK30 = np.uint64((1 << 30) - 1)
 
 
 def _perm_params(n_perm: int, seed: int = 42):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE_P, size=n_perm, dtype=np.int64).astype(object)
-    b = rng.randint(0, MERSENNE_P, size=n_perm, dtype=np.int64).astype(object)
-    return a, b
+    a = rng.randint(1, MERSENNE_P, size=n_perm, dtype=np.int64)
+    b = rng.randint(0, MERSENNE_P, size=n_perm, dtype=np.int64)
+    return a.astype(np.uint64), b.astype(np.uint64)
+
+
+def _fold61(v: np.ndarray) -> np.ndarray:
+    """v mod (2^61-1) for uint64 v (two shift-add folds + one
+    conditional subtract — no division)."""
+    v = (v >> _U61) + (v & _P61)
+    v = (v >> _U61) + (v & _P61)
+    return np.where(v >= _P61, v - _P61, v)
+
+
+def _mulmod61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod (2^61-1) for uint64 a, x < 2^61, fully vectorized
+    via 31/30-bit limb splits (2^61 ≡ 1, so 2^62 ≡ 2 and t·2^31 folds
+    as (t >> 30) + (t & (2^30-1)) << 31). All intermediates < 2^63."""
+    ah, al = a >> _U31, a & _MASK31
+    xh, xl = x >> _U31, x & _MASK31
+    t1 = ah * xh                       # * 2^62 ≡ * 2
+    t2 = _fold61(ah * xl + al * xh)    # * 2^31
+    t2h, t2l = t2 >> _U30, t2 & _MASK30
+    s = (t1 << np.uint64(1)) + t2h + (t2l << _U31) + al * xl
+    return _fold61(s)
+
+
+def _universal_hash61(x_signed: np.ndarray, a: np.ndarray,
+                      b: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod (2^61-1) with PYTHON-INT semantics for signed
+    64-bit x (xxhash64 outputs): a negative x reduces as
+    x ≡ (x + 2^64) - 2^64 ≡ u - 8 (mod p, since 2^64 ≡ 8). Bit-equal
+    to the round-2 object-dtype big-int form (pytest-pinned), ~50×
+    faster — one uint64 matrix pass, no per-element Python."""
+    u = x_signed.astype(np.int64).view(np.uint64)
+    xm = _fold61(u)
+    neg = x_signed < 0
+    xm = np.where(neg, (xm + _P61 - np.uint64(8)) % _P61, xm)
+    hv = _mulmod61(a[None, :], xm[:, None]) + b[None, :]
+    return np.where(hv >= _P61, hv - _P61, hv)
 
 
 def minhash_signatures(
@@ -230,9 +272,10 @@ def minhash_signatures(
 
     Shingle base hashes are JVM ``xxhash64``; the n_perm universal
     hashes h_i(x) = (a_i*x + b_i) mod (2^61-1) and the min-reduction
-    run in ONE numpy matrix op per Arrow batch (pandas UDF over the
-    collected per-doc hash array) — no per-row Python, no shuffle
-    beyond the per-doc collect_set.
+    run in ONE numpy uint64 matrix pass per doc (``_universal_hash61``
+    — 31-bit-limb modular multiply, the round-2 object-dtype big-int
+    loop vectorized away; bit-equality pinned in pytest) — no
+    per-element Python, no shuffle beyond the per-doc collect_set.
 
     Scale: signatures are n_perm*8 bytes/doc regardless of doc size —
     the dedup working set drops ~100x vs raw shingles.
@@ -246,9 +289,7 @@ def minhash_signatures(
             if arr is None or len(arr) == 0:
                 out.append(np.full(n_perm, np.iinfo(np.int64).max).tolist())
                 continue
-            # object dtype => Python big-int math, exact mod 2^61-1
-            x = np.asarray(arr, dtype=np.int64).astype(object)[:, None]
-            hv = (x * a[None, :] + b[None, :]) % MERSENNE_P
+            hv = _universal_hash61(np.asarray(arr, dtype=np.int64), a, b)
             out.append(hv.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
@@ -368,10 +409,22 @@ def connected_components(
     )
 
 
-def dedup_clusters(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Duplicate clusters over the exact near-dup pair set: every doc
-    labeled with its component's smallest docid."""
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold)
+    labeled with its component's smallest docid.
+
+    ``max_shingle_df`` passes through to candidate generation — the
+    registered query caps it exactly like ``dedup_ngram_jaccard``
+    (the round-2 form regenerated candidates UNCAPPED here, the
+    boilerplate-shingle self-join blowup the cap exists to prevent);
+    emitted pair Jaccards stay exact either way."""
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=threshold, max_shingle_df=max_shingle_df
+    )
     return connected_components(
         docs.select("docid"), pairs.select("doc_a", "doc_b")
     )
@@ -610,13 +663,18 @@ def ann_bruteforce(
     )
 
 
+ANN_LSH_PLANES = 6
+ANN_LSH_TABLES = 16
+ANN_LSH_SEED = 7
+
+
 def ann_lsh(
     emb: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    n_planes: int = 6,
-    n_tables: int = 16,
-    seed: int = 7,
+    n_planes: int = ANN_LSH_PLANES,
+    n_tables: int = ANN_LSH_TABLES,
+    seed: int = ANN_LSH_SEED,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH (Charikar'02).
@@ -626,30 +684,24 @@ def ann_lsh(
     Signatures are one numpy matmul per Arrow batch; the candidate
     filter prunes the exact-cosine scan to matching buckets.
 
-    Scale: bucket the table by (table, signature) at write time and
-    the query touches n_tables buckets — IVF-style partition pruning
-    with Parquet/Iceberg partition filters. Recall tuned by
-    n_planes/n_tables; measured against ann_bruteforce in pytest.
+    Oracle-paired (``ann_lsh_sql``): the plane matrix is interpolated
+    into the SQL as double literals (repr round-trips float64
+    exactly), so DuckDB replays the same signatures, the same ANY-
+    table match and the same exact-cosine top-k — the IVF pattern
+    applied to LSH. Scale: bucket the table by (table, signature) at
+    write time and the query touches n_tables buckets — IVF-style
+    partition pruning with Parquet/Iceberg partition filters. Recall
+    tuned by n_planes/n_tables; measured against ann_bruteforce in
+    pytest.
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
     q = np.asarray(query_vec, dtype=np.float64)
     q_sigs = [
         int(((planes[t] @ q) > 0).astype(np.uint64)
             @ (1 << np.arange(n_planes, dtype=np.uint64)))
         for t in range(n_tables)
     ]
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # (batch, dim) float32
-        # (tables, batch, planes) sign bits -> packed ints
-        sigs = np.einsum("tpd,bd->tbp", planes, m.astype(np.float64)) > 0
-        packed = sigs.astype(np.uint64) @ (1 << np.arange(n_planes,
-                                                          dtype=np.uint64))
-        return pd.Series(packed.T.astype(np.int64).tolist())
-
-    sigs = emb.withColumn("sigs", sig_udf("embedding"))
+    sigs = emb.withColumn("sigs", _plane_sig_udf(planes)("embedding"))
     match = F.lit(False)
     for t, qs in enumerate(q_sigs):
         match = match | (F.element_at("sigs", t + 1) == F.lit(qs))
@@ -664,40 +716,42 @@ def ann_lsh(
     )
 
 
-IVF_CENTROID_MOD = 37  # vec_id % MOD == 1 -> deterministic centroid set
+# Fixed-SIZE deterministic centroid sample: the n_centroids vec_ids
+# with the smallest Knuth-mixed key (vec_id * 2654435761) mod 2^32 —
+# a stand-in for a k-means fit that BOTH engines can replay exactly.
+# The driver-side collect is O(n_centroids · dim) — independent of
+# corpus size (the round-2 form collected vec_id % 37 == 1, ~2.7% OF
+# THE CORPUS: ~27M rows at 10^9 vectors, a driver bottleneck).
+IVF_N_CENTROIDS = 64
+IVF_MIX = 2654435761  # Knuth multiplicative-hash constant
+IVF_MIX_MOD = 1 << 32
 
 
-def ann_ivf(
-    emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
-    n_probe: int = 3,
-) -> DataFrame:
-    """IVF-style approximate cosine top-k: vectors are assigned to
-    their nearest centroid (coarse quantizer); a query probes only the
-    ``n_probe`` nearest centroids' inverted lists and scans those
-    exactly.
-
-    The centroid set is a deterministic sample of the corpus
-    (vec_id % {mod} == 1) instead of a k-means fit, which makes the
-    whole path — assignment argmax, probe choice, candidate scan —
-    reproducible in the SQL oracle; a k-means coarse quantizer drops
-    in without changing the plan. Scale: write the table PARTITIONED
-    BY (centroid_id) and the probe becomes Parquet/Iceberg partition
-    pruning — the query reads n_probe/n_centroids of the data.
-    """
-    centroids = (
-        emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1)
+def ivf_centroid_sample(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """(cid, cvec): the fixed-size deterministic centroid sample."""
+    key = (F.col("vec_id") * F.lit(IVF_MIX)) % F.lit(IVF_MIX_MOD)
+    return (
+        emb.orderBy(key.asc(), F.col("vec_id").asc())
+        .limit(n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
     )
+
+
+def _centroid_matrix(emb: DataFrame, n_centroids: int):
+    """Collect the (fixed-size) centroid sample to numpy: cids sorted
+    ascending (argmax-first-max tie-break keys on the smallest cid,
+    mirrored in the SQL oracle's row_number ORDER BY)."""
     crows = sorted(
         (int(r["cid"]), [float(x) for x in r["cvec"]])
-        for r in centroids.collect()
+        for r in ivf_centroid_sample(emb, n_centroids).collect()
     )
     cids = np.array([c[0] for c in crows])
     cmat = np.array([c[1] for c in crows], dtype=np.float64)
     cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    return cids, cnorm
 
+
+def _assign_udf(cids: np.ndarray, cnorm: np.ndarray):
     @F.pandas_udf(T.LongType())
     def assign_udf(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
@@ -707,12 +761,41 @@ def ann_ivf(
         # argmax returns the first max) — pinned, mirrored in SQL
         return pd.Series(cids[np.argmax(sims, axis=1)])
 
+    return assign_udf
+
+
+def _probe_set(cids, cnorm, query_vec, n_probe) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
     qsims = (q / np.linalg.norm(q)) @ cnorm.T
     order = np.lexsort((cids, -qsims))
-    probe = [int(cids[i]) for i in order[:n_probe]]
+    return [int(cids[i]) for i in order[:n_probe]]
 
-    assigned = emb.withColumn("cid", assign_udf("embedding"))
+
+def ann_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    n_centroids: int = IVF_N_CENTROIDS,
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: vectors are assigned to
+    their nearest centroid (coarse quantizer); a query probes only the
+    ``n_probe`` nearest centroids' inverted lists and scans those
+    exactly.
+
+    The centroid set is a FIXED-SIZE deterministic sample
+    (``ivf_centroid_sample``) instead of a k-means fit, which makes
+    the whole path — assignment argmax, probe choice, candidate scan —
+    reproducible in the SQL oracle; a k-means coarse quantizer drops
+    in without changing the plan. Scale: the driver holds n_centroids
+    × dim floats only; ``ivf_write``/``ann_ivf_from_store`` persist
+    the assigned table PARTITIONED BY cid so the probe becomes Parquet
+    partition pruning — the query reads n_probe/n_centroids of the
+    data (plan audited in BENCH/plans.md).
+    """
+    cids, cnorm = _centroid_matrix(emb, n_centroids)
+    probe = _probe_set(cids, cnorm, query_vec, n_probe)
+    assigned = emb.withColumn("cid", _assign_udf(cids, cnorm)("embedding"))
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = assigned.filter(F.col("cid").isin(probe)).withColumn(
         "q", qlit
@@ -724,9 +807,55 @@ def ann_ivf(
     )
 
 
-def ann_ivf_sql(query_vec_sql: str, k: int = 10, n_probe: int = 3) -> str:
-    """DuckDB mirror: same centroid sample, same argmax assignment
-    (row_number over cosine desc, cid asc), same probe set."""
+def ivf_write(
+    emb: DataFrame, root: str, n_centroids: int = IVF_N_CENTROIDS
+) -> None:
+    """Write-time IVF layout: the assigned table PARTITIONED BY cid —
+    the on-disk form the docstring above promises. One pass over the
+    corpus; each inverted list is its own partition directory."""
+    cids, cnorm = _centroid_matrix(emb, n_centroids)
+    (
+        emb.withColumn("cid", _assign_udf(cids, cnorm)("embedding"))
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(root)
+    )
+
+
+def ann_ivf_from_store(
+    spark,
+    emb: DataFrame,
+    root: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    n_centroids: int = IVF_N_CENTROIDS,
+) -> DataFrame:
+    """Probe a written IVF store: the cid filter is a PARTITION filter
+    (Catalyst partition pruning — only n_probe directories are read;
+    ``emb`` is used solely to recover the centroid sample)."""
+    cids, cnorm = _centroid_matrix(emb, n_centroids)
+    probe = _probe_set(cids, cnorm, query_vec, n_probe)
+    assigned = spark.read.parquet(root)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = assigned.filter(F.col("cid").isin(probe)).withColumn(
+        "q", qlit
+    ).withColumn("cosine", F.round(_cosine_expr("embedding", "q"), 4))
+    return (
+        cand.select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ann_ivf_sql(
+    query_vec_sql: str,
+    k: int = 10,
+    n_probe: int = 3,
+    n_centroids: int = IVF_N_CENTROIDS,
+) -> str:
+    """DuckDB mirror: same fixed-size centroid sample, same argmax
+    assignment (row_number over cosine desc, cid asc), same probes."""
     cos = (
         "list_sum(list_transform(range(1, len({a}) + 1), "
         "i -> CAST({a}[i] AS DOUBLE) * {b}[i])) "
@@ -737,7 +866,8 @@ def ann_ivf_sql(query_vec_sql: str, k: int = 10, n_probe: int = 3) -> str:
 WITH q AS (SELECT {query_vec_sql} AS qe),
 cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  WHERE vec_id % {IVF_CENTROID_MOD} = 1
+  ORDER BY (vec_id * {IVF_MIX}) % {IVF_MIX_MOD} ASC, vec_id ASC
+  LIMIT {n_centroids}
 ),
 assigned AS (
   SELECT vec_id, embedding, cid,
@@ -763,45 +893,174 @@ LIMIT {k}
 """
 
 
-def embedding_dup_pairs(
-    emb: DataFrame, threshold: float = 0.4, k_planes: int = 4, seed: int = 11,
-    dim: int = 64, n_tables: int = 24,
-) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= threshold) via hyperplane-
-    LSH candidate buckets + exact verify — the embedding analogue of
-    minhash_lsh_pairs. Returns (vec_a, vec_b, cosine)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_tables, k_planes, dim))
+EMB_DUP_PLANES = 4
+EMB_DUP_TABLES = 24
+EMB_DUP_SEED = 11
+
+
+def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int):
+    return np.random.RandomState(seed).standard_normal(
+        (n_tables, n_planes, dim)
+    )
+
+
+def _plane_sig_udf(planes: np.ndarray):
+    """array<long>[n_tables] hyperplane sign-signatures, one numpy
+    einsum per Arrow batch."""
+    n_planes = planes.shape[1]
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
         sigs = np.einsum("tpd,bd->tbp", planes, m) > 0
-        packed = sigs.astype(np.uint64) @ (1 << np.arange(k_planes,
+        packed = sigs.astype(np.uint64) @ (1 << np.arange(n_planes,
                                                           dtype=np.uint64))
         return pd.Series(packed.T.astype(np.int64).tolist())
 
-    sigs = emb.select("vec_id", "embedding", sig_udf("embedding").alias("sigs"))
-    banded = sigs.select(
-        "vec_id", "embedding", F.posexplode("sigs").alias("tbl", "sig")
-    )
+    return sig_udf
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, threshold: float = 0.4, k_planes: int = EMB_DUP_PLANES,
+    seed: int = EMB_DUP_SEED, dim: int = 64, n_tables: int = EMB_DUP_TABLES,
+) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= threshold) via hyperplane-
+    LSH candidate buckets + exact verify — the embedding analogue of
+    minhash_lsh_pairs. Returns (vec_a, vec_b, cosine).
+
+    Scale: the banding join and distinct carry ONLY (tbl, sig, vec_id)
+    — ids, never embedding payloads (the round-2 form shuffled full
+    vectors through both, violating the module's "shuffles carry
+    hashes, never payloads" principle); embeddings are re-joined per
+    candidate pair for the exact-cosine verify, exactly like the
+    minhash verify semi-joins shingles to candidate docs."""
+    planes = _hyperplanes(n_tables, k_planes, dim, seed)
+    sigs = emb.select("vec_id", _plane_sig_udf(planes)("embedding").alias("sigs"))
+    banded = sigs.select("vec_id", F.posexplode("sigs").alias("tbl", "sig"))
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["tbl", "sig"])
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            F.col("x.embedding").alias("ea"),
-            F.col("y.embedding").alias("eb"),
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
         )
         .distinct()
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"))
     return (
-        cand.withColumn("cosine", F.round(_cosine_expr("ea", "eb"), 4))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", F.round(_cosine_expr("ea", "eb"), 4))
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# --- SQL mirrors for the hyperplane-LSH paths -------------------------------
+# The plane matrices are interpolated as double literals: repr() is the
+# shortest round-trip form, so DuckDB parses the SAME float64 values
+# and replays signatures bit-for-bit (sign flips would need |dot| ~
+# 1e-15 · |v|, probability ~1e-16 per dot — deterministic in practice,
+# and the driver hash-checks it every round).
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
+)
+_SQL_COS = (
+    f"({_SQL_DOT} "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x)))))"
+)
+
+
+def _planes_values_sql(planes: np.ndarray) -> str:
+    """VALUES rows (tbl, pl, w) — one row per hyperplane."""
+    rows = []
+    for t in range(planes.shape[0]):
+        for p in range(planes.shape[1]):
+            w = ", ".join(repr(float(x)) for x in planes[t, p])
+            rows.append(f"({t}, {p}, [{w}])")
+    return ",\n    ".join(rows)
+
+
+def _sigs_cte_sql(planes: np.ndarray) -> str:
+    """planes + per-(vec, tbl) packed sign-signature CTEs."""
+    dot = _SQL_DOT.format(a="e.embedding", b="p.w")
+    return f"""planes(tbl, pl, w) AS (VALUES
+    {_planes_values_sql(planes)}
+),
+sigs AS (
+  SELECT e.vec_id, p.tbl,
+         sum(CASE WHEN {dot} > 0 THEN 1 << p.pl ELSE 0 END) AS sig
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl
+)"""
+
+
+def ann_lsh_sql(
+    query_vec_sql: str,
+    k: int = 10,
+    n_planes: int = ANN_LSH_PLANES,
+    n_tables: int = ANN_LSH_TABLES,
+    seed: int = ANN_LSH_SEED,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of ``ann_lsh``: same literal planes, same packed
+    signatures, ANY-table query match, exact-cosine top-k."""
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
+    qdot = _SQL_DOT.format(a="q.qe", b="p.w")
+    cos = _SQL_COS.format(a="e.embedding", b="q.qe")
+    return f"""
+WITH {_sigs_cte_sql(planes)},
+q AS (SELECT {query_vec_sql} AS qe),
+qsig AS (
+  SELECT p.tbl,
+         sum(CASE WHEN {qdot} > 0 THEN 1 << p.pl ELSE 0 END) AS sig
+  FROM planes p CROSS JOIN q
+  GROUP BY p.tbl
+),
+cand AS (
+  SELECT DISTINCT s.vec_id
+  FROM sigs s JOIN qsig ON s.tbl = qsig.tbl AND s.sig = qsig.sig
+)
+SELECT e.vec_id, round({cos}, 4) AS cosine
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.vec_id
+CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT {k}
+"""
+
+
+def embedding_dups_sql(
+    threshold: float = 0.4,
+    k_planes: int = EMB_DUP_PLANES,
+    seed: int = EMB_DUP_SEED,
+    dim: int = 64,
+    n_tables: int = EMB_DUP_TABLES,
+) -> str:
+    """DuckDB mirror of ``embedding_dup_pairs``: same literal planes,
+    same banding pair generation, exact-cosine verify >= threshold."""
+    planes = _hyperplanes(n_tables, k_planes, dim, seed)
+    cos = _SQL_COS.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH {_sigs_cte_sql(planes)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({cos}, 4) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE round({cos}, 4) >= {threshold}
+ORDER BY c.vec_a, c.vec_b
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -63,8 +63,11 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_clusters(spark, sf_dir):
     """Duplicate clusters (Clusterdb shape): connected components over
     the near-dup pair set via iterative min-label propagation; the
-    oracle recomputes them with a recursive CTE."""
-    return P.dedup_clusters(_docs(spark, sf_dir))
+    oracle recomputes them with a recursive CTE. Candidate generation
+    carries the same head-shingle df-cap as dedup_ngram_jaccard (the
+    100 TB form); emitted pairs stay exact so the uncapped oracle
+    still matches."""
+    return P.dedup_clusters(_docs(spark, sf_dir), max_shingle_df=50)
 
 
 # Oracle-paired: the pinned md5-60 token hash is computable in BOTH
@@ -109,8 +112,15 @@ def ann_bruteforce(spark, sf_dir):
     return P.ann_bruteforce(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@register("ann_lsh")  # rows-only; pytest measures recall vs brute force
+@register(
+    "ann_lsh",
+    P.ann_lsh_sql("(SELECT embedding FROM embeddings WHERE vec_id = 0)"),
+)
 def ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN, oracle-paired: the plane matrix rides into
+    the SQL as double literals so DuckDB replays signatures, the
+    ANY-table candidate match and the exact-cosine top-k bit-for-bit
+    (pytest additionally measures recall vs ann_bruteforce)."""
     emb = _emb(spark, sf_dir)
     return P.ann_lsh(emb, _query_vec(spark, sf_dir), k=10)
 
@@ -128,8 +138,11 @@ def ann_ivf(spark, sf_dir):
     return P.ann_ivf(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@register("embedding_dups")  # rows-only; pytest checks precision/recall
+@register("embedding_dups", P.embedding_dups_sql(threshold=0.4))
 def embedding_dups(spark, sf_dir):
+    """Embedding near-dup pairs, oracle-paired via the same literal-
+    planes replay as ann_lsh; the banding join shuffles ids only and
+    re-joins embeddings for the exact-cosine verify."""
     return P.embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 

@@ -227,6 +227,70 @@ def test_embedding_dups_against_numpy(spark, emb):
     )
 
 
+def test_universal_hash61_matches_bigint_reference():
+    """The vectorized 31-bit-limb modular hash must be BIT-EQUAL to
+    the round-2 object-dtype big-int form (Python-int semantics,
+    including negative xxhash64 inputs)."""
+    rng = np.random.RandomState(123)
+    a, b = P._perm_params(64, seed=42)
+    # adversarial inputs: extremes, ±1, and random signed 64-bit
+    x = np.concatenate(
+        [
+            np.array(
+                [0, 1, -1, 2**63 - 1, -(2**63), P.MERSENNE_P,
+                 P.MERSENNE_P + 1, -P.MERSENNE_P],
+                dtype=np.int64,
+            ),
+            rng.randint(-(2**63), 2**63 - 1, size=500, dtype=np.int64),
+        ]
+    )
+    got = P._universal_hash61(x, a, b)
+    ref = (
+        x.astype(object)[:, None] * a.astype(np.int64).astype(object)[None, :]
+        + b.astype(np.int64).astype(object)[None, :]
+    ) % P.MERSENNE_P
+    assert (got.astype(object) == ref).all()
+
+
+def test_dedup_clusters_cap_exact(spark, docs, duck_correct):
+    """Capped candidate generation in dedup_clusters returns the same
+    clusters as the uncapped recursive-CTE oracle (the cap prunes only
+    boilerplate-shingle candidates)."""
+    sdf = P.dedup_clusters(docs, threshold=0.4, max_shingle_df=50)
+    assert_df_matches_duckdb(sdf, duck_correct, P.DEDUP_CLUSTERS_SQL)
+
+
+def test_ivf_fixed_centroid_count(spark, emb):
+    """The centroid sample is FIXED-SIZE (driver holds k·dim floats,
+    not a corpus fraction)."""
+    cids, cnorm = P._centroid_matrix(emb, P.IVF_N_CENTROIDS)
+    assert len(cids) == P.IVF_N_CENTROIDS
+    assert cnorm.shape == (P.IVF_N_CENTROIDS, 64)
+
+
+def test_ivf_store_partition_pruning(spark, emb, tmp_path):
+    """ivf_write persists PARTITIONED BY cid; the probe query's plan
+    shows a partition filter (PartitionFilters/cid IN) and returns the
+    same rows as the in-memory assignment path."""
+    root = str(tmp_path / "ivf")
+    P.ivf_write(emb, root)
+    q = _qvec(emb)
+    from_store = P.ann_ivf_from_store(spark, emb, root, q, k=10)
+    in_memory = P.ann_ivf(emb, q, k=10)
+    assert [tuple(r) for r in from_store.collect()] == [
+        tuple(r) for r in in_memory.collect()
+    ]
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    # pruned scan reads only the probed partitions
+    import os
+
+    n_parts = len(
+        [d for d in os.listdir(root) if d.startswith("cid=")]
+    )
+    assert n_parts > 3, "corpus should spread over >3 centroids"
+
+
 # --- shingles sanity ------------------------------------------------------
 
 
