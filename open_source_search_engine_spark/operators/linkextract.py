@@ -119,6 +119,21 @@ def site_rank_web(links: DataFrame) -> DataFrame:
     )
 
 
+def site_inlink_rank(links: DataFrame) -> DataFrame:
+    """(dst_host, n_inlinks, n_linker_hosts, site_rank): the E3 inlink
+    aggregation AND its C14 siteRank derivation in one row — one
+    driver slot hash-verifies both (the standalone forms stay in the
+    extended pytest tier)."""
+    return inlink_counts_web(links).select(
+        "dst_host",
+        "n_inlinks",
+        "n_linker_hosts",
+        F.least(
+            F.lit(15), F.floor(F.log2(1 + F.col("n_linker_hosts")))
+        ).cast("int").alias("site_rank"),
+    )
+
+
 def anchor_postings(links: DataFrame) -> DataFrame:
     """(docid=dst_url, term, ftf): anchor terms indexed into the
     LINKEE (ref: XmlDoc::hashIncomingLinkText — the anchor text
@@ -245,6 +260,17 @@ FROM links GROUP BY 1"""
 def site_rank_sql(path: str) -> str:
     return f"""WITH {LINKS_SQL_CTE.format(path=path)}
 SELECT regexp_extract(dst_url, '{HOST_RE}', 1) AS dst_host,
+       CAST(least(15, floor(log2(1 + count(DISTINCT
+            regexp_extract(src_url, '{HOST_RE}', 1))))) AS INT) AS site_rank
+FROM links GROUP BY 1"""
+
+
+def site_inlink_rank_sql(path: str) -> str:
+    return f"""WITH {LINKS_SQL_CTE.format(path=path)}
+SELECT regexp_extract(dst_url, '{HOST_RE}', 1) AS dst_host,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT regexp_extract(src_url, '{HOST_RE}', 1)) AS BIGINT)
+         AS n_linker_hosts,
        CAST(least(15, floor(log2(1 + count(DISTINCT
             regexp_extract(src_url, '{HOST_RE}', 1))))) AS INT) AS site_rank
 FROM links GROUP BY 1"""

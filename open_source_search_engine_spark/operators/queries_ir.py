@@ -74,16 +74,25 @@ def _bm25(terms, mode="and", neg=None, k=10):
     return run
 
 
-register("bm25_single", bm25_oracle_sql(["join"]))(_bm25(["join"]))
-register("bm25_and", bm25_oracle_sql(["join", "filter"]))(
+# Driver slots (D4/D5/D6/D8 need 3 rows across the two code paths):
+# bm25_not exercises the relational scorer + negative termlists;
+# wand_and / wand_or exercise the packed path's intersection and
+# union. The other six mode variants are EXTENDED — same oracles,
+# pytest-gated (see registry.py tier note).
+register("bm25_single", bm25_oracle_sql(["join"]), extended=True)(
+    _bm25(["join"])
+)
+register("bm25_and", bm25_oracle_sql(["join", "filter"]), extended=True)(
     _bm25(["join", "filter"])
 )
-register("bm25_and3", bm25_oracle_sql(["join", "filter", "window"]))(
-    _bm25(["join", "filter", "window"])
-)
-register("bm25_or", bm25_oracle_sql(["join", "filter"], mode="or"))(
-    _bm25(["join", "filter"], mode="or")
-)
+register(
+    "bm25_and3",
+    bm25_oracle_sql(["join", "filter", "window"]),
+    extended=True,
+)(_bm25(["join", "filter", "window"]))
+register(
+    "bm25_or", bm25_oracle_sql(["join", "filter"], mode="or"), extended=True
+)(_bm25(["join", "filter"], mode="or"))
 register(
     "bm25_not", bm25_oracle_sql(["join"], neg_terms=["window"])
 )(_bm25(["join"], neg=["window"]))
@@ -127,7 +136,9 @@ def _wand(terms, mode="and", neg=None, k=10):
     return run
 
 
-register("wand_single", bm25_oracle_sql(["join"]))(_wand(["join"]))
+register("wand_single", bm25_oracle_sql(["join"]), extended=True)(
+    _wand(["join"])
+)
 register("wand_and", bm25_oracle_sql(["join", "filter"]))(
     _wand(["join", "filter"])
 )
@@ -135,7 +146,9 @@ register("wand_or", bm25_oracle_sql(["join", "filter"], mode="or"))(
     _wand(["join", "filter"], mode="or")
 )
 register(
-    "wand_not", bm25_oracle_sql(["join"], neg_terms=["window"])
+    "wand_not",
+    bm25_oracle_sql(["join"], neg_terms=["window"]),
+    extended=True,
 )(_wand(["join"], neg=["window"]))
 
 
@@ -146,6 +159,7 @@ register(
     "match_count",
     f"""WITH {TOK_CTE}
 SELECT count(DISTINCT docid) AS n_hits FROM postings WHERE term = 'join'""",
+    extended=True,  # D14's driver row is match_count_sampled
 )
 def match_count(spark, sf_dir):
     idx = cached_index(spark, sf_dir)

@@ -175,13 +175,16 @@ def url_normalize(spark, sf_dir):
 # --- C13/C14/E3: link graph + siteRank ------------------------------------
 
 
-@register("inlink_counts", L.INLINK_SQL)
+# synthetic-link variants: E3/C14 driver rows come from the real
+# extracted web graph (queries_web.site_inlink_rank); these stay
+# pytest-gated
+@register("inlink_counts", L.INLINK_SQL, extended=True)
 def inlink_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return L.inlink_counts(docs, L.synth_links(docs))
 
 
-@register("site_rank", L.SITE_RANK_SQL)
+@register("site_rank", L.SITE_RANK_SQL, extended=True)
 def site_rank(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return L.site_rank(docs, L.synth_links(docs))
@@ -307,7 +310,7 @@ FROM events GROUP BY event_type
 """
 
 
-@register("distinct_users", DISTINCT_USERS_SQL)
+@register("distinct_users", DISTINCT_USERS_SQL, extended=True)
 def distinct_users(spark, sf_dir):
     """Exact distinct-user counts per event type (the oracle-paired
     form; the 10^12-scale variant swaps in approx_count_distinct —

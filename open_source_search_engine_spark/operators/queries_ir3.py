@@ -136,7 +136,7 @@ FROM documents d
 """
 
 
-@register("family_filter", FAMILY_FILTER_SQL)
+@register("family_filter", FAMILY_FILTER_SQL, extended=True)
 def family_filter(spark, sf_dir):
     """Content flag from a blocked-term list (B6; ref:
     SearchInput::m_familyFilter — the reference flags docs at INDEX
@@ -180,7 +180,7 @@ WHERE regexp_extract(url, '\\.([a-z0-9]+)$', 1) = 'pdf'
 """
 
 
-@register("filetype_filter", FILETYPE_SQL)
+@register("filetype_filter", FILETYPE_SQL, extended=True)
 def filetype_filter(spark, sf_dir):
     """filetype: constraint (B8; ref: Url::getExtension indexed as a
     synthetic term). The extension is parsed from the URL STRING with
@@ -192,6 +192,54 @@ def filetype_filter(spark, sf_dir):
         .filter(F.col("filetype") == "pdf")
         .select("docid", "url", "filetype")
     )
+
+
+# --- B6+B8 consolidated driver row -----------------------------------------
+# One driver slot verifies BOTH metadata filters (same value-hash
+# rigor — each source query's rows ride in under a kind tag); the
+# standalone family_filter / filetype_filter variants stay
+# oracle-paired in the extended (pytest) tier.
+
+META_FILTERS_SQL = f"""
+WITH {TOK_CTE},
+flagged AS (
+  SELECT DISTINCT docid FROM postings
+  WHERE term IN ({", ".join(f"'{t}'" for t in BLOCKED_TERMS)})
+),
+urls AS (
+  SELECT doc_id AS docid,
+         concat('https://docs.example.com/f/', CAST(doc_id AS VARCHAR), '.',
+                ['html', 'pdf', 'txt'][(doc_id % 3) + 1]) AS url
+  FROM documents
+)
+SELECT d.doc_id AS docid, 'family' AS kind,
+       CASE WHEN d.doc_id IN (SELECT docid FROM flagged)
+            THEN 'flagged' ELSE 'ok' END AS val
+FROM documents d
+UNION ALL
+SELECT docid, 'filetype' AS kind,
+       regexp_extract(url, '\\.([a-z0-9]+)$', 1) AS val
+FROM urls
+WHERE regexp_extract(url, '\\.([a-z0-9]+)$', 1) = 'pdf'
+"""
+
+
+@register("meta_filters", META_FILTERS_SQL)
+def meta_filters(spark, sf_dir):
+    """B6 family filter + B8 filetype filter in one driver row: the
+    union of both filters' outputs under a kind tag (each branch is
+    the same plan as its standalone extended variant)."""
+    fam = family_filter(spark, sf_dir).select(
+        "docid",
+        F.lit("family").alias("kind"),
+        F.when(F.col("is_flagged"), F.lit("flagged"))
+        .otherwise(F.lit("ok"))
+        .alias("val"),
+    )
+    ft = filetype_filter(spark, sf_dir).select(
+        "docid", F.lit("filetype").alias("kind"), F.col("filetype").alias("val")
+    )
+    return fam.unionAll(ft)
 
 
 # --- H7: JSON field indexing ----------------------------------------------
@@ -415,7 +463,7 @@ GROUP BY event_type
 """
 
 
-@register("json_props_rollup", JSON_PROPS_SQL)
+@register("json_props_rollup", JSON_PROPS_SQL, extended=True)
 def json_props_rollup(spark, sf_dir):
     """JSON extraction over a REAL json column (H7; the events.props
     payload): filter + rollup on an extracted field — both engines

@@ -149,21 +149,62 @@ def embedding_dups(spark, sf_dir):
 # --- text analysis ---------------------------------------------------------
 
 
-@register("lang_id", P.LANG_ID_SQL)
+@register("lang_id", P.LANG_ID_SQL, extended=True)
 def lang_id(spark, sf_dir):
     return P.lang_id(_docs(spark, sf_dir))
 
 
-@register("quality_score", P.QUALITY_SQL)
+@register("quality_score", P.QUALITY_SQL, extended=True)
 def quality_score(spark, sf_dir):
     return P.quality_score(_docs(spark, sf_dir))
 
 
-@register("token_counts", P.TOKEN_COUNTS_SQL)
+@register("token_counts", P.TOKEN_COUNTS_SQL, extended=True)
 def token_counts(spark, sf_dir):
     return P.token_counts(_docs(spark, sf_dir))
 
 
-@register("doc_fingerprint", P.FINGERPRINT_SQL)
+@register("doc_fingerprint", P.FINGERPRINT_SQL, extended=True)
 def doc_fingerprint(spark, sf_dir):
     return P.doc_fingerprint(_docs(spark, sf_dir))
+
+
+# One driver row verifies all four per-doc text-analysis operators
+# (language ID, quality scoring, token accounting, fingerprinting):
+# their outputs join on docid into one wide enrichment row — the shape
+# a training-data pipeline actually materializes — and the oracle
+# joins the four standalone SQLs identically. The singles stay
+# oracle-paired in the extended (pytest) tier.
+
+DOC_ENRICH_SQL = f"""
+WITH lang AS ({P.LANG_ID_SQL}),
+qual AS ({P.QUALITY_SQL}),
+tc AS ({P.TOKEN_COUNTS_SQL}),
+fp AS ({P.FINGERPRINT_SQL})
+SELECT lang.docid, lang.lang_pred, lang.n_hits,
+       qual.mean_tok_len, qual.stopword_ratio, qual.alnum_ratio,
+       qual.quality,
+       tc.n_tokens, tc.n_subtokens, tc.n_distinct, tc.n_chars,
+       fp.fingerprint, fp.n_shingles
+FROM lang
+JOIN qual ON qual.docid = lang.docid
+JOIN tc ON tc.docid = lang.docid
+JOIN fp ON fp.docid = lang.docid
+"""
+
+
+@register("doc_enrich", DOC_ENRICH_SQL)
+def doc_enrich(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        P.lang_id(docs)
+        .join(P.quality_score(docs).drop("n_tokens"), "docid")
+        .join(P.token_counts(docs), "docid")
+        .join(P.doc_fingerprint(docs), "docid")
+        .select(
+            "docid", "lang_pred", "n_hits",
+            "mean_tok_len", "stopword_ratio", "alnum_ratio", "quality",
+            "n_tokens", "n_subtokens", "n_distinct", "n_chars",
+            "fingerprint", "n_shingles",
+        )
+    )

@@ -73,6 +73,7 @@ def phrase_bm25(spark, sf_dir):
         neg_terms=["slow"],
         restrict_cte=PHRASE_RESTRICT_CTE,
     ),
+    extended=True,  # D1/D7 driver rows: phrase_bm25 + search_parsed_lang
 )
 def search_parsed_phrase_not(spark, sf_dir):
     return S.search(
@@ -99,7 +100,8 @@ def search_parsed_lang(spark, sf_dir):
     )
 
 
-@register("search_parsed_or", bm25_oracle_sql(["join", "window"], mode="or"))
+@register("search_parsed_or", bm25_oracle_sql(["join", "window"], mode="or"),
+          extended=True)
 def search_parsed_or(spark, sf_dir):
     return S.search(
         cached_index(spark, sf_dir),
@@ -274,7 +276,7 @@ LIMIT 10
 """
 
 
-@register("search_sortby_filtered", SORTBY_FILTERED_SQL)
+@register("search_sortby_filtered", SORTBY_FILTERED_SQL, extended=True)
 def search_sortby_filtered(spark, sf_dir):
     """gbsortby: through the FULL parsed-search path — negation and
     metadata constraints apply before the field ordering (the round-1
@@ -412,12 +414,80 @@ def bool_search(spark, sf_dir):
     )
 
 
-# --- D15/D16: snippets (rows-only; pytest pins the pure-python spec) ------
+# --- D15/D16: snippets — oracle-paired -------------------------------------
+# The pinned snippet spec (search._best_snippet + extraction.
+# highlight_terms) is SQL-expressible over canonical tokens: windows
+# are list slices, the best window is the FIRST max of the per-window
+# distinct-hit list (list_position returns the first occurrence), and
+# the highlight wraps in-term tokens in <b>…</b>.
+
+SNIP_TERMS = ["join", "filter"]
+_SNIP_TLIST = ", ".join(f"'{t}'" for t in SNIP_TERMS)
+
+SNIPPETS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS docid, t.tokk AS term
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  WHERE t.tokk <> ''
+),
+postings AS (
+  SELECT docid, term, count(*) AS tf FROM tok GROUP BY docid, term
+),
+doclen AS (SELECT docid, count(*) AS dl FROM tok GROUP BY docid),
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+scored AS (
+  SELECT p.docid,
+         round(sum( ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) ), 4)
+           AS score
+  FROM postings p
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  WHERE p.term IN ({_SNIP_TLIST})
+  GROUP BY p.docid
+  HAVING count(DISTINCT p.term) = {len(SNIP_TERMS)}
+),
+topk AS (
+  SELECT docid, score FROM scored
+  ORDER BY score DESC, docid ASC LIMIT 10
+),
+win AS (
+  SELECT k.docid, k.score,
+         regexp_extract_all(lower(d.text), '[a-z0-9]+') AS t
+  FROM topk k JOIN documents d ON d.doc_id = k.docid
+),
+hits AS (
+  SELECT docid, score, t,
+         list_transform(range(0, greatest(1, len(t) - 9)),
+           i -> len(list_distinct(list_filter(t[i+1:i+10],
+                x -> x IN ({_SNIP_TLIST}))))) AS h
+  FROM win
+),
+best AS (
+  SELECT docid, score, t,
+         list_max(h) AS n_hits,
+         list_position(h, list_max(h)) - 1 AS best_i
+  FROM hits
+)
+SELECT docid, score,
+       array_to_string(t[best_i+1:best_i+10], ' ') AS snippet,
+       array_to_string(list_transform(t[best_i+1:best_i+10],
+           x -> CASE WHEN x IN ({_SNIP_TLIST})
+                THEN '<b>' || x || '</b>' ELSE x END), ' ') AS snippet_hl,
+       CAST(n_hits AS BIGINT) AS n_hits
+FROM best
+"""
 
 
-@register("snippets_topk")
+@register("snippets_topk", SNIPPETS_SQL)
 def snippets_topk(spark, sf_dir):
     idx = cached_index(spark, sf_dir)
-    terms = ["join", "filter"]
-    topk = S.bm25_topk(idx, terms, k=10, mode="and")
-    return S.add_snippets(topk, _docs_meta(spark, sf_dir), terms)
+    topk = S.bm25_topk(idx, SNIP_TERMS, k=10, mode="and")
+    out = S.add_snippets(topk, _docs_meta(spark, sf_dir), SNIP_TERMS)
+    return out.withColumn("n_hits", F.col("n_hits").cast("long"))

@@ -34,13 +34,21 @@ def links_extract(spark, sf_dir):
     return links
 
 
-@register("inlink_counts_web", L.inlink_counts_sql(_PATH))
+@register("site_inlink_rank", L.site_inlink_rank_sql(_PATH))
+def site_inlink_rank(spark, sf_dir):
+    """E3 (inlink/unique-linker counts) + C14 (siteRank) over the real
+    extracted link graph, one driver row for both."""
+    _, _, links = L.cached_web(spark, N_WEB)
+    return L.site_inlink_rank(links)
+
+
+@register("inlink_counts_web", L.inlink_counts_sql(_PATH), extended=True)
 def inlink_counts_web(spark, sf_dir):
     _, _, links = L.cached_web(spark, N_WEB)
     return L.inlink_counts_web(links)
 
 
-@register("site_rank_web", L.site_rank_sql(_PATH))
+@register("site_rank_web", L.site_rank_sql(_PATH), extended=True)
 def site_rank_web(spark, sf_dir):
     _, _, links = L.cached_web(spark, N_WEB)
     return L.site_rank_web(links)
@@ -68,7 +76,7 @@ def search_site_filter(spark, sf_dir):
     return bm25_topk(idx, SITE_TERMS, k=10, mode="and", restrict=allowed)
 
 
-@register("titles_web", L.titles_sql(_PATH))
+@register("titles_web", L.titles_sql(_PATH), extended=True)
 def titles_web(spark, sf_dir):
     web, _, _ = L.cached_web(spark, N_WEB)
     return L.titles(web)
