@@ -157,3 +157,46 @@ def pack_docids_grouped(
 
 def unpack_ints(buf: bytes) -> np.ndarray:
     return varbyte_decode(buf)
+
+
+# --- per-posting position streams ------------------------------------------
+# A block's positions blob concatenates every posting's within-doc
+# token positions, delta-gap encoded with the gap RESET at each
+# posting's first position (kept absolute). Lengths come from the tfs
+# stream (a posting has exactly tf positions), so no separate length
+# stream is stored — the reference packs wordPos into every posdb key;
+# here one varbyte stream per block carries the same information.
+
+
+def pack_positions_grouped(
+    flat_positions: np.ndarray,
+    posting_starts: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+) -> list[bytes]:
+    """Delta-encode ``flat_positions`` with resets at every posting
+    start, then emit one varbyte blob per [block_starts[i],
+    block_ends[i]) byte-range (both in POSITION index space)."""
+    v = np.ascontiguousarray(flat_positions, dtype=np.uint64)
+    gaps = np.empty_like(v)
+    if v.size:
+        gaps[1:] = v[1:] - v[:-1]
+        gaps[posting_starts] = v[posting_starts]
+    return varbyte_encode_grouped(gaps, block_starts, block_ends)
+
+
+def unpack_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_abs_positions, posting_offsets): decode a block's
+    positions blob back to absolute per-posting positions. ``tfs``
+    gives each posting's position count; ``posting_offsets`` has
+    len(tfs)+1 entries framing posting i's slice."""
+    gaps = varbyte_decode(buf)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    if gaps.size == 0:
+        return gaps, offsets
+    cs = np.cumsum(gaps, dtype=np.uint64)
+    starts = offsets[:-1]
+    base = cs[starts] - gaps[starts]  # cumulative mass before each posting
+    flat = cs - np.repeat(base, tfs)
+    return flat, offsets

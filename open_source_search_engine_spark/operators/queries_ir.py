@@ -105,7 +105,7 @@ register(
 _PACKED: dict = {}
 
 
-def _packed_index(spark, sf_dir):
+def _packed_index(spark, sf_dir, with_positions: bool = False):
     import tempfile
 
     from .segments import SegmentStore, build_segments
@@ -114,14 +114,15 @@ def _packed_index(spark, sf_dir):
     # keyed like cached_index/ensure_shipped: (applicationId, startTime)
     # cannot be recycled by a later context after GC, unlike id(sc).
     sc = spark.sparkContext
-    key = (sc.applicationId, sc.startTime, sf_dir)
+    key = (sc.applicationId, sc.startTime, sf_dir, with_positions)
     if key not in _PACKED:
         root = tempfile.mkdtemp(prefix="sfx_packed_")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumnRenamed(
             "doc_id", "docid"
         )
         store = build_segments(
-            spark, docs, SegmentStore(root), n_segments=2, n_buckets=8
+            spark, docs, SegmentStore(root), n_segments=2, n_buckets=8,
+            with_positions=with_positions,
         )
         _PACKED[key] = PackedIndex(spark, store)
     return _PACKED[key]
@@ -152,7 +153,75 @@ register(
 )(_wand(["join"], neg=["window"]))
 
 
-# --- D14: hit-count estimation ("about N results") -----------------------
+# --- C4: per-posting density/spam rank scoring (packed path) --------------
+# The packed dens/spam streams (segments.py) carry one rank byte per
+# posting; the scorer multiplies BM25 by ((8+dens)/16)·((16-spam)/16).
+# Both ranks are integer-exact functions of (tf, doclen, adjacent
+# repeats), so the oracle replays them from raw text.
+
+DENSITY_TERMS = ["join", "filter"]
+
+DENSITY_SQL = f"""
+WITH ptok AS (
+  SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id AS docid,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents)
+),
+postings AS (SELECT docid, term, count(*) AS tf FROM ptok GROUP BY 1, 2),
+doclen AS (SELECT docid, count(*) AS dl FROM ptok GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+reps AS (
+  SELECT docid, term, count(*) AS repeats
+  FROM (SELECT docid, term, pos,
+               lag(pos) OVER (PARTITION BY docid, term ORDER BY pos) AS pp
+        FROM ptok)
+  WHERE pos = pp + 1
+  GROUP BY docid, term
+),
+ranks AS (
+  SELECT p.docid, p.term, p.tf, d.dl,
+         least(15, CAST(floor(log2(1 + (255 * p.tf) // d.dl)) AS BIGINT))
+           AS dens,
+         least(7, (8 * coalesce(r.repeats, 0)) // p.tf) AS spam
+  FROM postings p
+  JOIN doclen d USING (docid)
+  LEFT JOIN reps r ON r.docid = p.docid AND r.term = p.term
+),
+scored AS (
+  SELECT k.docid,
+         sum( ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (k.tf * (1.2 + 1.0))
+                / (k.tf + 1.2 * (1.0 - 0.75 + 0.75 * k.dl / c.avgdl))
+              * ((8 + k.dens) / 16.0)
+              * ((16 - k.spam) / 16.0) ) AS score
+  FROM ranks k
+  JOIN ts t ON k.term = t.term
+  CROSS JOIN consts c
+  WHERE k.term IN ({", ".join(f"'{t}'" for t in DENSITY_TERMS)})
+  GROUP BY k.docid
+  HAVING count(DISTINCT k.term) = {len(DENSITY_TERMS)}
+)
+SELECT docid, round(score, 4) AS score FROM scored
+ORDER BY round(score, 4) DESC, docid ASC
+LIMIT 10
+"""
+
+
+@register("density_bm25", DENSITY_SQL)
+def density_bm25(spark, sf_dir):
+    """C4 — per-posting rank metadata in scoring, served from the
+    PACKED positional store (dens/spam varbyte streams decoded inside
+    the WAND bucket scorer; ref: ``Posdb.h`` densityRank /
+    wordSpamRank bits, ``XmlDoc::getDensityRanks`` /
+    ``getWordSpamVec``)."""
+    return _packed_index(spark, sf_dir, with_positions=True).wand_density_topk(
+        DENSITY_TERMS, k=10
+    )
 
 
 @register(

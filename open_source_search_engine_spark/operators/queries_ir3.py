@@ -601,3 +601,16 @@ def proximity_bm25(spark, sf_dir):
         ).alias("score"),
     )
     return boosted.orderBy(F.desc("score"), F.asc("docid")).limit(10)
+
+
+@register("wand_proximity", PROXIMITY_SQL, extended=True)
+def wand_proximity(spark, sf_dir):
+    """F3 on the PACKED path: mindist computed from the positions
+    varbyte stream inside the WAND bucket scorer (searchsorted
+    nearest-neighbour, the PosdbTable span loop) — same oracle as the
+    relational proximity_bm25."""
+    from .queries_ir import _packed_index
+
+    return _packed_index(
+        spark, sf_dir, with_positions=True
+    ).wand_proximity_topk(PROX_TERMS, k=10, prox_w=PROX_W)

@@ -63,6 +63,22 @@ def phrase_bm25(spark, sf_dir):
     return S.phrase_bm25(_pos_index(spark, sf_dir), PHRASE, k=10)
 
 
+@register(
+    "wand_phrase",
+    bm25_oracle_sql(PHRASE, restrict_cte=PHRASE_RESTRICT_CTE),
+    extended=True,  # packed-path twin of phrase_bm25, same oracle
+)
+def wand_phrase(spark, sf_dir):
+    """D7 on the PACKED path: adjacency from the positions varbyte
+    stream inside the WAND bucket scorer — rank-identical to the
+    relational phrase_bm25 (checked against the SAME oracle)."""
+    from .queries_ir import _packed_index
+
+    return _packed_index(spark, sf_dir, with_positions=True).wand_phrase_topk(
+        PHRASE, k=10
+    )
+
+
 # --- D1: parsed end-to-end queries ----------------------------------------
 
 

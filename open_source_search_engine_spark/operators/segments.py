@@ -53,7 +53,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.varbyte import pack_docids_grouped, varbyte_encode_grouped
+from ..functions.varbyte import (
+    pack_docids_grouped,
+    pack_positions_grouped,
+    varbyte_encode_grouped,
+)
 from .index_build import B, K1, build_index
 
 PACKED_SCHEMA = (
@@ -61,6 +65,40 @@ PACKED_SCHEMA = (
     "docids binary, tfs binary, dls binary, blockmax_tf int, "
     "blockmin_dl int"
 )
+
+# Positional layout (with_positions=True): three extra streams per
+# block. ``positions`` carries every posting's within-doc token
+# ordinals (delta+varbyte, per-posting reset — the reference packs
+# wordPos(18b) into each posdb key); ``dens``/``spam`` carry one
+# PER-POSTING rank byte each (Posdb.h densityRank / wordSpamRank):
+#   density_rank = min(15, floor(log2(1 + (255*tf) // doclen)))
+#   spam_rank    = min(7, (8 * adjacent_repeats) // tf)
+# where adjacent_repeats counts consecutive same-term positions
+# (pos[i+1] == pos[i]+1 — the reference's repeated-term spam signal).
+# Both are integer-exact, so a SQL oracle replays them from raw text.
+PACKED_POS_SCHEMA = (
+    PACKED_SCHEMA + ", positions binary, dens binary, spam binary"
+)
+
+MAX_DENSITY_RANK = 15
+MAX_SPAM_RANK = 7
+
+
+def density_rank_np(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+    r = (np.uint64(255) * tf.astype(np.uint64)) // np.maximum(
+        dl.astype(np.uint64), 1
+    )
+    return np.minimum(
+        MAX_DENSITY_RANK,
+        np.floor(np.log2((1 + r).astype(np.float64))).astype(np.uint64),
+    )
+
+
+def spam_rank_np(repeats: np.ndarray, tf: np.ndarray) -> np.ndarray:
+    return np.minimum(
+        MAX_SPAM_RANK,
+        (np.uint64(8) * repeats.astype(np.uint64)) // tf.astype(np.uint64),
+    )
 
 MANIFEST_SCHEMA = (
     "segment_id string, part_lo int, part_hi int, status string, rows long, "
@@ -127,24 +165,62 @@ def _pack_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     change = np.flatnonzero((tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(tid)]))
-    return pd.DataFrame(
-        {
-            "termid": tid[starts].astype(np.int64),
-            "bucket": bkt[starts].astype(np.int32),
-            "n": (ends - starts).astype(np.int32),
-            "first_docid": docid[starts].astype(np.int64),
-            "last_docid": docid[ends - 1].astype(np.int64),
-            "docids": pack_docids_grouped(docid, starts, ends),
-            "tfs": varbyte_encode_grouped(tf, starts, ends),
-            "dls": varbyte_encode_grouped(dl, starts, ends),
-            "blockmax_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
-            "blockmin_dl": np.minimum.reduceat(dl, starts).astype(np.int32),
-        }
+    out = {
+        "termid": tid[starts].astype(np.int64),
+        "bucket": bkt[starts].astype(np.int32),
+        "n": (ends - starts).astype(np.int32),
+        "first_docid": docid[starts].astype(np.int64),
+        "last_docid": docid[ends - 1].astype(np.int64),
+        "docids": pack_docids_grouped(docid, starts, ends),
+        "tfs": varbyte_encode_grouped(tf, starts, ends),
+        "dls": varbyte_encode_grouped(dl, starts, ends),
+        "blockmax_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
+        "blockmin_dl": np.minimum.reduceat(dl, starts).astype(np.int32),
+    }
+    if "positions" in pdf.columns:
+        out.update(_pos_streams(pdf, order, tf, dl, starts, ends))
+    return pd.DataFrame(out)
+
+
+def _pos_streams(pdf, order, tf, dl, starts, ends) -> dict:
+    """positions/dens/spam block streams from the sorted frame (tf,
+    dl, starts, ends already in lexsorted order). All numpy — the flat
+    position array is delta-encoded once with per-posting resets, rank
+    bytes are computed vectorized from tf/dl and adjacent-repeat
+    counts."""
+    pos_lists = pdf["positions"].to_numpy()[order]
+    n = len(tf)
+    flat = (
+        np.concatenate(pos_lists).astype(np.uint64)
+        if n
+        else np.empty(0, np.uint64)
     )
+    p_offsets = np.concatenate(([0], np.cumsum(tf))).astype(np.int64)
+    p_starts = p_offsets[:-1]
+    # adjacent same-term repeats per posting (spam signal)
+    eq = np.zeros(flat.size, dtype=np.int64)
+    if flat.size:
+        eq[1:] = flat[1:] == flat[:-1] + 1
+        eq[p_starts] = 0
+    repeats = (
+        np.add.reduceat(eq, p_starts) if flat.size else np.zeros(n, np.int64)
+    )
+    dens = density_rank_np(tf, dl)
+    spam = spam_rank_np(repeats, tf)
+    return {
+        "positions": pack_positions_grouped(
+            flat, p_starts, p_offsets[starts], p_offsets[ends]
+        ),
+        "dens": varbyte_encode_grouped(dens, starts, ends),
+        "spam": varbyte_encode_grouped(spam, starts, ends),
+    }
 
 
 def pack_postings(
-    postings: DataFrame, n_buckets: int = 8, n_term_groups: int = 64
+    postings: DataFrame,
+    n_buckets: int = 8,
+    n_term_groups: int = 64,
+    with_positions: bool = False,
 ) -> DataFrame:
     """exploded postings(termid, docid, tf, doclen) → packed blocks.
 
@@ -163,10 +239,15 @@ def pack_postings(
     ).withColumn(
         "tgrp", F.pmod("termid", F.lit(n_term_groups)).cast("int")
     )
+    cols = ["tgrp", "termid", "bucket", "docid", "tf", "doclen"]
+    schema = PACKED_SCHEMA
+    if with_positions:
+        cols.append("positions")
+        schema = PACKED_POS_SCHEMA
     return (
-        with_bucket.select("tgrp", "termid", "bucket", "docid", "tf", "doclen")
+        with_bucket.select(*cols)
         .groupBy("tgrp", "bucket")
-        .applyInPandas(_pack_frame, schema=PACKED_SCHEMA)
+        .applyInPandas(_pack_frame, schema=schema)
     )
 
 
@@ -238,6 +319,7 @@ def build_segments(
     n_buckets: int = 8,
     fail_after_segment: int | None = None,
     segment_col=None,
+    with_positions: bool = False,
 ) -> SegmentStore:
     """Segmented, resumable packed-index build.
 
@@ -279,12 +361,17 @@ def build_segments(
         # compute_globals=False: query-time scoring uses the manifest
         # globals, and the eager globals agg would execute the whole
         # explode once extra before the cache lands.
-        idx = build_index(seg_docs, "docid", "text", compute_globals=False)
+        idx = build_index(
+            seg_docs, "docid", "text",
+            compute_globals=False, with_positions=with_positions,
+        )
         # One materialization of the exploded postings feeds the packed
         # write, term_stats partial, doc_stats agg AND the manifest row
         # count — without the cache each would recompute the explode.
         idx.postings.cache()
-        packed = pack_postings(idx.postings, n_buckets)
+        packed = pack_postings(
+            idx.postings, n_buckets, with_positions=with_positions
+        )
         # posting-row count rides along the write via an Observation —
         # no separate read-back job.
         from pyspark.sql import Observation
@@ -356,15 +443,23 @@ def compact_segments(
     bucket) like ``pack_postings`` — per-block Arrow overhead would
     otherwise dominate on a real vocabulary's block count."""
     packed = store.packed(spark)
+    has_pos = "positions" in packed.columns
 
     def merge_frame(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.varbyte import unpack_docids, unpack_ints
+        from ..functions.varbyte import (
+            unpack_docids,
+            unpack_ints,
+            unpack_positions,
+        )
 
         pdf = pdf.sort_values(["termid", "bucket"], kind="stable")
         docids = np.concatenate(
             [unpack_docids(b).astype(np.int64) for b in pdf["docids"]]
         )
-        tfs = np.concatenate([unpack_ints(b) for b in pdf["tfs"]])
+        tfs_per_block = [
+            unpack_ints(b).astype(np.int64) for b in pdf["tfs"]
+        ]
+        tfs = np.concatenate(tfs_per_block)
         dls = np.concatenate([unpack_ints(b) for b in pdf["dls"]])
         ns = pdf["n"].to_numpy(np.int64)
         tid = np.repeat(pdf["termid"].to_numpy(np.int64), ns)
@@ -372,35 +467,62 @@ def compact_segments(
         order = np.lexsort((docids, bkt, tid))
         tid, bkt = tid[order], bkt[order]
         docids = docids[order].astype(np.uint64)
+        if has_pos:
+            # decode per-block positions to absolute, then gather each
+            # posting's slice in the NEW order (vectorized: repeated
+            # old starts + intra-posting aranges)
+            flats = [
+                unpack_positions(b, t)[0]
+                for b, t in zip(pdf["positions"], tfs_per_block)
+            ]
+            flat = (
+                np.concatenate(flats) if flats else np.empty(0, np.uint64)
+            )
+            old_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
+            dens = np.concatenate([unpack_ints(b) for b in pdf["dens"]])
+            spam = np.concatenate([unpack_ints(b) for b in pdf["spam"]])
+            tf_o = tfs[order]
+            new_offsets = np.concatenate(([0], np.cumsum(tf_o)))
+            gather = (
+                np.repeat(old_starts[order], tf_o)
+                + np.arange(int(new_offsets[-1]), dtype=np.int64)
+                - np.repeat(new_offsets[:-1], tf_o)
+            )
+            flat = flat[gather]
+            dens, spam = dens[order], spam[order]
         tfs, dls = tfs[order], dls[order]
         change = (
             np.flatnonzero((tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])) + 1
         )
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(tid)]))
-        return pd.DataFrame(
-            {
-                "termid": tid[starts].astype(np.int64),
-                "bucket": bkt[starts].astype(np.int32),
-                "n": (ends - starts).astype(np.int32),
-                "first_docid": docids[starts].astype(np.int64),
-                "last_docid": docids[ends - 1].astype(np.int64),
-                "docids": pack_docids_grouped(docids, starts, ends),
-                "tfs": varbyte_encode_grouped(tfs, starts, ends),
-                "dls": varbyte_encode_grouped(dls, starts, ends),
-                "blockmax_tf": np.maximum.reduceat(tfs, starts).astype(
-                    np.int32
-                ),
-                "blockmin_dl": np.minimum.reduceat(dls, starts).astype(
-                    np.int32
-                ),
-            }
-        )
+        out = {
+            "termid": tid[starts].astype(np.int64),
+            "bucket": bkt[starts].astype(np.int32),
+            "n": (ends - starts).astype(np.int32),
+            "first_docid": docids[starts].astype(np.int64),
+            "last_docid": docids[ends - 1].astype(np.int64),
+            "docids": pack_docids_grouped(docids, starts, ends),
+            "tfs": varbyte_encode_grouped(tfs, starts, ends),
+            "dls": varbyte_encode_grouped(dls, starts, ends),
+            "blockmax_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+            "blockmin_dl": np.minimum.reduceat(dls, starts).astype(np.int32),
+        }
+        if has_pos:
+            p_offsets = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+            out["positions"] = pack_positions_grouped(
+                flat, p_offsets[:-1], p_offsets[starts], p_offsets[ends]
+            )
+            out["dens"] = varbyte_encode_grouped(dens, starts, ends)
+            out["spam"] = varbyte_encode_grouped(spam, starts, ends)
+        return pd.DataFrame(out)
 
     merged = (
         packed.withColumn("tgrp", F.pmod("termid", F.lit(64)).cast("int"))
         .groupBy("tgrp", "bucket")
-        .applyInPandas(merge_frame, schema=PACKED_SCHEMA)
+        .applyInPandas(
+            merge_frame, schema=PACKED_POS_SCHEMA if has_pos else PACKED_SCHEMA
+        )
     )
     out = SegmentStore(out_root)
     merged.write.mode("overwrite").parquet(out.segment_dir(0))

@@ -44,9 +44,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.varbyte import unpack_docids, unpack_ints
+from ..functions.varbyte import unpack_docids, unpack_ints, unpack_positions
 from .index_build import B, K1
-from .segments import SegmentStore
+from .segments import MAX_DENSITY_RANK, SegmentStore
 
 SCORE_SCHEMA = "docid long, score double"
 
@@ -137,6 +137,154 @@ def _make_bucket_scorer(
             bad = np.unique(np.concatenate(neg_docids))
             keep = ~np.isin(uniq, bad)
             uniq, scores = uniq[keep], scores[keep]
+        if uniq.size > k:
+            top = np.argpartition(-scores, k - 1)[:k]
+            uniq, scores = uniq[top], scores[top]
+        return pd.DataFrame({"docid": uniq, "score": scores})
+
+    return score_bucket
+
+
+# Per-posting rank multipliers (Posdb.h densityRank/wordSpamRank
+# analogue, SURVEY.md C4). Division by 16 is exact in binary, so the
+# SQL oracle replays the multiplier bit-for-bit from raw text:
+#   mult = ((8 + density_rank)/16) * ((16 - spam_rank)/16)
+_DENS_MULT_MAX = (8.0 + MAX_DENSITY_RANK) / 16.0  # spam 0, dens max
+
+
+def _make_pos_scorer(
+    idf_by_termid: dict[int, float],
+    required: set[int],
+    k: int,
+    kind: str,
+    cut: float = float("-inf"),
+    word_tids: list[int] | None = None,
+    prox_w: float = 0.5,
+):
+    """Positional bucket scorer over packed blocks WITH the positions/
+    dens/spam streams (the ``PosdbTable::intersectLists10_r`` span
+    loop, numpy form). Kinds:
+
+    - ``density``: score = Σ idf·tfnorm·densMult·spamMult — fully
+      vectorized scatter-add, no positions decoded.
+    - ``phrase``: AND + adjacency over decoded positions (valid start
+      positions intersected term by term); plain BM25 score.
+    - ``proximity``: AND + W/mindist boost from the two terms'
+      position lists (searchsorted nearest-neighbour, no n² join).
+
+    Block-max pruning stays upper-bound-valid per kind: density scales
+    the bound by the max multiplier, proximity adds W (mindist ≥ 1),
+    phrase restricts matches so the plain bound already dominates.
+    Positions are decoded ONLY for docs that survive the AND + ub
+    filters (the candidate set), like the reference scoring positions
+    inside the intersect loop."""
+    n_required = len(required)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": [], "score": []}).astype(
+            {"docid": np.int64, "score": np.float64}
+        )
+        tids = pdf["termid"].to_numpy()
+        if n_required and not required.issubset(set(tids.tolist())):
+            return empty
+        if cut > float("-inf"):
+            bm_tf = pdf["blockmax_tf"].to_numpy(np.float64)
+            bm_dl = pdf["blockmin_dl"].to_numpy(np.float64)
+            inv_avgdl = float(pdf["inv_avgdl"].iloc[0])
+            bm = (bm_tf * _K1P1) / (
+                bm_tf + _K1_1MB + _K1B * bm_dl * inv_avgdl
+            )
+            idfs = np.array([idf_by_termid.get(int(t), 0.0) for t in tids])
+            per_term: dict[int, float] = {}
+            for t, v in zip(tids, idfs * bm):
+                per_term[t] = max(per_term.get(t, 0.0), v)
+            ub = sum(per_term.values())
+            if kind == "density":
+                ub *= _DENS_MULT_MAX
+            elif kind == "proximity":
+                ub += prox_w
+            if ub < cut:
+                return empty
+
+        docid_parts, score_parts, req_parts = [], [], []
+        pos_index: dict[int, list] = {}
+        for row in pdf.itertuples(index=False):
+            docids = unpack_docids(row.docids).astype(np.int64)
+            tfs = unpack_ints(row.tfs).astype(np.float64)
+            dls = unpack_ints(row.dls).astype(np.float64)
+            tfnorm = (tfs * _K1P1) / (
+                tfs + _K1_1MB + _K1B * dls * row.inv_avgdl
+            )
+            part = idf_by_termid[row.termid] * tfnorm
+            if kind == "density":
+                dens = unpack_ints(row.dens).astype(np.float64)
+                spam = unpack_ints(row.spam).astype(np.float64)
+                part = part * ((8.0 + dens) / 16.0) * ((16.0 - spam) / 16.0)
+            docid_parts.append(docids)
+            score_parts.append(part)
+            req_parts.append(
+                np.full(docids.size, row.termid in required, dtype=np.int64)
+            )
+            if kind in ("phrase", "proximity"):
+                flat, offsets = unpack_positions(
+                    row.positions, unpack_ints(row.tfs).astype(np.int64)
+                )
+                pos_index.setdefault(int(row.termid), []).append(
+                    (docids, offsets, flat.astype(np.int64))
+                )
+        if not docid_parts:
+            return empty
+        all_docids = np.concatenate(docid_parts)
+        all_scores = np.concatenate(score_parts)
+        all_req = np.concatenate(req_parts)
+        uniq, inv = np.unique(all_docids, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, all_scores)
+        if n_required:
+            reqcnt = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(reqcnt, inv, all_req)
+            keep = reqcnt == n_required
+            uniq, scores = uniq[keep], scores[keep]
+
+        if kind in ("phrase", "proximity") and uniq.size:
+
+            def positions_of(tid: int, docid: int) -> np.ndarray:
+                for d, off, flat in pos_index.get(tid, ()):
+                    i = int(np.searchsorted(d, docid))
+                    if i < d.size and d[i] == docid:
+                        return flat[off[i]:off[i + 1]]
+                return np.empty(0, np.int64)
+
+            if kind == "phrase":
+                keep = np.zeros(uniq.size, dtype=bool)
+                for i, doc in enumerate(uniq):
+                    starts = positions_of(word_tids[0], doc)
+                    for j, t in enumerate(word_tids[1:], start=1):
+                        if starts.size == 0:
+                            break
+                        starts = starts[
+                            np.isin(starts + j, positions_of(t, doc))
+                        ]
+                    keep[i] = starts.size > 0
+                uniq, scores = uniq[keep], scores[keep]
+            else:  # proximity: min |a-b| over the two terms' positions
+                t0, t1 = word_tids[0], word_tids[1]
+                for i, doc in enumerate(uniq):
+                    a = positions_of(t0, doc)
+                    b = positions_of(t1, doc)
+                    ii = np.searchsorted(b, a)
+                    best = np.iinfo(np.int64).max
+                    left = ii > 0
+                    if left.any():
+                        best = min(best, int(np.min(
+                            a[left] - b[ii[left] - 1]
+                        )))
+                    right = ii < b.size
+                    if right.any():
+                        best = min(best, int(np.min(
+                            b[ii[right]] - a[right]
+                        )))
+                    scores[i] = scores[i] + prox_w / best
         if uniq.size > k:
             top = np.argpartition(-scores, k - 1)[:k]
             uniq, scores = uniq[top], scores[top]
@@ -343,6 +491,106 @@ class PackedIndex:
             result.select("docid", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(k)
+        )
+
+    # --- positional query modes (need a with_positions store) -----------
+
+    def _wand_pos(
+        self,
+        terms: list[str],
+        kind: str,
+        k: int = 10,
+        words: list[str] | None = None,
+        prox_w: float = 0.5,
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """Shared driver for density/phrase/proximity over the packed
+        positional store — same single-action shape as wand_topk, with
+        the kind-specific scorer applied to BOTH the τ seed and the
+        pruned branch (a plain-scorer τ would over-prune: phrase
+        restricts matches and density rescales scores, so the seed
+        must rank with the final semantics)."""
+        assert "positions" in self.packed.columns, (
+            "store was built without positions "
+            "(build_segments(with_positions=True))"
+        )
+        terms = list(dict.fromkeys(terms))
+        rows = self._term_rows(terms)
+        found = {r["term"]: r for r in rows}
+        if len(found) < len(terms):
+            return self.spark.createDataFrame([], SCORE_SCHEMA)
+        n = float(self.n_docs)
+        idf = {
+            int(r["termid"]): float(
+                np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+            )
+            for r in rows
+        }
+        tid_of = {r["term"]: int(r["termid"]) for r in rows}
+        word_tids = [tid_of[w] for w in (words or terms)]
+        termids = list(idf)
+        required = set(termids)
+
+        def scorer(cut: float):
+            return _make_pos_scorer(
+                idf, required, k, kind, cut, word_tids, prox_w
+            )
+
+        blocks = self.packed.filter(
+            F.col("termid").isin(termids)
+        ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
+
+        seed_rows = self._seed_rows(termids)
+        tau = float("-inf")
+        if seed_rows:
+            pdf = pd.DataFrame([r.asDict() for r in seed_rows])
+            pdf["inv_avgdl"] = 1.0 / self.avgdl
+            seed_scored = scorer(float("-inf"))(pdf).sort_values(
+                ["score", "docid"], ascending=[False, True]
+            )
+            if len(seed_scored) >= k:
+                tau = float(seed_scored["score"].iloc[k - 1])
+        if tau > float("-inf") and round_to:
+            cut = round(tau, round_to) - 10.0 ** -round_to
+        else:
+            cut = tau
+
+        result = blocks.groupBy("bucket").applyInPandas(
+            scorer(cut), schema=SCORE_SCHEMA
+        )
+        score = (
+            F.round(F.col("score"), round_to) if round_to else F.col("score")
+        )
+        return (
+            result.select("docid", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
+        )
+
+    def wand_density_topk(self, terms: list[str], k: int = 10) -> DataFrame:
+        """BM25 × per-posting density/spam rank multipliers decoded
+        from the packed dens/spam streams (C4; ``Posdb.h``
+        densityRank/wordSpamRank damping)."""
+        return self._wand_pos(terms, "density", k)
+
+    def wand_phrase_topk(self, words: list[str], k: int = 10) -> DataFrame:
+        """Exact-phrase top-k ON THE PACKED PATH: adjacency from the
+        positions stream inside the bucket scorer (the
+        intersectLists10_r span loop) — rank-identical to the
+        relational phrase_bm25 (same oracle SQL)."""
+        return self._wand_pos(
+            list(dict.fromkeys(words)), "phrase", k, words=words
+        )
+
+    def wand_proximity_topk(
+        self, terms: list[str], k: int = 10, prox_w: float = 0.5
+    ) -> DataFrame:
+        """Proximity-boosted BM25 on the packed path: score =
+        BM25_AND + W/mindist with mindist from the positions stream
+        (PosdbTable sliding-window analogue); same oracle as the
+        relational proximity_bm25."""
+        return self._wand_pos(
+            terms, "proximity", k, words=terms, prox_w=prox_w
         )
 
     def prune_stats(

@@ -170,6 +170,158 @@ def test_wand_prune_stats(spark, tmp_path_factory):
     assert got == want
 
 
+# --- positional store: positions/dens/spam streams (C4, D7/F3 packed) -----
+
+
+@pytest.fixture(scope="module")
+def pos_store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_pos"))
+    return build_segments(
+        spark, _docs(spark), SegmentStore(root),
+        n_segments=2, n_buckets=8, with_positions=True,
+    )
+
+
+def test_positions_roundtrip(spark, pos_store):
+    """Every block's positions stream decodes back to the exploded
+    index's per-posting position arrays; dens/spam streams decode to
+    the pinned integer rank formulas."""
+    from open_source_search_engine_spark.functions.varbyte import (
+        unpack_positions,
+    )
+    from open_source_search_engine_spark.operators.segments import (
+        density_rank_np,
+        spam_rank_np,
+    )
+
+    idx = cached_index(spark, SF_SMOKE, with_positions=True)
+    want = {
+        (r["termid"], r["docid"]): (
+            list(r["positions"]), r["tf"], r["doclen"]
+        )
+        for r in idx.postings.collect()
+    }
+    seen = 0
+    for r in pos_store.packed(spark).collect():
+        docids = unpack_docids(r["docids"])
+        tfs = unpack_ints(r["tfs"]).astype(np.int64)
+        dls = unpack_ints(r["dls"]).astype(np.int64)
+        flat, offsets = unpack_positions(r["positions"], tfs)
+        dens = unpack_ints(r["dens"]).astype(np.int64)
+        spam = unpack_ints(r["spam"]).astype(np.int64)
+        assert len(dens) == len(spam) == r["n"]
+        for i, d in enumerate(docids):
+            pos = [int(p) for p in flat[offsets[i]:offsets[i + 1]]]
+            wpos, wtf, wdl = want[(r["termid"], int(d))]
+            assert pos == wpos and tfs[i] == wtf and dls[i] == wdl
+            reps = sum(
+                1 for a, b in zip(wpos, wpos[1:]) if b == a + 1
+            )
+            assert dens[i] == density_rank_np(
+                np.array([wtf]), np.array([wdl])
+            )[0]
+            assert spam[i] == spam_rank_np(
+                np.array([reps]), np.array([wtf])
+            )[0]
+            seen += 1
+    assert seen == len(want)
+
+
+def test_wand_phrase_matches_relational(spark, pos_store):
+    from open_source_search_engine_spark.operators.search import phrase_bm25
+
+    pidx = PackedIndex(spark, pos_store)
+    idx = cached_index(spark, SF_SMOKE, with_positions=True)
+    for words in (["table", "hash"], ["join", "filter"], ["hash", "hash"]):
+        got = [tuple(r) for r in pidx.wand_phrase_topk(words, k=10).collect()]
+        want = [tuple(r) for r in phrase_bm25(idx, words, k=10).collect()]
+        assert got == want, words
+
+
+def test_wand_proximity_matches_relational(spark, pos_store):
+    import __spark_entry__ as m
+    from open_source_search_engine_spark.operators import registry
+
+    pidx = PackedIndex(spark, pos_store)
+    got = [
+        tuple(r)
+        for r in pidx.wand_proximity_topk(["join", "filter"], k=10).collect()
+    ]
+    # relational twin over the same smoke tier
+    rel = m.queries()["proximity_bm25"](spark, SF_SMOKE)
+    want = [tuple(r) for r in rel.collect()]
+    assert got == want
+
+
+def test_wand_density_matches_relational_formula(spark, pos_store):
+    """Density-scored packed top-k ≡ a relational replay of the same
+    multiplier formula over the exploded index."""
+    from pyspark.sql import functions as F
+
+    pidx = PackedIndex(spark, pos_store)
+    got = [
+        tuple(r)
+        for r in pidx.wand_density_topk(["join", "filter"], k=10).collect()
+    ]
+    idx = cached_index(spark, SF_SMOKE, with_positions=True)
+    p = idx.postings.filter(F.col("term").isin(["join", "filter"]))
+    reps = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice("positions", 2, 1_000_000),
+                F.slice("positions", 1, 1_000_000),
+                lambda nxt, prv: nxt == prv + 1,
+            ),
+            lambda x: x,
+        )
+    )
+    r = (F.lit(255) * F.col("tf").cast("long")) .cast("long")
+    rr = F.floor(r / F.col("doclen"))  # integer division (both +ve)
+    dens = F.least(F.lit(15), F.floor(F.log2(rr + 1)).cast("long"))
+    spam = F.least(
+        F.lit(7), F.floor((F.lit(8) * reps) / F.col("tf")).cast("long")
+    )
+    qt = idx.term_stats.filter(F.col("term").isin(["join", "filter"]))
+    scored = (
+        p.join(qt.select("termid", idx.idf_col().alias("idf")), "termid")
+        .withColumn(
+            "part",
+            F.col("idf") * idx.tfnorm_col()
+            * ((F.lit(8) + dens) / 16.0) * ((F.lit(16) - spam) / 16.0),
+        )
+        .groupBy("docid")
+        .agg(F.sum("part").alias("s"), F.countDistinct("term").alias("nm"))
+        .filter(F.col("nm") == 2)
+        .select("docid", F.round("s", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+    want = [tuple(r) for r in scored.collect()]
+    assert got == want
+
+
+def test_compaction_preserves_positions(spark, pos_store, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_pos_compact"))
+    cstore = compact_segments(spark, pos_store, out, n_buckets=8)
+    pk = cstore.packed(spark)
+    assert "positions" in pk.columns
+    assert (
+        pk.groupBy("termid", "bucket").count().filter("count > 1").count() == 0
+    )
+    pidx = PackedIndex(spark, cstore)
+    idx = cached_index(spark, SF_SMOKE, with_positions=True)
+    from open_source_search_engine_spark.operators.search import phrase_bm25
+
+    got = [
+        tuple(r)
+        for r in pidx.wand_phrase_topk(["table", "hash"], k=10).collect()
+    ]
+    want = [
+        tuple(r) for r in phrase_bm25(idx, ["table", "hash"], k=10).collect()
+    ]
+    assert got == want
+
+
 def test_wand_after_compaction(spark, store, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("idx_compact"))
     cstore = compact_segments(spark, store, out, n_buckets=8)
