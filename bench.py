@@ -119,8 +119,11 @@ def bench_build(spark, sf_dir: str, mult: int = 1) -> dict:
     # n_buckets is the docid-salt fan-out (SURVEY.md §4 O14): it must
     # scale with cluster parallelism or head-term groups serialize the
     # pack stage (the corpus vocabulary bounds termid-parallelism).
-    cores = spark.sparkContext.defaultParallelism
-    n_buckets = int(os.environ.get("BENCH_BUCKETS", str(max(16, 2 * cores))))
+    # PINNED (not cores-derived): r02 let this float to 2*cores = 64
+    # at the driver's 32 vCPUs, changing the benched job between
+    # rounds. 16 buckets = the r01 shape and what the 2/8-core scaling
+    # legs use; override via BENCH_BUCKETS for experiments.
+    n_buckets = int(os.environ.get("BENCH_BUCKETS", "16"))
     # Work-sized segmenting: a segment is a resume unit — size it by
     # docs, not by a fixed count (at 10^12 docs you pick segments of
     # ~minutes of work; forcing many tiny segments on a small corpus
@@ -163,26 +166,51 @@ def bench_queries(spark, sf_dir: str, store_root: str) -> dict:
 
     idx = cached_index(spark, sf_dir)
     idx.postings.count()  # warm the cache before timing queries
+    # PackedIndex init repartitions + caches the packed table and
+    # memoizes head-term seed blocks (_warm_popular). On a cluster
+    # that cost is paid once per index lifetime, so it is reported
+    # separately (t_wand_warm) instead of riding inside the first
+    # query's latency (round-2 bench mixed it into the timed window,
+    # muddying the r01→r02 comparison).
+    t0 = time.time()
     pidx = PackedIndex(spark, SegmentStore(store_root))
+    t_wand_warm = time.time() - t0
 
-    out: dict[str, float] = {}
+    out: dict[str, float] = {"t_wand_warm": round(t_wand_warm, 4)}
     rel_lat, wand_lat = [], []
+    # best-of-2 per query: the host's 1.5-2x run-to-run drift (see
+    # BENCH/BASELINE.md noise model) makes single measurements soft —
+    # interference only ever SLOWS a run, so min is the least-biased
+    # warm-path latency (the r01→r02 "bm25 2x regression" was exactly
+    # this drift, unresolvable from one sample per query).
     for name, terms, mode, neg in QUERY_SET:
-        t0 = time.time()
-        bm25_topk(idx, terms, k=10, mode=mode, neg_terms=neg).collect()
-        dt = time.time() - t0
+        dt = min(
+            _timed(lambda: bm25_topk(
+                idx, terms, k=10, mode=mode, neg_terms=neg
+            ).collect())
+            for _ in range(2)
+        )
         out[f"q_bm25_{name}"] = round(dt, 4)
         rel_lat.append(dt)
 
-        t0 = time.time()
-        pidx.wand_topk(terms, k=10, mode=mode, neg_terms=neg).collect()
-        dt = time.time() - t0
+        dt = min(
+            _timed(lambda: pidx.wand_topk(
+                terms, k=10, mode=mode, neg_terms=neg
+            ).collect())
+            for _ in range(2)
+        )
         out[f"q_wand_{name}"] = round(dt, 4)
         wand_lat.append(dt)
 
     out["bm25_p50_ms"] = round(statistics.median(rel_lat) * 1000, 1)
     out["wand_p50_ms"] = round(statistics.median(wand_lat) * 1000, 1)
     return out
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 def run_bench(
@@ -199,14 +227,21 @@ def run_bench(
         cores=cores,
         shuffle_partitions=4 * cores if build_only else None,
     )
+    cal_pre = _calibrate()
     t_all = time.time()
     build = bench_build(spark, sf_dir, mult=mult)
     store_root = build.pop("_store_root")
     queries = {} if build_only else bench_queries(spark, sf_dir, store_root)
     total = time.time() - t_all
+    cal_post = _calibrate()
 
     q = {k: round(v, 4) if isinstance(v, float) else v for k, v in build.items()}
     q.update(queries)
+    # single-thread numpy probe bracketing the run (iterations/3s);
+    # compare across rounds to separate host-speed drift from real
+    # regressions (this VM drifts 30-70% — BENCH/BASELINE.md).
+    q["calibration_pre"] = cal_pre
+    q["calibration_post"] = cal_post
     return {
         "metric": "fulltext index build + BM25 topk (packed/WAND) wall time",
         "value": round(total, 2),
