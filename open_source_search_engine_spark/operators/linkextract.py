@@ -471,3 +471,64 @@ def cached_web(spark: SparkSession, n_docs: int):
         links = extract_links(web).cache()
         _WEB_CACHE[key] = (web, idx, links)
     return _WEB_CACHE[key]
+
+
+_WEB_STORE: dict[tuple, tuple] = {}
+
+
+def cached_web_store(spark: SparkSession, n_docs: int):
+    """(PackedIndex, label_map) over the webtext corpus with
+    BUILD-TIME ``title:`` / ``anchor:`` field streams packed into the
+    same segments as the body (ref: the reference hashes
+    HASHGROUP_TITLE / HASHGROUP_INLINKTEXT posdb keys at index-build
+    time — ``XmlDoc::hashTitle`` / ``hashIncomingLinkText`` — so
+    field-boosted queries run from the ONE index, no per-query
+    rebuild). label_map maps the 63-bit url-hash docids back to urls
+    (covers link targets outside the corpus too: anchors score the
+    page they point AT, which may be undiscovered)."""
+    import tempfile
+
+    from ..tokenizer import doc_id_from_url
+    from .segments import SegmentStore, build_segments
+    from .wand import PackedIndex
+
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, n_docs)
+    if key not in _WEB_STORE:
+        web, _, links = cached_web(spark, n_docs)
+        docs = web.select(doc_id_from_url("url").alias("docid"), "text")
+        fp = (
+            title_postings(web)
+            .select(
+                doc_id_from_url("docid").alias("docid"),
+                F.concat(F.lit("title:"), "term").alias("term"),
+                F.col("ftf").alias("tf"),
+            )
+            .unionByName(
+                anchor_postings(links).select(
+                    doc_id_from_url("docid").alias("docid"),
+                    F.concat(F.lit("anchor:"), "term").alias("term"),
+                    F.col("ftf").alias("tf"),
+                )
+            )
+        )
+        store = build_segments(
+            spark,
+            docs,
+            SegmentStore(tempfile.mkdtemp(prefix="sfx_webstore_")),
+            n_segments=2,
+            n_buckets=8,
+            field_postings=fp,
+        )
+        label_map = (
+            web.select("url")
+            .unionByName(links.select(F.col("dst_url").alias("url")))
+            .distinct()
+            .select(
+                doc_id_from_url("url").alias("docid"),
+                F.col("url").alias("label"),
+            )
+            .cache()
+        )
+        _WEB_STORE[key] = (PackedIndex(spark, store), label_map)
+    return _WEB_STORE[key]

@@ -56,6 +56,21 @@ def site_rank_web(spark, sf_dir):
 
 @register("anchor_bm25", L.anchor_bm25_sql(_PATH, ANCHOR_TERMS))
 def anchor_bm25(spark, sf_dir):
+    """Anchor-hashgroup boost served FROM SEGMENTS: the ``anchor:``
+    stream is packed at build time next to the body index (ref:
+    XmlDoc::hashIncomingLinkText posdb keys), not rebuilt per query."""
+    pidx, label_map = L.cached_web_store(spark, N_WEB)
+    return pidx.field_boosted_topk(
+        ANCHOR_TERMS, "anchor", L.ANCHOR_W, k=10, label_map=label_map
+    )
+
+
+@register(
+    "anchor_bm25_rel", L.anchor_bm25_sql(_PATH, ANCHOR_TERMS), extended=True
+)
+def anchor_bm25_rel(spark, sf_dir):
+    """Relational twin of anchor_bm25 (same oracle): per-query field
+    join over the exploded index."""
     _, idx, links = L.cached_web(spark, N_WEB)
     return L.anchor_boosted_topk(
         idx, L.anchor_postings(links), ANCHOR_TERMS, k=10
@@ -89,7 +104,19 @@ TITLE_TERMS = ["w3", "w5"]
 def title_bm25(spark, sf_dir):
     """Title-hashgroup boost (ref: XmlDoc::hashTitle weighting — a
     query term in the <title> outranks the same term buried in the
-    body)."""
+    body), served FROM SEGMENTS via the build-time ``title:``
+    stream."""
+    pidx, label_map = L.cached_web_store(spark, N_WEB)
+    return pidx.field_boosted_topk(
+        TITLE_TERMS, "title", L.TITLE_W, k=10, label_map=label_map
+    )
+
+
+@register(
+    "title_bm25_rel", L.title_bm25_sql(_PATH, TITLE_TERMS), extended=True
+)
+def title_bm25_rel(spark, sf_dir):
+    """Relational twin of title_bm25 (same oracle)."""
     web, idx, _ = L.cached_web(spark, N_WEB)
     return L.title_boosted_topk(idx, web, TITLE_TERMS, k=10)
 

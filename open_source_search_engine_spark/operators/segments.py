@@ -320,6 +320,7 @@ def build_segments(
     fail_after_segment: int | None = None,
     segment_col=None,
     with_positions: bool = False,
+    field_postings: DataFrame | None = None,
 ) -> SegmentStore:
     """Segmented, resumable packed-index build.
 
@@ -328,6 +329,20 @@ def build_segments(
     derived at query time with the exact avgdl from the manifest sums
     — so segments are fully independent and the build has no serial
     stage ahead of segment 0.
+
+    ``field_postings`` (docid long, term string, tf long), terms
+    PRE-PREFIXED with their hashgroup (``title:w3``, ``anchor:w1``),
+    indexes field streams INTO the same segments as the body — the
+    reference hashes HASHGROUP_INLINKTEXT / HASHGROUP_TITLE keys into
+    posdb at build time (``XmlDoc::hashIncomingLinkText`` /
+    ``hashTitle``), and this is the same design: the hashgroup lives
+    in the term key (termid = xxhash64 of the prefixed term), so the
+    packed layout, compaction, and WAND path need no new columns.
+    Field postings carry doclen=0 (field scoring is length-norm-free,
+    ``wand.py: field_boosted_topk``) and do NOT count toward the
+    manifest's docs/sum_doclen (avgdl stays a body statistic). Uses
+    the default docid-hash segment split — not compatible with a
+    custom ``segment_col`` bound to the docs frame.
 
     ``fail_after_segment`` is a test hook simulating a crash between
     segment k's commit and k+1's start (SURVEY.md §5 resume test).
@@ -369,8 +384,33 @@ def build_segments(
         # write, term_stats partial, doc_stats agg AND the manifest row
         # count — without the cache each would recompute the explode.
         idx.postings.cache()
+        all_postings = idx.postings
+        seg_term_stats = idx.term_stats
+        if field_postings is not None:
+            from ..tokenizer import term_id
+
+            fp = field_postings.filter(seg_expr == seg).select(
+                "docid",
+                "term",
+                F.col("tf").cast("int").alias("tf"),
+                F.lit(0).cast("int").alias("doclen"),
+            )
+            if with_positions:
+                # synthetic 1..tf ordinals keep the positions-blob
+                # framing invariant (a posting has exactly tf
+                # positions); field streams carry no real ordinals
+                fp = fp.withColumn(
+                    "positions", F.sequence(F.lit(1), F.col("tf"))
+                )
+            fp = fp.withColumn("termid", term_id("term"))
+            all_postings = idx.postings.unionByName(fp)
+            seg_term_stats = all_postings.groupBy("termid", "term").agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+                F.max("tf").alias("max_tf"),
+            )
         packed = pack_postings(
-            idx.postings, n_buckets, with_positions=with_positions
+            all_postings, n_buckets, with_positions=with_positions
         )
         # posting-row count rides along the write via an Observation —
         # no separate read-back job.
@@ -386,7 +426,7 @@ def build_segments(
         # per-segment term_stats partial (merged globally at finalize);
         # the segment id is encoded in the path, not a column.
         _t = time.time()
-        idx.term_stats.write.mode("overwrite").parquet(
+        seg_term_stats.write.mode("overwrite").parquet(
             os.path.join(store.root, f"term_stats_partial/segment={seg}")
         )
         _dbg(f"seg{seg} term_stats", _t)

@@ -293,6 +293,77 @@ def _make_pos_scorer(
     return score_bucket
 
 
+def _make_field_scorer(
+    body_idf: dict[int, float],
+    field_widf: dict[int, float],
+    k: int,
+    cut: float = float("-inf"),
+):
+    """Hashgroup-weighted bucket scorer (``Posdb.cpp``
+    HASHGROUP_INLINKTEXT / HASHGROUP_TITLE weighting, SURVEY.md §2
+    C4/D16): body termids score idf·tfnorm (full BM25), field termids
+    (``title:``/``anchor:`` prefixed at build time) score
+    weight·idf·tf·(k1+1)/(tf+k1) — saturation with no length norm,
+    the same formula as the relational ``linkextract.
+    field_boosted_topk``. OR semantics (scatter-add, no required set).
+
+    Per-bucket truncation is TIE-INCLUSIVE at the rounding grid
+    (keep score ≥ round(kth)−1e-4): the caller's final order may
+    tie-break on a label (url) the scorer can't see, so every doc
+    that could round into the global top-k must survive the bucket.
+    """
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": [], "score": []}).astype(
+            {"docid": np.int64, "score": np.float64}
+        )
+        tids = pdf["termid"].to_numpy()
+        if cut > float("-inf"):
+            bm_tf = pdf["blockmax_tf"].to_numpy(np.float64)
+            bm_dl = pdf["blockmin_dl"].to_numpy(np.float64)
+            inv_avgdl = float(pdf["inv_avgdl"].iloc[0])
+            per_term: dict[int, float] = {}
+            for t, mtf, mdl in zip(tids, bm_tf, bm_dl):
+                t = int(t)
+                if t in body_idf:
+                    v = body_idf[t] * (mtf * _K1P1) / (
+                        mtf + _K1_1MB + _K1B * mdl * inv_avgdl
+                    )
+                else:
+                    v = field_widf[t] * (mtf * _K1P1) / (mtf + K1)
+                per_term[t] = max(per_term.get(t, 0.0), v)
+            if sum(per_term.values()) < cut:
+                return empty
+
+        docid_parts, score_parts = [], []
+        for row in pdf.itertuples(index=False):
+            docids = unpack_docids(row.docids).astype(np.int64)
+            tfs = unpack_ints(row.tfs).astype(np.float64)
+            t = int(row.termid)
+            if t in body_idf:
+                dls = unpack_ints(row.dls).astype(np.float64)
+                part = body_idf[t] * (tfs * _K1P1) / (
+                    tfs + _K1_1MB + _K1B * dls * row.inv_avgdl
+                )
+            else:
+                part = field_widf[t] * (tfs * _K1P1) / (tfs + K1)
+            docid_parts.append(docids)
+            score_parts.append(part)
+        if not docid_parts:
+            return empty
+        all_docids = np.concatenate(docid_parts)
+        uniq, inv = np.unique(all_docids, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(scores, inv, np.concatenate(score_parts))
+        if uniq.size > k:
+            kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+            keep = scores >= round(float(kth), 4) - 1e-4
+            uniq, scores = uniq[keep], scores[keep]
+        return pd.DataFrame({"docid": uniq, "score": scores})
+
+    return score_bucket
+
+
 class PackedIndex:
     """Query handle over a SegmentStore (or any packed DataFrame)."""
 
@@ -591,6 +662,90 @@ class PackedIndex:
         relational proximity_bm25."""
         return self._wand_pos(
             terms, "proximity", k, words=terms, prox_w=prox_w
+        )
+
+    def field_boosted_topk(
+        self,
+        terms: list[str],
+        field: str,
+        weight: float,
+        k: int = 10,
+        label_map: DataFrame | None = None,
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """Hashgroup-boosted top-k FROM THE ONE INDEX: body BM25 +
+        weight·saturation over the build-time ``{field}:term``
+        postings (``XmlDoc::hashIncomingLinkText`` / ``hashTitle`` —
+        the reference indexes inlink-text/title keys at build time and
+        scores them as weighted hashgroups in the same intersect).
+
+        idf always comes from the BODY df (one termFreq source); a
+        term with no body presence contributes nothing, matching the
+        relational ``linkextract.field_boosted_topk``. ``label_map``
+        (docid, label) — e.g. the docid↔url map for a web store —
+        re-labels output docids and makes the final tie-break run on
+        the label, identical to the relational/oracle ordering.
+        """
+        terms = list(dict.fromkeys(terms))
+        body_rows = self._term_rows(terms)
+        if not body_rows:
+            return self.spark.createDataFrame([], SCORE_SCHEMA)
+        n = float(self.n_docs)
+        idf_of_term = {
+            r["term"]: float(
+                np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+            )
+            for r in body_rows
+        }
+        body_idf = {
+            int(r["termid"]): idf_of_term[r["term"]] for r in body_rows
+        }
+        f_rows = self._term_rows(
+            [f"{field}:{t}" for t in terms if t in idf_of_term]
+        )
+        field_widf = {
+            int(r["termid"]): weight
+            * idf_of_term[r["term"].split(":", 1)[1]]
+            for r in f_rows
+        }
+        termids = list(body_idf) + list(field_widf)
+        blocks = self.packed.filter(
+            F.col("termid").isin(termids)
+        ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
+
+        seed_rows = self._seed_rows(termids)
+        tau = float("-inf")
+        if seed_rows:
+            pdf = pd.DataFrame([r.asDict() for r in seed_rows])
+            pdf["inv_avgdl"] = 1.0 / self.avgdl
+            seed_scored = _make_field_scorer(body_idf, field_widf, k)(
+                pdf
+            ).sort_values(["score", "docid"], ascending=[False, True])
+            if len(seed_scored) >= k:
+                tau = float(seed_scored["score"].iloc[k - 1])
+        if tau > float("-inf") and round_to:
+            cut = round(tau, round_to) - 10.0 ** -round_to
+        else:
+            cut = tau
+
+        result = blocks.groupBy("bucket").applyInPandas(
+            _make_field_scorer(body_idf, field_widf, k, cut),
+            schema=SCORE_SCHEMA,
+        )
+        score = (
+            F.round(F.col("score"), round_to) if round_to else F.col("score")
+        )
+        if label_map is not None:
+            return (
+                result.join(F.broadcast(label_map), "docid")
+                .select(F.col("label").alias("docid"), score.alias("score"))
+                .orderBy(F.desc("score"), F.asc("docid"))
+                .limit(k)
+            )
+        return (
+            result.select("docid", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("docid"))
+            .limit(k)
         )
 
     def prune_stats(

@@ -335,3 +335,69 @@ def test_wand_after_compaction(spark, store, tmp_path_factory):
     got = [tuple(r) for r in pidx.wand_topk(["join", "filter"], k=10).collect()]
     want = [tuple(r) for r in bm25_topk(idx, ["join", "filter"], k=10).collect()]
     assert got == want
+
+
+def test_field_streams_build_time(spark, tmp_path_factory):
+    """Build-time title:/anchor: field postings packed into the same
+    segments as the body (XmlDoc::hashTitle/hashIncomingLinkText):
+    packed field_boosted_topk == relational linkextract form, incl. a
+    doc with NO body (anchor-target outside the corpus) ranking via
+    its field component alone."""
+    import pyspark.sql.functions as F
+
+    from open_source_search_engine_spark.operators import linkextract as L
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "alpha gamma gamma delta"),
+            (3, "beta delta delta delta"),
+        ],
+        "docid long, text string",
+    )
+    # doc 99 has no body at all — field-only candidate
+    fp = spark.createDataFrame(
+        [
+            (1, "anchor:alpha", 3),
+            (2, "anchor:beta", 1),
+            (99, "anchor:alpha", 5),
+            (1, "title:beta", 2),
+        ],
+        "docid long, term string, tf long",
+    )
+    root = str(tmp_path_factory.mktemp("idx_fields"))
+    store = build_segments(
+        spark, docs, SegmentStore(root), n_segments=2, n_buckets=4,
+        field_postings=fp,
+    )
+    pidx = PackedIndex(spark, store)
+    idx = build_index(docs)
+
+    for field, terms, w in (
+        ("anchor", ["alpha", "beta"], L.ANCHOR_W),
+        ("title", ["beta"], L.TITLE_W),
+    ):
+        rel_fp = fp.filter(
+            F.split("term", ":")[0] == field
+        ).select(
+            "docid",
+            F.split("term", ":")[1].alias("term"),
+            F.col("tf").alias("ftf"),
+        )
+        got = [
+            tuple(r)
+            for r in pidx.field_boosted_topk(terms, field, w, k=4).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in L.field_boosted_topk(idx, rel_fp, terms, w, k=4).collect()
+        ]
+        assert got == want, (field, got, want)
+    # the body-less doc must appear for the anchor query
+    anchor_docs = {
+        r["docid"]
+        for r in pidx.field_boosted_topk(
+            ["alpha"], "anchor", L.ANCHOR_W, k=4
+        ).collect()
+    }
+    assert 99 in anchor_docs
