@@ -45,6 +45,29 @@ CHECKS = {
     "link_extract": [
         ("Generate", "href explode is builtin, no Python"),
     ],
+    "wand_bucketed": [
+        ("SelectedBucketsCount", "write-time bucketed layout drives the scan"),
+        ("FlatMapGroupsInPandas", "per-bucket scorer fed straight off the scan"),
+    ],
+    "wand_bucketed_jvmprune": [
+        ("LeftSemi", "blockmax ub semi-join prunes buckets BEFORE blob I/O"),
+        ("BroadcastHashJoin", "surviving bucket ids broadcast, blobs unmoved"),
+    ],
+    "field_boost_packed": [
+        ("FlatMapGroupsInPandas", "hashgroup scorer over build-time field streams"),
+        ("BroadcastHashJoin", "docid→url label join broadcast"),
+    ],
+    "ivf_partition_pruned": [
+        ("PartitionFilters", "cid probe is parquet partition pruning"),
+    ],
+}
+
+NEGATIVE_CHECKS = {
+    # plans that must NOT contain a pattern
+    "wand_bucketed": [
+        ("Exchange", "zero shuffles: bucketed scan satisfies the scorer's "
+                     "distribution, blobs never move"),
+    ],
 }
 
 
@@ -112,6 +135,47 @@ def main() -> None:
 
     plans["minhash_verify"] = minhash_lsh_pairs(docs_meta.limit(50))
 
+    # WAND over the WRITE-TIME bucketed table: no Exchange at all
+    # (jvm_prune off), then the blockmax ub semi-join (jvm_prune on)
+    from open_source_search_engine_spark.operators.segments import (
+        save_bucketed,
+    )
+
+    bpath = tempfile.mkdtemp(prefix="audit_bucketed_") + "/t"
+    save_bucketed(spark, store, "audit_packed_bucketed", bpath)
+    bidx = PackedIndex(
+        spark, store, packed=spark.table("audit_packed_bucketed")
+    )
+    bidx.jvm_prune = False
+    plans["wand_bucketed"] = bidx.wand_topk(["join", "filter"], k=10)
+    bidx.jvm_prune = True
+    plans["wand_bucketed_jvmprune"] = bidx.wand_topk(["join", "filter"], k=10)
+
+    # hashgroup (anchor) boost served from build-time field streams
+    from open_source_search_engine_spark.operators.linkextract import (
+        ANCHOR_W,
+        cached_web_store,
+    )
+
+    widx, label_map = cached_web_store(spark, 1200)
+    plans["field_boost_packed"] = widx.field_boosted_topk(
+        ["w1", "w2"], "anchor", ANCHOR_W, k=10, label_map=label_map
+    )
+
+    # IVF probe over the partitioned store: cid filter = partition prune
+    from open_source_search_engine_spark.operators.pipeline import (
+        ann_ivf_from_store,
+        ivf_write,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    ivf_root = tempfile.mkdtemp(prefix="audit_ivf_")
+    ivf_write(emb, ivf_root)
+    qv = [float(x) for x in emb.first()["embedding"]]
+    plans["ivf_partition_pruned"] = ann_ivf_from_store(
+        spark, emb, ivf_root, qv, k=10
+    )
+
     # link extraction over webtext html
     from open_source_search_engine_spark.operators.linkextract import (
         extract_links,
@@ -130,6 +194,11 @@ def main() -> None:
             lines.append(f"- {'✅' if ok else '❌'} `{needle}` — {why}")
             if not ok:
                 failures.append((name, needle))
+        for needle, why in NEGATIVE_CHECKS.get(name, []):
+            ok = needle not in txt
+            lines.append(f"- {'✅' if ok else '❌'} NO `{needle}` — {why}")
+            if not ok:
+                failures.append((name, f"unexpected {needle}"))
         lines.append("\n```\n" + txt.strip()[:4000] + "\n```\n")
 
     os.makedirs("BENCH", exist_ok=True)

@@ -472,6 +472,41 @@ def finalize_term_stats(spark: SparkSession, store: SegmentStore) -> None:
     )
 
 
+def save_bucketed(
+    spark: SparkSession,
+    store: SegmentStore,
+    table: str,
+    path: str | None = None,
+) -> str:
+    """WRITE-TIME bucketed layout: materialize the store's packed
+    blocks as a Spark bucketed table ``CLUSTERED BY (bucket) SORTED BY
+    (termid)`` so the per-bucket WAND scorer's
+    ClusteredDistribution(bucket) is satisfied straight off the SCAN —
+    no query-time repartition, no ``.cache()`` warm shuffle, zero
+    Exchange in the query plan (verified in
+    tests/test_segments_wand.py and BENCH/plans.md). This is the
+    100 TB layout the query-time cache stands in for on a laptop: on a
+    real cluster the table is written once at build/compaction time
+    and every query reads only its pruned termid stripes.
+
+    Returns the table name; hand ``spark.table(name)`` to
+    ``PackedIndex(..., packed=...)``.
+    """
+    df = store.packed(spark)
+    n_buckets = int(df.agg(F.max("bucket")).first()[0]) + 1
+    w = (
+        df.repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "bucket")
+        .sortBy("termid")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return table
+
+
 def compact_segments(
     spark: SparkSession, store: SegmentStore, out_root: str, n_buckets: int = 8
 ) -> SegmentStore:

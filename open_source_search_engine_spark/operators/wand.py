@@ -367,7 +367,12 @@ def _make_field_scorer(
 class PackedIndex:
     """Query handle over a SegmentStore (or any packed DataFrame)."""
 
-    def __init__(self, spark: SparkSession, store: SegmentStore):
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SegmentStore,
+        packed: DataFrame | None = None,
+    ):
         self.spark = spark
         self.store = store
         # cache both tables: every query prunes the SAME packed table
@@ -375,13 +380,28 @@ class PackedIndex:
         # query re-reads parquet (ref: RdbCache's termlist cache).
         # Hash-partitioned by bucket so the per-bucket scorer's
         # ClusteredDistribution(bucket) is already satisfied — the
-        # applyInPandas stage runs WITHOUT a blob shuffle (on a real
-        # cluster this is the bucketed-table layout written at build
-        # time, so queries never move blobs at all).
-        n_part = spark.conf.get("spark.sql.shuffle.partitions", "32")
-        self.packed = (
-            store.packed(spark).repartition(int(n_part), "bucket").cache()
-        )
+        # applyInPandas stage runs WITHOUT a blob shuffle.
+        # ``packed`` overrides with a WRITE-TIME bucketed table
+        # (``segments.save_bucketed``): its scan already reports
+        # HashPartitioning(bucket), so no repartition and no cache
+        # warm shuffle are needed — queries never move blobs at all,
+        # the layout the cache path stands in for at 100 TB.
+        # disk-backed stores (write-time bucketed table) default to the
+        # JVM-side bucket prune: a pre-aggregate over the scalar
+        # blockmax columns semi-joins the surviving buckets, so pruned
+        # buckets' BLOBS are never read off disk or shipped across
+        # Arrow. The in-memory cache path keeps the in-scorer prune
+        # only — there the blob column is already resident and the
+        # extra aggregate+broadcast round costs more than it saves
+        # (measured; BENCH/wand_prune.md).
+        self.jvm_prune = packed is not None
+        if packed is not None:
+            self.packed = packed
+        else:
+            n_part = spark.conf.get("spark.sql.shuffle.partitions", "32")
+            self.packed = (
+                store.packed(spark).repartition(int(n_part), "bucket").cache()
+            )
         self.term_stats = store.term_stats(spark).cache()
         self.n_docs, self.avgdl = store.globals_(spark)
         self._term_cache: dict[str, tuple] = {}
@@ -526,6 +546,44 @@ class PackedIndex:
             "k": k,
         }
 
+    def _prune_buckets_jvm(self, ctx: dict) -> DataFrame:
+        """Block-max bucket prune IN THE QUERY PLAN: aggregate each
+        bucket's upper bound from the SCALAR blockmax columns (pure
+        JVM, whole-stage codegen — the blob columns are not touched),
+        then left-semi join the survivors. On a disk-backed store the
+        parquet scan for the aggregate reads only the scalar columns,
+        so a pruned bucket's docids/tfs/dls bytes are never read at
+        all — the Ding & Suel skip realized as I/O pruning, not just
+        decode skipping. AND-mode buckets missing a required term are
+        dropped the same way."""
+        blocks, idf, cut = ctx["blocks"], ctx["idf"], ctx["cut"]
+        if cut == float("-inf"):
+            return blocks
+        idf_map = F.create_map(
+            *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
+        )
+        bm_tf = F.col("blockmax_tf").cast("double")
+        bm_dl = F.col("blockmin_dl").cast("double")
+        tfnorm_ub = (bm_tf * _K1P1) / (
+            bm_tf + _K1_1MB + _K1B * bm_dl * F.col("inv_avgdl")
+        )
+        surv = (
+            blocks.filter(F.col("termid").isin(list(idf)))
+            .groupBy("bucket", "termid")
+            .agg(F.max(idf_map[F.col("termid")] * tfnorm_ub).alias("t_ub"))
+            .groupBy("bucket")
+            .agg(
+                F.sum("t_ub").alias("ub"),
+                F.countDistinct("termid").alias("nterms"),
+            )
+            .filter(F.col("ub") >= F.lit(cut))
+        )
+        if ctx["required"]:
+            surv = surv.filter(F.col("nterms") == len(ctx["required"]))
+        return blocks.join(
+            F.broadcast(surv.select("bucket")), "bucket", "left_semi"
+        )
+
     def wand_topk(
         self,
         terms: list[str],
@@ -537,6 +595,8 @@ class PackedIndex:
         ctx = self._query_ctx(terms, k, mode, neg_terms, round_to)
         if ctx is None:
             return self.spark.createDataFrame([], SCORE_SCHEMA)
+        if self.jvm_prune:
+            ctx["blocks"] = self._prune_buckets_jvm(ctx)
 
         # ONE action mirroring the relational path's shape: termid
         # prune at the (cached, bucket-partitioned) scan → per-bucket

@@ -53,6 +53,19 @@ def duck_correct():
     con.close()
 
 
+def query_and_oracle(name: str):
+    """(query_fn, oracle_sql) for ``name``, searching BOTH registry
+    tiers — tests keep their oracle checks when a query is
+    consolidated out of the driver's 50-slot primary tier."""
+    from open_source_search_engine_spark.operators import registry
+
+    q = registry.spark_queries()
+    q.update(registry.extended_queries())
+    o = registry.oracle_queries()
+    o.update(registry.extended_oracles())
+    return q[name], o.get(name)
+
+
 def assert_df_matches_duckdb(sdf, duck_con, sql: str, float_round: int = 4):
     """Emulates the driver's correctness gate: row-count + schema-name +
     order-insensitive value comparison between a Spark DF and DuckDB SQL.

@@ -5,7 +5,7 @@ its registered DuckDB oracle (driver-style comparison)."""
 from __future__ import annotations
 
 import pytest
-from conftest import SF_CORRECT, assert_df_matches_duckdb
+from conftest import SF_CORRECT, assert_df_matches_duckdb, query_and_oracle
 
 
 @pytest.mark.parametrize(
@@ -22,10 +22,8 @@ from conftest import SF_CORRECT, assert_df_matches_duckdb
     ],
 )
 def test_oracle_paired_ir2(spark, duck_correct, name):
-    import __spark_entry__ as m
-
-    sdf = m.queries()[name](spark, SF_CORRECT)
-    assert_df_matches_duckdb(sdf, duck_correct, m.oracle_sql()[name])
+    fn, sql = query_and_oracle(name)
+    assert_df_matches_duckdb(fn(spark, SF_CORRECT), duck_correct, sql)
 
 
 def test_synth_links_deterministic(spark):

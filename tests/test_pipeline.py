@@ -40,9 +40,9 @@ def emb(spark):
 
 
 def _oracle(name):
-    import __spark_entry__ as m
+    from conftest import query_and_oracle
 
-    return m.oracle_sql()[name]
+    return query_and_oracle(name)[1]
 
 
 @pytest.mark.parametrize(
@@ -60,7 +60,9 @@ def _oracle(name):
 def test_oracle_paired(spark, duck_correct, name):
     import __spark_entry__ as m
 
-    sdf = m.queries()[name](spark, SF_CORRECT)
+    from conftest import query_and_oracle
+
+    sdf = query_and_oracle(name)[0](spark, SF_CORRECT)
     assert_df_matches_duckdb(sdf, duck_correct, _oracle(name))
 
 

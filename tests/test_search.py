@@ -111,10 +111,10 @@ def test_bool_search_matches_setalgebra(spark):
     ],
 )
 def test_oracle_paired_search(spark, duck_correct, name):
-    import __spark_entry__ as m
+    from conftest import query_and_oracle
 
-    sdf = m.queries()[name](spark, SF_CORRECT)
-    assert_df_matches_duckdb(sdf, duck_correct, m.oracle_sql()[name])
+    fn, sql = query_and_oracle(name)
+    assert_df_matches_duckdb(fn(spark, SF_CORRECT), duck_correct, sql)
 
 
 # --- phrase semantics ------------------------------------------------------

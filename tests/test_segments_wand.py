@@ -401,3 +401,50 @@ def test_field_streams_build_time(spark, tmp_path_factory):
         ).collect()
     }
     assert 99 in anchor_docs
+
+
+def test_bucketed_table_no_shuffle(spark, store, tmp_path_factory):
+    """save_bucketed writes the packed blocks as a bucketed table
+    (CLUSTERED BY bucket); the WAND query plan over it contains ZERO
+    Exchange — the scan itself satisfies the per-bucket scorer's
+    distribution, so blobs never shuffle (the write-time layout the
+    query-time cache stands in for)."""
+    from open_source_search_engine_spark.operators.segments import (
+        save_bucketed,
+    )
+
+    path = str(tmp_path_factory.mktemp("idx_bucketed")) + "/t"
+    save_bucketed(spark, store, "packed_bucketed_t", path)
+    try:
+        pidx = PackedIndex(
+            spark, store, packed=spark.table("packed_bucketed_t")
+        )
+        assert pidx.jvm_prune  # disk-backed default: I/O-level prune
+        idx = cached_index(spark, SF_SMOKE)
+        want = [
+            tuple(r)
+            for r in bm25_topk(idx, ["join", "filter"], k=10).collect()
+        ]
+        # jvm_prune ON: ub aggregate + left-semi join in the plan; the
+        # only Exchanges are over scalar (bucket, t_ub) rows + the
+        # broadcast of surviving bucket ids — never blob columns
+        res = pidx.wand_topk(["join", "filter"], k=10)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+        assert [tuple(r) for r in res.collect()] == want
+
+        # jvm_prune OFF: zero Exchange of any kind — the bucketed scan
+        # alone satisfies the per-bucket scorer's distribution
+        pidx.jvm_prune = False
+        res = pidx.wand_topk(["join", "filter", "hash"], k=10)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        pidx.jvm_prune = True
+        res2 = pidx.wand_topk(["join", "filter", "hash"], k=10)
+        pidx.jvm_prune = False
+        assert (
+            [tuple(r) for r in res2.collect()]
+            == [tuple(r) for r in res.collect()]
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS packed_bucketed_t")
