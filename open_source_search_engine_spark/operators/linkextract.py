@@ -532,3 +532,83 @@ def cached_web_store(spark: SparkSession, n_docs: int):
         )
         _WEB_STORE[key] = (PackedIndex(spark, store), label_map)
     return _WEB_STORE[key]
+
+
+# ---------------------------------------------------------------------------
+# I1: crawl-frontier expansion (the crawl loop, minus the fetch)
+# ---------------------------------------------------------------------------
+
+
+def crawl_frontier(
+    links: DataFrame, seeds: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """(url, depth): BFS min-hop distance from ``seeds`` over the
+    extracted link graph, bounded by ``max_depth`` — the reference's
+    crawl loop (``Spider.cpp``: seed → fetch → extract → enqueue
+    unseen) with the fetch replaced by the already-extracted edges
+    (A1/A2 need network; the LOOP itself is pure dataflow).
+
+    Iterative frontier joins, one per depth level: frontier ⨝ links →
+    unseen targets, union into visited. Each wave is a hash join on
+    url; ``visited`` stays (url, depth) — no payloads ride the loop.
+    Scale: identical shape to the iterative min-label CC in
+    pipeline.py; depth is bounded (a real crawl bounds hops), each
+    wave's anti-join prunes re-enqueues, and caching the frontier
+    keeps waves O(new edges). Oracle: DuckDB WITH RECURSIVE replays
+    min-hop BFS exactly.
+    """
+    edges = links.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    ).distinct()
+    visited = seeds.select(
+        F.col("url").cast("string").alias("url"), F.lit(0).alias("depth")
+    ).distinct().cache()
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.url == edges.src)
+            .select(F.col("dst").alias("url"))
+            .distinct()
+            .join(visited.select("url"), "url", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .cache()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).cache()
+        frontier = nxt
+    return visited
+
+
+def crawl_frontier_sql(path: str, seed_mod: int, max_depth: int = 3) -> str:
+    """DuckDB recursive-CTE oracle: min-hop BFS over the same pinned
+    link extraction, seeds = every url whose trailing page number ≡ 0
+    (mod seed_mod)."""
+    return f"""
+WITH RECURSIVE pages AS (
+  SELECT url, decode(html) AS h FROM read_parquet('{path}')
+),
+edges AS (
+  SELECT DISTINCT url AS src,
+         CASE WHEN l.href LIKE '/%' THEN
+           regexp_extract(url, '^(https?://[^/]+)', 1) || l.href
+         ELSE l.href END AS dst
+  FROM pages, LATERAL (
+    SELECT unnest(regexp_extract_all(h, '<a href="([^"]*)">([^<]*)</a>', 1))
+      AS href
+  ) AS l
+),
+seeds AS (
+  SELECT url FROM pages
+  WHERE CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS BIGINT)
+        % {seed_mod} = 0
+),
+bfs AS (
+  SELECT url, 0 AS depth FROM seeds
+  UNION
+  SELECT e.dst AS url, b.depth + 1 AS depth
+  FROM bfs b JOIN edges e ON e.src = b.url
+  WHERE b.depth < {max_depth}
+)
+SELECT url, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY url
+"""

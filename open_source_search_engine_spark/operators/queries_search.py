@@ -198,7 +198,7 @@ GROUP BY d.source
 """
 
 
-@register("facet_by_source", FACET_SQL)
+@register("facet_by_source", FACET_SQL, extended=True)
 def facet_by_source(spark, sf_dir):
     return S.facet_counts(
         cached_index(spark, sf_dir), _docs_meta(spark, sf_dir), "join", "source"
@@ -208,7 +208,7 @@ def facet_by_source(spark, sf_dir):
 FACET_LANG_SQL = FACET_SQL.replace("d.source", "d.lang")
 
 
-@register("facet_by_lang", FACET_LANG_SQL)
+@register("facet_by_lang", FACET_LANG_SQL, extended=True)
 def facet_by_lang(spark, sf_dir):
     return S.facet_counts(
         cached_index(spark, sf_dir), _docs_meta(spark, sf_dir), "join", "lang"

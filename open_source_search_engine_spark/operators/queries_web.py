@@ -121,6 +121,47 @@ def title_bm25_rel(spark, sf_dir):
     return L.title_boosted_topk(idx, web, TITLE_TERMS, k=10)
 
 
+from ..sources.webtext import ROBOTS_UA, robots_path
+from . import robots as R
+
+_ROBOTS_PATH = robots_path()
+
+
+@register(
+    "robots_allowed",
+    R.robots_oracle_sql(_ROBOTS_PATH, _PATH, ROBOTS_UA),
+)
+def robots_allowed(spark, sf_dir):
+    """A3 — robots.txt admission (ref: Robots.cpp Robots::isAllowed):
+    parse per-host robots.txt (user-agent groups, comments, mixed
+    case), longest-prefix-match rules with Allow-wins-ties, and the
+    crawler-specific group replacing '*'. Pure Catalyst; the oracle
+    replays the pinned v1 semantics in DuckDB over the same parquet."""
+    web, _, _ = L.cached_web(spark, N_WEB)
+    rules = R.parse_robots(spark.read.parquet(_ROBOTS_PATH))
+    return R.robots_allowed(web.select("url"), rules, ROBOTS_UA)
+
+
+SEED_MOD = 200
+CRAWL_DEPTH = 3
+
+
+@register(
+    "crawl_frontier", L.crawl_frontier_sql(_PATH, SEED_MOD, CRAWL_DEPTH)
+)
+def crawl_frontier(spark, sf_dir):
+    """I1 — the crawl loop minus the fetch (ref: Spider.cpp seed →
+    extract → enqueue-unseen): bounded BFS min-hop frontier expansion
+    over the REAL extracted link graph; oracle is a DuckDB recursive
+    CTE over the same pinned extraction."""
+    web, _, links = L.cached_web(spark, N_WEB)
+    seeds = web.select("url").filter(
+        F.regexp_extract("url", "/p/([0-9]+)$", 1).cast("long")
+        % SEED_MOD == 0
+    )
+    return L.crawl_frontier(links, seeds, max_depth=CRAWL_DEPTH)
+
+
 INURL_TOK = "host7"
 
 

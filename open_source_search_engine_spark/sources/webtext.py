@@ -171,6 +171,59 @@ def webtext_path(n_docs: int, seed: int = 42, base: str | None = None) -> str:
     return path
 
 
+# --- robots.txt fixture (SURVEY.md §2 A3) ---------------------------------
+# One robots.txt per host, a pure function of the host number. Exercises
+# the parser: comments, blank lines, mixed-case directives, multiple
+# user-agent groups, empty Disallow (allow-all no-op), and overlapping
+# prefixes of different lengths (longest-match + Allow-wins-ties).
+
+ROBOTS_UA = "gigabot"  # the reference crawler's own agent token
+
+
+def _robots_txt(h: int) -> str:
+    lines = [f"# robots for host{h}", "User-agent: *"]
+    if h % 5 == 0:
+        lines.append("Disallow:")  # explicit allow-all (no-op rule)
+    else:
+        lines.append(f"Disallow: /p/{h % 10}")
+        if h % 2 == 0:
+            # longer Allow carves an exception out of the Disallow
+            lines.append(f"Allow: /p/{h % 10}{h % 7}")
+        if h % 4 == 1:
+            lines.append("disallow: /c")  # lowercase directive
+    if h % 3 == 0:
+        lines += [
+            "",
+            "# crawler-specific group replaces * entirely",
+            f"User-Agent: {ROBOTS_UA}",
+            f"Disallow: /p/{(h + 1) % 10}",
+            f"Allow: /p/{(h + 1) % 10}0",
+        ]
+    return "\n".join(lines) + "\n"
+
+
+def generate_robots() -> pa.Table:
+    hosts, txts = [], []
+    for h in range(N_HOSTS):
+        hosts.append(f"host{h}.example{_TLDS[h % 3]}")
+        txts.append(_robots_txt(h))
+    return pa.Table.from_arrays(
+        [pa.array(hosts, pa.string()), pa.array(txts, pa.string())],
+        names=["host", "robots_txt"],
+    )
+
+
+def robots_path(base: str | None = None) -> str:
+    base = base or os.path.join(os.path.dirname(__file__), "..", "..", ".data")
+    path = os.path.abspath(os.path.join(base, "robots_v1.parquet"))
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(generate_robots(), tmp, compression="zstd")
+        os.replace(tmp, path)
+    return path
+
+
 # --- query fixture (FIXTURES.md §3) -------------------------------------
 
 def generate_queries(seed: int = 42) -> list[dict]:

@@ -39,6 +39,7 @@ def start_incremental_index(
     checkpoint_dir: str,
     n_buckets: int = 8,
     schema: str = "docid long, text string",
+    with_positions: bool = False,
 ):
     """Continuously index documents dropped into ``input_dir``
     (parquet files): each micro-batch -> one packed segment + manifest
@@ -48,6 +49,11 @@ def start_incremental_index(
     segment write is idempotent per epoch (overwrite-by-name), so a
     crash between segment write and checkpoint commit replays into the
     same path — exactly-once-ish (I7).
+
+    ``with_positions`` must match the store's batch segments: a
+    positional store (positions/dens/spam streams) appended with
+    non-positional epochs would leave the unioned read with mixed
+    schemas.
     """
     import time as _time
 
@@ -62,9 +68,14 @@ def start_incremental_index(
         t0 = _time.time()
         if batch_df.isEmpty():
             return
-        idx = build_index(batch_df, "docid", "text", compute_globals=False)
+        idx = build_index(
+            batch_df, "docid", "text",
+            compute_globals=False, with_positions=with_positions,
+        )
         idx.postings.cache()
-        packed = pack_postings(idx.postings, n_buckets)
+        packed = pack_postings(
+            idx.postings, n_buckets, with_positions=with_positions
+        )
         # Same partition-column name as the batch builder (segment=…):
         # a store holding batch segments AND streaming epochs reads as
         # one table; mixed segment= values would otherwise raise

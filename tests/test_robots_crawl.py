@@ -1,0 +1,94 @@
+"""A3 robots.txt admission + I1 crawl-frontier expansion
+(ref: Robots.cpp Robots::isAllowed, Spider.cpp crawl loop)."""
+
+from __future__ import annotations
+
+from open_source_search_engine_spark.operators import robots as R
+
+
+def test_robots_semantics(spark):
+    """Pinned v1 semantics on a hand-built file: group binding,
+    longest-match, Allow-wins-ties, specific group replaces '*',
+    comments/case/no-rules defaults."""
+    txt = "\n".join(
+        [
+            "# comment line",
+            "User-agent: *",
+            "Disallow: /a",
+            "Allow: /a/b",  # longer allow carve-out
+            "Disallow: /c",
+            "Allow: /c",  # equal length → allow wins
+            "",
+            "User-Agent: gigabot",
+            "disallow: /g",
+        ]
+    )
+    robots = spark.createDataFrame(
+        [("h1.com", txt), ("h2.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    rules = R.parse_robots(robots)
+    # empty-value Disallow is a no-op: h2 contributes no rules
+    assert rules.filter("host = 'h2.com'").count() == 0
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h1.com/a/x",),      # * group would deny; gigabot
+            ("https://h1.com/g/x",),      # gigabot denies
+            ("https://h1.com/c",),        # (star) allow ties win — but
+            ("https://h2.com/anything",),  # no-op rules → allowed
+            ("https://h3.com/no/robots",),  # no rules at all → allowed
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in R.robots_allowed(urls, rules, "gigabot").collect()
+    }
+    # h1 has a gigabot group → it REPLACES '*': /a and /c are allowed,
+    # only /g is denied for gigabot
+    assert got["https://h1.com/a/x"] is True
+    assert got["https://h1.com/g/x"] is False
+    assert got["https://h1.com/c"] is True
+    assert got["https://h2.com/anything"] is True
+    assert got["https://h3.com/no/robots"] is True
+
+    # for a generic agent the '*' group applies
+    got_star = {
+        r["url"]: r["allowed"]
+        for r in R.robots_allowed(urls, rules, "otherbot").collect()
+    }
+    assert got_star["https://h1.com/a/x"] is False   # /a denies, /a/b n/a
+    assert got_star["https://h1.com/c"] is True      # equal-length allow wins
+    assert got_star["https://h1.com/g/x"] is True    # /g only binds gigabot
+
+    longer = spark.createDataFrame(
+        [("https://h1.com/a/b/deep",)], "url string"
+    )
+    assert R.robots_allowed(longer, rules, "otherbot").first()["allowed"]
+
+
+def test_crawl_frontier_min_depth(spark):
+    """BFS assigns MIN hop depth; bounded by max_depth; unseen-only
+    enqueue (a node reachable at depths 1 and 2 reports 1)."""
+    from open_source_search_engine_spark.operators.linkextract import (
+        crawl_frontier,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("s", "a", ""),
+            ("a", "b", ""),
+            ("s", "b", ""),   # b reachable at 1 (direct) and 2 (via a)
+            ("b", "c", ""),
+            ("c", "d", ""),
+            ("d", "e", ""),   # e is 4 hops — beyond max_depth 3
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    seeds = spark.createDataFrame([("s",)], "url string")
+    got = {
+        r["url"]: r["depth"]
+        for r in crawl_frontier(links, seeds, max_depth=3).collect()
+    }
+    assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3}
