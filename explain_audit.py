@@ -156,8 +156,9 @@ def main() -> None:
         ANCHOR_W,
         cached_web_store,
     )
+    from open_source_search_engine_spark.operators.queries_web import N_WEB
 
-    widx, label_map = cached_web_store(spark, 1200)
+    widx, label_map = cached_web_store(spark, N_WEB)
     plans["field_boost_packed"] = widx.field_boosted_topk(
         ["w1", "w2"], "anchor", ANCHOR_W, k=10, label_map=label_map
     )

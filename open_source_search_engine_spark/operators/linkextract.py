@@ -582,22 +582,12 @@ def crawl_frontier(
 
 def crawl_frontier_sql(path: str, seed_mod: int, max_depth: int = 3) -> str:
     """DuckDB recursive-CTE oracle: min-hop BFS over the same pinned
-    link extraction, seeds = every url whose trailing page number ≡ 0
-    (mod seed_mod)."""
+    link extraction (composes LINKS_SQL_CTE — the ONE source of truth
+    for href resolution, shared with every other link oracle), seeds =
+    every url whose trailing page number ≡ 0 (mod seed_mod)."""
     return f"""
-WITH RECURSIVE pages AS (
-  SELECT url, decode(html) AS h FROM read_parquet('{path}')
-),
-edges AS (
-  SELECT DISTINCT url AS src,
-         CASE WHEN l.href LIKE '/%' THEN
-           regexp_extract(url, '^(https?://[^/]+)', 1) || l.href
-         ELSE l.href END AS dst
-  FROM pages, LATERAL (
-    SELECT unnest(regexp_extract_all(h, '<a href="([^"]*)">([^<]*)</a>', 1))
-      AS href
-  ) AS l
-),
+WITH RECURSIVE {LINKS_SQL_CTE.format(path=path)},
+edges AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM links),
 seeds AS (
   SELECT url FROM pages
   WHERE CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS BIGINT)

@@ -200,27 +200,17 @@ def filetype_filter(spark, sf_dir):
 # standalone family_filter / filetype_filter variants stay
 # oracle-paired in the extended (pytest) tier.
 
+# Composes the standalone oracles as CTE subqueries (one source of
+# truth — the DOC_ENRICH_SQL pattern): any change to the family or
+# filetype oracle flows into this consolidated row automatically.
 META_FILTERS_SQL = f"""
-WITH {TOK_CTE},
-flagged AS (
-  SELECT DISTINCT docid FROM postings
-  WHERE term IN ({", ".join(f"'{t}'" for t in BLOCKED_TERMS)})
-),
-urls AS (
-  SELECT doc_id AS docid,
-         concat('https://docs.example.com/f/', CAST(doc_id AS VARCHAR), '.',
-                ['html', 'pdf', 'txt'][(doc_id % 3) + 1]) AS url
-  FROM documents
-)
-SELECT d.doc_id AS docid, 'family' AS kind,
-       CASE WHEN d.doc_id IN (SELECT docid FROM flagged)
-            THEN 'flagged' ELSE 'ok' END AS val
-FROM documents d
+WITH fam AS ({FAMILY_FILTER_SQL}),
+ft AS ({FILETYPE_SQL})
+SELECT docid, 'family' AS kind,
+       CASE WHEN is_flagged THEN 'flagged' ELSE 'ok' END AS val
+FROM fam
 UNION ALL
-SELECT docid, 'filetype' AS kind,
-       regexp_extract(url, '\\.([a-z0-9]+)$', 1) AS val
-FROM urls
-WHERE regexp_extract(url, '\\.([a-z0-9]+)$', 1) = 'pdf'
+SELECT docid, 'filetype' AS kind, filetype AS val FROM ft
 """
 
 

@@ -27,7 +27,9 @@ from .index_build import cached_index
 #   Redundant mode variants are CONSOLIDATED (e.g. the bm25/wand
 #   single/AND/OR/NOT matrix keeps 3 of 9; family+filetype filters
 #   merge into meta_filters; the four per-doc text-analysis ops merge
-#   into doc_enrich) so the cap covers the whole operator inventory.
+#   into doc_enrich; facet_by_source/lang fold into facet_rollup —
+#   the same facet_counts path, and the rollup is its GROUPING SETS
+#   superset) so the cap covers the whole operator inventory.
 # - EXTENDED: the consolidated-away variants, still oracle-paired and
 #   run by the SAME comparator in pytest (tests/test_driver_contract)
 #   — nothing formerly verified lost its oracle check, only its

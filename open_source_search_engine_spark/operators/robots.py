@@ -9,8 +9,12 @@ Pinned semantics (v1, the original REP as the reference implements it
 
 - a rule is ``Allow:``/``Disallow:`` + a path PREFIX; empty-value
   rules are no-ops;
-- directives are case-insensitive, ``#`` starts a comment, rules bind
-  to the most recent ``User-agent:`` line above them;
+- directives are case-insensitive, ``#`` starts a comment, blank and
+  comment-only lines are ignored entirely; rules bind to the most
+  recent ``User-agent:`` BLOCK above them — consecutive
+  ``User-agent:`` lines (after dropping ignored lines) stack into one
+  group whose rules apply to every listed agent, the standard REP
+  grouping;
 - if a host has a group for the crawler's own agent token, that group
   REPLACES the ``*`` group entirely (it is not merged);
 - the longest matching prefix wins; on equal length ``Allow`` wins;
@@ -35,40 +39,56 @@ HOST_RE = "^https?://([^/]+)"
 
 def parse_robots(robots: DataFrame) -> DataFrame:
     """robots(host, robots_txt) → rules(host, ua, directive, prefix,
-    rule_len). One row per non-empty Allow/Disallow bound to its
-    user-agent group."""
-    lines = robots.select(
-        "host",
-        F.posexplode(F.split("robots_txt", "\n")).alias("line_no", "raw"),
-    ).withColumn(
-        "line", F.trim(F.regexp_replace("raw", "#.*", ""))
+    rule_len). One row per (agent, non-empty Allow/Disallow) pair:
+    consecutive ``User-agent:`` lines stack into one group, and every
+    agent in the block gets a copy of the block's rules (standard REP
+    grouping; a rule row fans out over the block's agents via an
+    equi-join on the block id)."""
+    lines = (
+        robots.select(
+            "host",
+            F.posexplode(F.split("robots_txt", "\n")).alias(
+                "line_no", "raw"
+            ),
+        )
+        .withColumn("line", F.trim(F.regexp_replace("raw", "#.*", "")))
+        .filter(F.col("line") != "")
     )
     ua = F.regexp_extract("line", r"(?i)^user-agent:\s*(\S+)", 1)
-    w = (
-        Window.partitionBy("host")
-        .orderBy("line_no")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines = lines.withColumn("is_ua", ua != "")
+    w = Window.partitionBy("host").orderBy("line_no")
+    # block id: +1 at each UA line whose previous non-blank line is
+    # NOT a UA line (a UA directly after another UA stacks instead)
+    blocked = lines.withColumn(
+        "block_start",
+        (
+            F.col("is_ua")
+            & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))
+        ).cast("int"),
+    ).withColumn(
+        "block",
+        F.sum("block_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
-    tagged = lines.withColumn(
-        "ua_raw", F.when(ua != "", F.lower(ua))
-    ).withColumn("ua", F.last("ua_raw", ignorenulls=True).over(w))
+    agents = blocked.filter("is_ua").select(
+        "host", "block", F.lower(ua).alias("ua")
+    )
     rule = F.regexp_extract("line", r"(?i)^(allow|disallow):\s*(\S*)", 1)
     prefix = F.regexp_extract("line", r"(?i)^(allow|disallow):\s*(\S*)", 2)
-    return (
-        tagged.withColumn("directive", F.lower(rule))
+    rules = (
+        blocked.filter(~F.col("is_ua"))
+        .withColumn("directive", F.lower(rule))
         .withColumn("prefix", prefix)
-        .filter(
-            (F.col("directive") != "")
-            & (F.col("prefix") != "")
-            & F.col("ua").isNotNull()
-        )
-        .select(
-            "host",
-            "ua",
-            "directive",
-            "prefix",
-            F.length("prefix").alias("rule_len"),
-        )
+        .filter((F.col("directive") != "") & (F.col("prefix") != ""))
+        .select("host", "block", "directive", "prefix")
+    )
+    return rules.join(agents, ["host", "block"]).select(
+        "host",
+        "ua",
+        "directive",
+        "prefix",
+        F.length("prefix").alias("rule_len"),
     )
 
 
@@ -135,26 +155,42 @@ raw AS (
   SELECT host, line_no,
          trim(regexp_replace(line0, '#.*', '')) AS line
   FROM raw0
+  WHERE trim(regexp_replace(line0, '#.*', '')) <> ''
 ),
-tagged AS (
+flagged AS (
   SELECT host, line_no, line,
-         last_value(
-           CASE WHEN regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1) <> ''
-                THEN lower(regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1))
-           END IGNORE NULLS
-         ) OVER (PARTITION BY host ORDER BY line_no
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ua
+         regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1) <> '' AS is_ua
   FROM raw
 ),
+lagged AS (
+  SELECT host, line_no, line, is_ua,
+         coalesce(lag(is_ua) OVER (PARTITION BY host ORDER BY line_no),
+                  FALSE) AS prev_is_ua
+  FROM flagged
+),
+blocked AS (
+  SELECT host, line_no, line, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_is_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY line_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS block
+  FROM lagged
+),
+agents AS (
+  SELECT host, block,
+         lower(regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1)) AS ua
+  FROM blocked WHERE is_ua
+),
 rules AS (
-  SELECT host, ua,
-         lower(regexp_extract(line, '(?i)^(allow|disallow):\\s*(\\S*)', 1))
+  SELECT b.host, a.ua,
+         lower(regexp_extract(b.line, '(?i)^(allow|disallow):\\s*(\\S*)', 1))
            AS directive,
-         regexp_extract(line, '(?i)^(allow|disallow):\\s*(\\S*)', 2) AS prefix
-  FROM tagged
-  WHERE regexp_extract(line, '(?i)^(allow|disallow):\\s*(\\S*)', 1) <> ''
-    AND regexp_extract(line, '(?i)^(allow|disallow):\\s*(\\S*)', 2) <> ''
-    AND ua IS NOT NULL
+         regexp_extract(b.line, '(?i)^(allow|disallow):\\s*(\\S*)', 2)
+           AS prefix
+  FROM blocked b JOIN agents a ON b.host = a.host AND b.block = a.block
+  WHERE NOT b.is_ua
+    AND regexp_extract(b.line, '(?i)^(allow|disallow):\\s*(\\S*)', 1) <> ''
+    AND regexp_extract(b.line, '(?i)^(allow|disallow):\\s*(\\S*)', 2) <> ''
 ),
 r2 AS (
   SELECT *, CASE WHEN ua = '{agent}' THEN 1 ELSE 0 END AS is_specific

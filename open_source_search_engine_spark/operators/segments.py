@@ -493,7 +493,13 @@ def save_bucketed(
     ``PackedIndex(..., packed=...)``.
     """
     df = store.packed(spark)
-    n_buckets = int(df.agg(F.max("bucket")).first()[0]) + 1
+    max_bucket = df.agg(F.max("bucket")).first()[0]
+    if max_bucket is None:
+        raise ValueError(
+            f"store at {store.root} has no packed rows — build segments "
+            "before writing a bucketed layout"
+        )
+    n_buckets = int(max_bucket) + 1
     w = (
         df.repartition(n_buckets, "bucket")
         .write.mode("overwrite")

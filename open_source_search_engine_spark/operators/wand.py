@@ -138,8 +138,14 @@ def _make_bucket_scorer(
             keep = ~np.isin(uniq, bad)
             uniq, scores = uniq[keep], scores[keep]
         if uniq.size > k:
-            top = np.argpartition(-scores, k - 1)[:k]
-            uniq, scores = uniq[top], scores[top]
+            # tie-inclusive keep (same guard as _make_field_scorer):
+            # a raw-score argpartition could drop a doc that ties at
+            # the 4-decimal rounding grid with a smaller docid, and
+            # the global orderBy(round(score), docid) tie-break never
+            # sees it — keep everything within one grid ulp of kth.
+            kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+            keep = scores >= round(float(kth), 4) - 1e-4
+            uniq, scores = uniq[keep], scores[keep]
         return pd.DataFrame({"docid": uniq, "score": scores})
 
     return score_bucket
@@ -207,10 +213,11 @@ def _make_pos_scorer(
                 return empty
 
         docid_parts, score_parts, req_parts = [], [], []
-        pos_index: dict[int, list] = {}
+        pos_blobs: dict[int, list] = {}
         for row in pdf.itertuples(index=False):
             docids = unpack_docids(row.docids).astype(np.int64)
-            tfs = unpack_ints(row.tfs).astype(np.float64)
+            tfs_int = unpack_ints(row.tfs).astype(np.int64)
+            tfs = tfs_int.astype(np.float64)
             dls = unpack_ints(row.dls).astype(np.float64)
             tfnorm = (tfs * _K1P1) / (
                 tfs + _K1_1MB + _K1B * dls * row.inv_avgdl
@@ -226,11 +233,12 @@ def _make_pos_scorer(
                 np.full(docids.size, row.termid in required, dtype=np.int64)
             )
             if kind in ("phrase", "proximity"):
-                flat, offsets = unpack_positions(
-                    row.positions, unpack_ints(row.tfs).astype(np.int64)
-                )
-                pos_index.setdefault(int(row.termid), []).append(
-                    (docids, offsets, flat.astype(np.int64))
+                # positions stay ENCODED until the AND filter has
+                # produced the candidate set — only blocks holding a
+                # surviving doc pay the varbyte decode (the docstring's
+                # candidate-only promise; tfs_int reused, not re-read)
+                pos_blobs.setdefault(int(row.termid), []).append(
+                    (docids, tfs_int, row.positions)
                 )
         if not docid_parts:
             return empty
@@ -247,6 +255,15 @@ def _make_pos_scorer(
             uniq, scores = uniq[keep], scores[keep]
 
         if kind in ("phrase", "proximity") and uniq.size:
+            pos_index: dict[int, list] = {}
+            for tid, blks in pos_blobs.items():
+                for docids, tfs_int, blob in blks:
+                    if not np.isin(uniq, docids, assume_unique=True).any():
+                        continue  # no candidate in this block: skip decode
+                    flat, offsets = unpack_positions(blob, tfs_int)
+                    pos_index.setdefault(tid, []).append(
+                        (docids, offsets, flat.astype(np.int64))
+                    )
 
             def positions_of(tid: int, docid: int) -> np.ndarray:
                 for d, off, flat in pos_index.get(tid, ()):
@@ -286,8 +303,10 @@ def _make_pos_scorer(
                         )))
                     scores[i] = scores[i] + prox_w / best
         if uniq.size > k:
-            top = np.argpartition(-scores, k - 1)[:k]
-            uniq, scores = uniq[top], scores[top]
+            # tie-inclusive keep — see _make_bucket_scorer
+            kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+            keep = scores >= round(float(kth), 4) - 1e-4
+            uniq, scores = uniq[keep], scores[keep]
         return pd.DataFrame({"docid": uniq, "score": scores})
 
     return score_bucket
@@ -476,6 +495,8 @@ class PackedIndex:
     ) -> dict | None:
         """Shared query prologue: term stats, idf, pruned block scan,
         and the seed-sampled τ cut. None = provably empty result."""
+        # (seed-τ mechanics live in _seed_cut — ONE implementation
+        # shared by the plain, positional, and field-boost paths)
         terms = list(dict.fromkeys(terms))
         rows = self._term_rows(terms)
         found = {r["term"]: r for r in rows}
@@ -508,35 +529,12 @@ class PackedIndex:
             F.col("termid").isin(termids + list(neg_ids))
         ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
 
-        # --- τ from a SAMPLED seed bucket, scored driver-side --------
-        # docids are uniform 63-bit hashes, so every bucket is a fair
-        # sample of the score distribution: bucket 0's k-th best score
-        # is a valid τ (any subset's k-th score lower-bounds the
-        # global k-th) and, by uniformity, a near-tight one. Its
-        # blocks are one row per (term, segment), fetched via the
-        # memoized pure-JVM collect below and scored with the same
-        # numpy kernel — the reference's per-shard TopTree seed
-        # (Msg39), far cheaper than a distributed stage just for τ.
-        seed_rows = self._seed_rows(termids + list(neg_ids))
-        tau = float("-inf")
-        if seed_rows:
-            pdf = pd.DataFrame([r.asDict() for r in seed_rows])
-            pdf["inv_avgdl"] = 1.0 / self.avgdl
-            seed_scored = _make_bucket_scorer(idf, required, neg_ids, k)(
-                pdf
-            ).sort_values(["score", "docid"], ascending=[False, True])
-            if len(seed_scored) >= k:
-                tau = float(seed_scored["score"].iloc[k - 1])
-
-        # The survivor cut compares against τ in the ROUNDED domain
-        # minus one ulp of the rounding grid: final ranking is on
-        # round(score, round_to), so a doc whose exact score is below
-        # unrounded-τ but rounds equal (and ties by smaller docid)
-        # must still be scored — `ub > τ(unrounded)` dropped it.
-        if tau > float("-inf") and round_to:
-            cut = round(tau, round_to) - 10.0 ** -round_to
-        else:
-            cut = tau
+        cut = self._seed_cut(
+            termids + list(neg_ids),
+            _make_bucket_scorer(idf, required, neg_ids, k),
+            k,
+            round_to,
+        )
         return {
             "blocks": blocks,
             "idf": idf,
@@ -545,6 +543,40 @@ class PackedIndex:
             "cut": cut,
             "k": k,
         }
+
+    def _seed_cut(self, termids, scorer, k, round_to=4) -> float:
+        """τ from a SAMPLED seed bucket, scored driver-side — the ONE
+        tau/cut implementation shared by the plain, positional, and
+        field-boost query paths (drift here invalidates block-max
+        pruning, so it must not be re-implemented per path).
+
+        docids are uniform 63-bit hashes, so every bucket is a fair
+        sample of the score distribution: bucket 0's k-th best score
+        is a valid τ (any subset's k-th score lower-bounds the global
+        k-th) and, by uniformity, a near-tight one. Its blocks are one
+        row per (term, segment), fetched via the memoized pure-JVM
+        collect and scored with the SAME numpy kernel as the
+        distributed branch — the reference's per-shard TopTree seed
+        (Msg39), far cheaper than a distributed stage just for τ.
+
+        The returned cut compares against τ in the ROUNDED domain
+        minus one ulp of the rounding grid: final ranking is on
+        round(score, round_to), so a doc whose exact score is below
+        unrounded-τ but rounds equal (and ties by smaller docid) must
+        still be scored — ``ub > τ(unrounded)`` would drop it."""
+        seed_rows = self._seed_rows(termids)
+        tau = float("-inf")
+        if seed_rows:
+            pdf = pd.DataFrame([r.asDict() for r in seed_rows])
+            pdf["inv_avgdl"] = 1.0 / self.avgdl
+            seed_scored = scorer(pdf).sort_values(
+                ["score", "docid"], ascending=[False, True]
+            )
+            if len(seed_scored) >= k:
+                tau = float(seed_scored["score"].iloc[k - 1])
+        if tau > float("-inf") and round_to:
+            return round(tau, round_to) - 10.0 ** -round_to
+        return tau
 
     def _prune_buckets_jvm(self, ctx: dict) -> DataFrame:
         """Block-max bucket prune IN THE QUERY PLAN: aggregate each
@@ -671,20 +703,7 @@ class PackedIndex:
             F.col("termid").isin(termids)
         ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
 
-        seed_rows = self._seed_rows(termids)
-        tau = float("-inf")
-        if seed_rows:
-            pdf = pd.DataFrame([r.asDict() for r in seed_rows])
-            pdf["inv_avgdl"] = 1.0 / self.avgdl
-            seed_scored = scorer(float("-inf"))(pdf).sort_values(
-                ["score", "docid"], ascending=[False, True]
-            )
-            if len(seed_scored) >= k:
-                tau = float(seed_scored["score"].iloc[k - 1])
-        if tau > float("-inf") and round_to:
-            cut = round(tau, round_to) - 10.0 ** -round_to
-        else:
-            cut = tau
+        cut = self._seed_cut(termids, scorer(float("-inf")), k, round_to)
 
         result = blocks.groupBy("bucket").applyInPandas(
             scorer(cut), schema=SCORE_SCHEMA
@@ -720,6 +739,11 @@ class PackedIndex:
         BM25_AND + W/mindist with mindist from the positions stream
         (PosdbTable sliding-window analogue); same oracle as the
         relational proximity_bm25."""
+        if len(dict.fromkeys(terms)) != 2:
+            raise ValueError(
+                "proximity requires exactly two distinct terms "
+                f"(got {terms!r})"
+            )
         return self._wand_pos(
             terms, "proximity", k, words=terms, prox_w=prox_w
         )
@@ -773,20 +797,9 @@ class PackedIndex:
             F.col("termid").isin(termids)
         ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
 
-        seed_rows = self._seed_rows(termids)
-        tau = float("-inf")
-        if seed_rows:
-            pdf = pd.DataFrame([r.asDict() for r in seed_rows])
-            pdf["inv_avgdl"] = 1.0 / self.avgdl
-            seed_scored = _make_field_scorer(body_idf, field_widf, k)(
-                pdf
-            ).sort_values(["score", "docid"], ascending=[False, True])
-            if len(seed_scored) >= k:
-                tau = float(seed_scored["score"].iloc[k - 1])
-        if tau > float("-inf") and round_to:
-            cut = round(tau, round_to) - 10.0 ** -round_to
-        else:
-            cut = tau
+        cut = self._seed_cut(
+            termids, _make_field_scorer(body_idf, field_widf, k), k, round_to
+        )
 
         result = blocks.groupBy("bucket").applyInPandas(
             _make_field_scorer(body_idf, field_widf, k, cut),

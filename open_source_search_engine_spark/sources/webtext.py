@@ -199,6 +199,14 @@ def _robots_txt(h: int) -> str:
             f"Disallow: /p/{(h + 1) % 10}",
             f"Allow: /p/{(h + 1) % 10}0",
         ]
+    if h % 7 == 2:
+        # stacked User-agent lines: one block, rules bind to BOTH
+        lines += [
+            "",
+            "User-agent: mirrorbot",
+            f"User-agent: {ROBOTS_UA}",
+            f"Disallow: /p/{(h + 2) % 10}",
+        ]
     return "\n".join(lines) + "\n"
 
 
@@ -215,7 +223,9 @@ def generate_robots() -> pa.Table:
 
 def robots_path(base: str | None = None) -> str:
     base = base or os.path.join(os.path.dirname(__file__), "..", "..", ".data")
-    path = os.path.abspath(os.path.join(base, "robots_v1.parquet"))
+    # v2: stacked-User-agent blocks added (pinned fixture — version
+    # bump invalidates the cached v1 file)
+    path = os.path.abspath(os.path.join(base, "robots_v2.parquet"))
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"

@@ -68,6 +68,47 @@ def test_robots_semantics(spark):
     assert R.robots_allowed(longer, rules, "otherbot").first()["allowed"]
 
 
+def test_robots_stacked_user_agents(spark):
+    """Consecutive User-agent lines form ONE group: the rules below
+    bind to every listed agent (standard REP; a rule after a stacked
+    block must not bind only to the last agent)."""
+    txt = "\n".join(
+        [
+            "User-agent: alphabot",
+            "User-agent: betabot",
+            "Disallow: /x",
+            "",
+            "User-agent: *",
+            "Disallow: /y",
+        ]
+    )
+    robots = spark.createDataFrame(
+        [("s.com", txt)], "host string, robots_txt string"
+    )
+    rules = R.parse_robots(robots)
+    # the /x rule fans out to both stacked agents
+    assert {
+        r["ua"] for r in rules.filter("prefix = '/x'").collect()
+    } == {"alphabot", "betabot"}
+    urls = spark.createDataFrame(
+        [("https://s.com/x/1",), ("https://s.com/y/1",)], "url string"
+    )
+    for agent in ("alphabot", "betabot"):
+        got = {
+            r["url"]: r["allowed"]
+            for r in R.robots_allowed(urls, rules, agent).collect()
+        }
+        # specific group replaces '*': /x denied, /y NOT denied
+        assert got["https://s.com/x/1"] is False, agent
+        assert got["https://s.com/y/1"] is True, agent
+    got = {
+        r["url"]: r["allowed"]
+        for r in R.robots_allowed(urls, rules, "otherbot").collect()
+    }
+    assert got["https://s.com/x/1"] is True
+    assert got["https://s.com/y/1"] is False
+
+
 def test_crawl_frontier_min_depth(spark):
     """BFS assigns MIN hop depth; bounded by max_depth; unseen-only
     enqueue (a node reachable at depths 1 and 2 reports 1)."""
