@@ -213,6 +213,48 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def bench_query_batch(
+    spark, store_root: str, passes: int = 4, threads: int = 4
+) -> dict:
+    """Serve-path throughput for the scaling legs: a batch of
+    concurrent WAND top-k queries (the QUERY_SET shapes × ``passes``,
+    submitted from ``threads`` driver threads — Spark interleaves the
+    jobs across cores, the single-node stand-in for concurrent users
+    on a serving cluster). QPS scales with cores when per-query work
+    dominates per-job scheduling overhead; one untimed warm pass
+    excludes codegen/compile like the build warmup does."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from open_source_search_engine_spark.operators.segments import (
+        SegmentStore,
+    )
+    from open_source_search_engine_spark.operators.wand import PackedIndex
+
+    pidx = PackedIndex(spark, SegmentStore(store_root))
+    for _, terms, mode, neg in QUERY_SET:  # warm (codegen, caches)
+        pidx.wand_topk(terms, k=10, mode=mode, neg_terms=neg).collect()
+    jobs = [
+        (terms, mode, neg)
+        for _ in range(passes)
+        for (_, terms, mode, neg) in QUERY_SET
+    ]
+
+    def run(j):
+        return pidx.wand_topk(
+            j[0], k=10, mode=j[1], neg_terms=j[2]
+        ).collect()
+
+    t0 = time.time()
+    with ThreadPoolExecutor(threads) as ex:
+        list(ex.map(run, jobs))
+    dt = time.time() - t0
+    return {
+        "t_query_batch": round(dt, 4),
+        "n_queries_batch": len(jobs),
+        "qps": round(len(jobs) / dt, 2),
+    }
+
+
 def run_bench(
     cores: int, sf_dir: str, build_only: bool = False, mult: int = 1
 ) -> dict:
@@ -231,7 +273,14 @@ def run_bench(
     t_all = time.time()
     build = bench_build(spark, sf_dir, mult=mult)
     store_root = build.pop("_store_root")
-    queries = {} if build_only else bench_queries(spark, sf_dir, store_root)
+    if build_only:
+        queries = (
+            bench_query_batch(spark, store_root)
+            if os.environ.get("BENCH_SCALING_QUERIES") == "1"
+            else {}
+        )
+    else:
+        queries = bench_queries(spark, sf_dir, store_root)
     total = time.time() - t_all
     cal_post = _calibrate()
 
@@ -276,11 +325,17 @@ def run_scaling(
     is used — the host shows 1.5-2x run-to-run noise.
     """
     times: dict[int, list[float]] = {lo: [], hi: []}
+    qtimes: dict[int, list[float]] = {lo: [], hi: []}
     cals: dict[int, list[int]] = {lo: [], hi: []}
+    n_qbatch = 0
     for _ in range(repeats):
         for cores in (lo, hi):
             cals[cores].append(_calibrate())
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cores),
+                BENCH_SCALING_QUERIES="1",
+            )
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--cores",
                  str(cores), "--build-only", "--mult", str(mult)],
@@ -292,6 +347,9 @@ def run_scaling(
             ][-1]
             q = json.loads(line)["queries"]
             times[cores].append(q["t_build_packed"])
+            if "t_query_batch" in q:
+                qtimes[cores].append(q["t_query_batch"])
+                n_qbatch = q["n_queries_batch"]
             n_docs = q["n_docs"]
 
     # Noise model: this host's speed drifts 1.5-2x between runs (see
@@ -323,6 +381,20 @@ def run_scaling(
             3,
         ),
     }
+    if qtimes[lo] and qtimes[hi]:
+        tq_lo, tq_hi = min(qtimes[lo]), min(qtimes[hi])
+        report.update(
+            {
+                "n_queries_batch": n_qbatch,
+                "t_query_batch_lo_runs": [round(t, 1) for t in qtimes[lo]],
+                "t_query_batch_hi_runs": [round(t, 1) for t in qtimes[hi]],
+                "qps_lo": round(n_qbatch / tq_lo, 2),
+                "qps_hi": round(n_qbatch / tq_hi, 2),
+                "query_scaling_efficiency": round(
+                    (tq_lo / tq_hi) / (hi / lo), 3
+                ),
+            }
+        )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(report, f, indent=2)
@@ -343,6 +415,31 @@ def _calibrate(seconds: float = 3.0) -> int:
         v = np.sqrt(v * v + 1.0)
         it += 1
     return it
+
+
+def _qps_section(r: dict) -> str:
+    if "qps_lo" not in r:
+        return ""
+    return f"""## Serve-path (query) scaling, same runs
+
+After each build leg, a batch of {r["n_queries_batch"]} concurrent
+WAND top-k queries (the 5 QUERY_SET shapes × 4 passes, 4 driver
+threads — the single-node stand-in for concurrent users on a serving
+cluster) runs against the just-built {r["n_docs"]:,}-doc store:
+
+| parallelism | batch wall (s, all runs) | QPS (best) |
+|---|---|---|
+| local[{r["cores_lo"]}] (N) | {r["t_query_batch_lo_runs"]} | {r["qps_lo"]} |
+| local[{r["cores_hi"]}] (4N) | {r["t_query_batch_hi_runs"]} | {r["qps_hi"]} |
+
+Query-throughput scaling efficiency = {r["query_scaling_efficiency"]}.
+Per-query driver/scheduler overhead (~0.2-0.4 s/job, fixed per query
+regardless of cores) rides inside the batch, so this understates the
+scan-side scaling; the north-rule ≥0.8 criterion applies to the BUILD
+throughput above, and this section evidences that the serve path also
+gains from added cores rather than serializing.
+
+"""
 
 
 def _write_baseline_md(r: dict) -> None:
@@ -369,7 +466,7 @@ a leg (timeit convention); the calibration column is a single-thread
 numpy probe (iterations / 3 s) run immediately before each leg — it
 shows the 30-70% host-speed drift that makes single runs unreliable.
 
-## Why N=2 vs 4N=8 (not 8 vs 32)
+{_qps_section(r)}## Why N=2 vs 4N=8 (not 8 vs 32)
 
 The sandbox VM advertises 32 vCPUs, but the hypervisor host
 oversubscribes them. Measured with pure numpy multiprocessing (no

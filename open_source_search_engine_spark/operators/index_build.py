@@ -42,7 +42,7 @@ B = 0.75
 class InvertedIndex:
     """The queryable index: exploded postings + stats (+ global consts).
 
-    postings:   termid, term, docid, tf, doclen[, positions]
+    postings:   termid, term, docid, tf, doclen[, positions, div]
     term_stats: termid, term, df, cf, max_tf   (ref: Posdb::getTermFreq)
     doc_stats:  docid, doclen
     """
@@ -84,23 +84,56 @@ def build_index(
     # doclen = token count = size of the token array — computed BEFORE
     # the explode, so it rides along each posting row and no second
     # shuffle (window over docid) is needed. One shuffle total.
-    toks = (
-        docs.select(
-            F.col(doc_col).alias("docid"), tokens_col(text_col).alias("toks")
-        )
-        .select(
-            "docid",
-            F.size("toks").cast("int").alias("doclen"),
-            F.posexplode("toks").alias("pos0", "term"),
-        )
-        .select("docid", "doclen", (F.col("pos0") + 1).alias("pos"), "term")
+    base = docs.select(
+        F.col(doc_col).alias("docid"), tokens_col(text_col).alias("toks")
     )
     aggs = [
         F.count(F.lit(1)).cast("int").alias("tf"),
         F.first("doclen").alias("doclen"),
     ]
     if with_positions:
+        # next-term per occurrence, derived from the token ARRAY
+        # (zip with its shifted self) — a window lead() would cost a
+        # second shuffle on docid before the (docid, term) agg; the
+        # zip keeps the build at ONE shuffle. Feeds diversityRank:
+        # div = distinct following-term count per posting (C4;
+        # ``XmlDoc::getDiversityVec``). collect_set drops the NULL
+        # that pads the last token, matching SQL count(DISTINCT).
+        toks = (
+            base.withColumn(
+                "nxts",
+                F.concat(
+                    F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+                    F.array(F.lit(None).cast("string")),
+                ),
+            )
+            .select(
+                "docid",
+                F.size("toks").cast("int").alias("doclen"),
+                F.posexplode(F.arrays_zip("toks", "nxts")).alias("pos0", "z"),
+            )
+            .select(
+                "docid",
+                "doclen",
+                (F.col("pos0") + 1).alias("pos"),
+                F.col("z.toks").alias("term"),
+                F.col("z.nxts").alias("nxt"),
+            )
+        )
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        aggs.append(
+            F.least(F.lit(15), F.size(F.collect_set("nxt")))
+            .cast("int")
+            .alias("div")
+        )
+    else:
+        toks = base.select(
+            "docid",
+            F.size("toks").cast("int").alias("doclen"),
+            F.posexplode("toks").alias("pos0", "term"),
+        ).select(
+            "docid", "doclen", (F.col("pos0") + 1).alias("pos"), "term"
+        )
     postings = toks.groupBy("docid", "term").agg(*aggs)
     postings = postings.withColumn("termid", term_id("term"))
     if n_partitions:

@@ -224,6 +224,64 @@ def density_bm25(spark, sf_dir):
     )
 
 
+# diversityRank (the third Posdb.h rank byte): div = distinct
+# following-term count per posting, capped at 15 — context-variety
+# damping (``XmlDoc::getDiversityVec``). Integer-exact, so the oracle
+# replays it with a lead() window + count(DISTINCT).
+DIVERSITY_SQL = f"""
+WITH ptok AS (
+  SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
+  FROM (SELECT doc_id AS docid,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents)
+),
+postings AS (SELECT docid, term, count(*) AS tf FROM ptok GROUP BY 1, 2),
+doclen AS (SELECT docid, count(*) AS dl FROM ptok GROUP BY 1),
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+nexts AS (
+  SELECT docid, term,
+         lead(term) OVER (PARTITION BY docid ORDER BY pos) AS nxt
+  FROM ptok
+),
+divr AS (
+  SELECT docid, term, least(15, count(DISTINCT nxt)) AS divrank
+  FROM nexts GROUP BY docid, term
+),
+scored AS (
+  SELECT p.docid,
+         sum( ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl))
+              * ((8 + v.divrank) / 16.0) ) AS score
+  FROM postings p
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  JOIN divr v ON v.docid = p.docid AND v.term = p.term
+  CROSS JOIN consts c
+  WHERE p.term IN ({", ".join(f"'{t}'" for t in DENSITY_TERMS)})
+  GROUP BY p.docid
+  HAVING count(DISTINCT p.term) = {len(DENSITY_TERMS)}
+)
+SELECT docid, round(score, 4) AS score FROM scored
+ORDER BY round(score, 4) DESC, docid ASC
+LIMIT 10
+"""
+
+
+@register("diversity_bm25", DIVERSITY_SQL, extended=True)
+def diversity_bm25(spark, sf_dir):
+    """C4 — the third per-posting rank byte (diversityRank) in
+    scoring, from the packed divs stream (ref: ``Posdb.h``
+    diversityRank bits, ``XmlDoc::getDiversityVec``)."""
+    return _packed_index(
+        spark, sf_dir, with_positions=True
+    ).wand_diversity_topk(DENSITY_TERMS, k=10)
+
+
 @register(
     "match_count",
     f"""WITH {TOK_CTE}

@@ -66,22 +66,28 @@ PACKED_SCHEMA = (
     "blockmin_dl int"
 )
 
-# Positional layout (with_positions=True): three extra streams per
+# Positional layout (with_positions=True): four extra streams per
 # block. ``positions`` carries every posting's within-doc token
 # ordinals (delta+varbyte, per-posting reset — the reference packs
-# wordPos(18b) into each posdb key); ``dens``/``spam`` carry one
-# PER-POSTING rank byte each (Posdb.h densityRank / wordSpamRank):
-#   density_rank = min(15, floor(log2(1 + (255*tf) // doclen)))
-#   spam_rank    = min(7, (8 * adjacent_repeats) // tf)
+# wordPos(18b) into each posdb key); ``dens``/``spam``/``divs`` carry
+# one PER-POSTING rank byte each (Posdb.h densityRank / wordSpamRank /
+# diversityRank):
+#   density_rank   = min(15, floor(log2(1 + (255*tf) // doclen)))
+#   spam_rank      = min(7, (8 * adjacent_repeats) // tf)
+#   diversity_rank = min(15, distinct following-term count)
 # where adjacent_repeats counts consecutive same-term positions
-# (pos[i+1] == pos[i]+1 — the reference's repeated-term spam signal).
-# Both are integer-exact, so a SQL oracle replays them from raw text.
+# (pos[i+1] == pos[i]+1 — the reference's repeated-term spam signal)
+# and the following-term set is computed at build time (the
+# getDiversityVec context-variety signal). All are integer-exact, so
+# a SQL oracle replays them from raw text.
 PACKED_POS_SCHEMA = (
-    PACKED_SCHEMA + ", positions binary, dens binary, spam binary"
+    PACKED_SCHEMA + ", positions binary, dens binary, spam binary, "
+    "divs binary"
 )
 
 MAX_DENSITY_RANK = 15
 MAX_SPAM_RANK = 7
+MAX_DIVERSITY_RANK = 15
 
 
 def density_rank_np(tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
@@ -207,12 +213,14 @@ def _pos_streams(pdf, order, tf, dl, starts, ends) -> dict:
     )
     dens = density_rank_np(tf, dl)
     spam = spam_rank_np(repeats, tf)
+    divs = pdf["div"].to_numpy()[order].astype(np.uint64)
     return {
         "positions": pack_positions_grouped(
             flat, p_starts, p_offsets[starts], p_offsets[ends]
         ),
         "dens": varbyte_encode_grouped(dens, starts, ends),
         "spam": varbyte_encode_grouped(spam, starts, ends),
+        "divs": varbyte_encode_grouped(divs, starts, ends),
     }
 
 
@@ -242,7 +250,7 @@ def pack_postings(
     cols = ["tgrp", "termid", "bucket", "docid", "tf", "doclen"]
     schema = PACKED_SCHEMA
     if with_positions:
-        cols.append("positions")
+        cols += ["positions", "div"]
         schema = PACKED_POS_SCHEMA
     return (
         with_bucket.select(*cols)
@@ -398,10 +406,12 @@ def build_segments(
             if with_positions:
                 # synthetic 1..tf ordinals keep the positions-blob
                 # framing invariant (a posting has exactly tf
-                # positions); field streams carry no real ordinals
+                # positions); field streams carry no real ordinals or
+                # context diversity (div pinned 0 — never scored by
+                # the diversity kind, which weighs body terms only)
                 fp = fp.withColumn(
                     "positions", F.sequence(F.lit(1), F.col("tf"))
-                )
+                ).withColumn("div", F.lit(0).cast("int"))
             fp = fp.withColumn("termid", term_id("term"))
             all_postings = idx.postings.unionByName(fp)
             seg_term_stats = all_postings.groupBy("termid", "term").agg(
@@ -562,6 +572,7 @@ def compact_segments(
             old_starts = np.concatenate(([0], np.cumsum(tfs)))[:-1]
             dens = np.concatenate([unpack_ints(b) for b in pdf["dens"]])
             spam = np.concatenate([unpack_ints(b) for b in pdf["spam"]])
+            divs = np.concatenate([unpack_ints(b) for b in pdf["divs"]])
             tf_o = tfs[order]
             new_offsets = np.concatenate(([0], np.cumsum(tf_o)))
             gather = (
@@ -570,7 +581,7 @@ def compact_segments(
                 - np.repeat(new_offsets[:-1], tf_o)
             )
             flat = flat[gather]
-            dens, spam = dens[order], spam[order]
+            dens, spam, divs = dens[order], spam[order], divs[order]
         tfs, dls = tfs[order], dls[order]
         change = (
             np.flatnonzero((tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])) + 1
@@ -596,6 +607,7 @@ def compact_segments(
             )
             out["dens"] = varbyte_encode_grouped(dens, starts, ends)
             out["spam"] = varbyte_encode_grouped(spam, starts, ends)
+            out["divs"] = varbyte_encode_grouped(divs, starts, ends)
         return pd.DataFrame(out)
 
     merged = (

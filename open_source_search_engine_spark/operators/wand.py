@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from ..functions.varbyte import unpack_docids, unpack_ints, unpack_positions
 from .index_build import B, K1
-from .segments import MAX_DENSITY_RANK, SegmentStore
+from .segments import MAX_DENSITY_RANK, MAX_DIVERSITY_RANK, SegmentStore
 
 SCORE_SCHEMA = "docid long, score double"
 
@@ -156,6 +156,7 @@ def _make_bucket_scorer(
 # SQL oracle replays the multiplier bit-for-bit from raw text:
 #   mult = ((8 + density_rank)/16) * ((16 - spam_rank)/16)
 _DENS_MULT_MAX = (8.0 + MAX_DENSITY_RANK) / 16.0  # spam 0, dens max
+_DIV_MULT_MAX = (8.0 + MAX_DIVERSITY_RANK) / 16.0
 
 
 def _make_pos_scorer(
@@ -173,6 +174,8 @@ def _make_pos_scorer(
 
     - ``density``: score = Σ idf·tfnorm·densMult·spamMult — fully
       vectorized scatter-add, no positions decoded.
+    - ``diversity``: score = Σ idf·tfnorm·divMult with divMult =
+      (8+diversityRank)/16 from the divs stream — same shape.
     - ``phrase``: AND + adjacency over decoded positions (valid start
       positions intersected term by term); plain BM25 score.
     - ``proximity``: AND + W/mindist boost from the two terms'
@@ -207,6 +210,8 @@ def _make_pos_scorer(
             ub = sum(per_term.values())
             if kind == "density":
                 ub *= _DENS_MULT_MAX
+            elif kind == "diversity":
+                ub *= _DIV_MULT_MAX
             elif kind == "proximity":
                 ub += prox_w
             if ub < cut:
@@ -227,6 +232,9 @@ def _make_pos_scorer(
                 dens = unpack_ints(row.dens).astype(np.float64)
                 spam = unpack_ints(row.spam).astype(np.float64)
                 part = part * ((8.0 + dens) / 16.0) * ((16.0 - spam) / 16.0)
+            elif kind == "diversity":
+                divs = unpack_ints(row.divs).astype(np.float64)
+                part = part * ((8.0 + divs) / 16.0)
             docid_parts.append(docids)
             score_parts.append(part)
             req_parts.append(
@@ -722,6 +730,14 @@ class PackedIndex:
         from the packed dens/spam streams (C4; ``Posdb.h``
         densityRank/wordSpamRank damping)."""
         return self._wand_pos(terms, "density", k)
+
+    def wand_diversity_topk(self, terms: list[str], k: int = 10) -> DataFrame:
+        """BM25 × per-posting diversityRank multiplier decoded from the
+        packed divs stream (C4; ``Posdb.h`` diversityRank bits /
+        ``XmlDoc::getDiversityVec`` — context-variety damping: a term
+        always followed by the same word scores lower than one used in
+        varied contexts)."""
+        return self._wand_pos(terms, "diversity", k)
 
     def wand_phrase_topk(self, words: list[str], k: int = 10) -> DataFrame:
         """Exact-phrase top-k ON THE PACKED PATH: adjacency from the

@@ -448,3 +448,53 @@ def test_bucketed_table_no_shuffle(spark, store, tmp_path_factory):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS packed_bucketed_t")
+
+
+def test_wand_diversity_matches_relational_formula(spark, pos_store):
+    """Diversity-scored packed top-k ≡ a relational replay: div =
+    distinct following-term count (capped 15), multiplier (8+div)/16.
+    Pins the build-time collect_set(next) aggregate against an
+    independent lead()-window computation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from open_source_search_engine_spark.tokenizer import explode_tokens
+
+    pidx = PackedIndex(spark, pos_store)
+    got = [
+        tuple(r)
+        for r in pidx.wand_diversity_topk(["join", "filter"], k=10).collect()
+    ]
+    idx = cached_index(spark, SF_SMOKE, with_positions=True)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = explode_tokens(
+        docs.withColumnRenamed("doc_id", "docid"), "docid", "text"
+    )
+    w = Window.partitionBy("docid").orderBy("pos")
+    divr = (
+        toks.withColumn("nxt", F.lead("term").over(w))
+        .groupBy("docid", "term")
+        .agg(
+            F.least(F.lit(15), F.countDistinct("nxt"))
+            .cast("long")
+            .alias("divrank")
+        )
+    )
+    p = idx.postings.filter(F.col("term").isin(["join", "filter"]))
+    qt = idx.term_stats.filter(F.col("term").isin(["join", "filter"]))
+    scored = (
+        p.join(divr, ["docid", "term"])
+        .join(qt.select("termid", idx.idf_col().alias("idf")), "termid")
+        .withColumn(
+            "part",
+            F.col("idf") * idx.tfnorm_col()
+            * ((F.lit(8) + F.col("divrank")) / 16.0),
+        )
+        .groupBy("docid")
+        .agg(F.sum("part").alias("s"), F.countDistinct("term").alias("nm"))
+        .filter(F.col("nm") == 2)
+        .select("docid", F.round("s", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("docid"))
+        .limit(10)
+    )
+    want = [tuple(r) for r in scored.collect()]
+    assert got == want
