@@ -143,9 +143,12 @@ register("wand_single", bm25_oracle_sql(["join"]), extended=True)(
 register("wand_and", bm25_oracle_sql(["join", "filter"]))(
     _wand(["join", "filter"])
 )
-register("wand_or", bm25_oracle_sql(["join", "filter"], mode="or"))(
-    _wand(["join", "filter"], mode="or")
-)
+# wand_or → EXTENDED in r3: wand_and already drivers the packed
+# intersection path and bm25_or/wand_or stay oracle-gated in pytest;
+# the freed slot drivers redirect_resolve (A1).
+register(
+    "wand_or", bm25_oracle_sql(["join", "filter"], mode="or"), extended=True
+)(_wand(["join", "filter"], mode="or"))
 register(
     "wand_not",
     bm25_oracle_sql(["join"], neg_terms=["window"]),

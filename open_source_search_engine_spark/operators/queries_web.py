@@ -165,8 +165,13 @@ def crawl_frontier(spark, sf_dir):
 INURL_TOK = "host7"
 
 
+# search_inurl_filter → EXTENDED in r3: search_site_filter already
+# drivers the B3 url-restrict path (same bm25_topk restrict= shape);
+# the freed slot drivers dns_cache (A2).
 @register(
-    "search_inurl_filter", L.inurl_bm25_sql(_PATH, SITE_TERMS, INURL_TOK)
+    "search_inurl_filter",
+    L.inurl_bm25_sql(_PATH, SITE_TERMS, INURL_TOK),
+    extended=True,
 )
 def search_inurl_filter(spark, sf_dir):
     """inurl: constraint (B3; ref: Query.cpp FIELD_URL — url words
@@ -177,3 +182,35 @@ def search_inurl_filter(spark, sf_dir):
         F.array_contains(toks, INURL_TOK)
     ).select(F.col("url").alias("docid"))
     return bm25_topk(idx, SITE_TERMS, k=10, mode="and", restrict=allowed)
+
+
+from ..sources.webtext import N_HOSTS
+from . import dnscache as D
+from . import fetch as FE
+
+
+@register(
+    "redirect_resolve",
+    FE.redirect_resolve_sql(_PATH, N_WEB, N_HOSTS),
+)
+def redirect_resolve(spark, sf_dir):
+    """A1's computation half (ref: Msg13::getDoc redirect loop):
+    resolve every page's redirect chain over the deterministic
+    md5-derived fetch log — bounded iterative equi-joins, sentinels
+    for too-many-redirects / broken Location; oracle = DuckDB
+    recursive CTE over the same pinned log."""
+    web, _, _ = L.cached_web(spark, N_WEB)
+    fetches = FE.fetch_log(web.select("url"), N_WEB, N_HOSTS)
+    return FE.resolve_redirects(fetches)
+
+
+@register("dns_cache", D.dns_cache_sql(_PATH))
+def dns_cache(spark, sf_dir):
+    """A2's computation half (ref: Dns.cpp RdbCache-fronted resolver):
+    TTL-cache replay of the per-host lookup log (one lookup per fetch
+    at warc_ts) + deterministic md5 resolver — hit/miss accounting the
+    reference exposes on its stats page. applyInPandas per host (the
+    carried-expiry recurrence no window expresses); oracle = linear
+    recursive CTE."""
+    web, _, _ = L.cached_web(spark, N_WEB)
+    return D.dns_cache_stats(D.dns_lookup_log(web))
