@@ -300,6 +300,35 @@ def bm25_synonyms(spark, sf_dir):
     return bm25_synonyms_topk(cached_index(spark, sf_dir), ["join"], k=10)
 
 
+def synonym_weights(base_terms: list[str]) -> dict[str, float]:
+    """Expansion → per-term weight map (weights SUM across expansion
+    rows, matching the relational join's duplicate-row accumulation:
+    a term that is both a base term and another's synonym scores
+    1.0 + SYN_WEIGHT there, so it must here too)."""
+    w: dict[str, float] = {}
+    for t in base_terms:
+        w[t] = w.get(t, 0.0) + 1.0
+        for s in SYNONYMS.get(t, []):
+            w[s] = w.get(s, 0.0) + SYN_WEIGHT
+    return w
+
+
+@register("wand_synonyms", SYNONYM_SQL, extended=True)
+def wand_synonyms(spark, sf_dir):
+    """Synonym weighting on the PACKED path (ref: Posdb scoring reads
+    QueryTerm::m_termFreqWeight inside the intersect loop): the same
+    synonyms.tsv expansion becomes a weight map folded into the idf
+    that drives the bucket scorer, block-max bound, JVM prune, and
+    seed-τ (wand._query_ctx) — rank-identical to the relational
+    bm25_synonyms against the one SQL oracle."""
+    from .queries_ir import _packed_index
+
+    w = synonym_weights(["join"])
+    return _packed_index(spark, sf_dir).wand_topk(
+        list(w), k=10, mode="or", weights=w
+    )
+
+
 # --- E3-adjacent: exact distinct counts over events -----------------------
 
 DISTINCT_USERS_SQL = """

@@ -500,9 +500,17 @@ class PackedIndex:
         mode: str = "and",
         neg_terms: list[str] | None = None,
         round_to: int | None = 4,
+        weights: dict[str, float] | None = None,
     ) -> dict | None:
         """Shared query prologue: term stats, idf, pruned block scan,
-        and the seed-sampled τ cut. None = provably empty result."""
+        and the seed-sampled τ cut. None = provably empty result.
+
+        ``weights`` (term → multiplier; ref: QueryTerm::m_synonymOf —
+        synonym termlists score at reduced weight) folds into the idf
+        map: a weight scales the term's partial w·idf·tfnorm linearly,
+        so every downstream consumer — the bucket scorer, the block-max
+        upper bound, the JVM prune, and the seed-τ — stays a valid
+        bound/score with zero changes. Unlisted terms weigh 1.0."""
         # (seed-τ mechanics live in _seed_cut — ONE implementation
         # shared by the plain, positional, and field-boost paths)
         terms = list(dict.fromkeys(terms))
@@ -518,6 +526,7 @@ class PackedIndex:
             int(r["termid"]): float(
                 np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
             )
+            * (weights.get(r["term"], 1.0) if weights else 1.0)
             for r in rows
         }
         termids = list(idf)
@@ -631,8 +640,9 @@ class PackedIndex:
         mode: str = "and",
         neg_terms: list[str] | None = None,
         round_to: int | None = 4,
+        weights: dict[str, float] | None = None,
     ) -> DataFrame:
-        ctx = self._query_ctx(terms, k, mode, neg_terms, round_to)
+        ctx = self._query_ctx(terms, k, mode, neg_terms, round_to, weights)
         if ctx is None:
             return self.spark.createDataFrame([], SCORE_SCHEMA)
         if self.jvm_prune:
