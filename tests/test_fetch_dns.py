@@ -79,6 +79,78 @@ def test_gunzip_bodies(spark):
     assert got["u3"] is None
 
 
+def test_redirect_resolution_random_graph(spark):
+    """Seeded-random fetch graph (self-loops, cycles, dead ends,
+    broken Locations) vs a pure-Python chain walker — one Spark run
+    per seed, the per-example cost hypothesis can't afford here."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        urls = [f"u{i}" for i in range(60)]
+        rows = []
+        for u in urls:
+            r = rng.random()
+            if r < 0.45:
+                status, loc = 301, rng.choice(urls + [None, u])
+            elif r < 0.6:
+                status, loc = 404, None
+            else:
+                status, loc = 200, None
+            rows.append((u, status, loc))
+        fetch = {u: (s, l) for u, s, l in rows}
+
+        def walk(seed_url, max_hops=FE.MAX_HOPS):
+            cur, hops = seed_url, 0
+            while True:
+                s, l = fetch[cur]
+                if s in (301, 302) and l is not None and hops < max_hops:
+                    cur, hops = l, hops + 1
+                    continue
+                if s in (301, 302):
+                    return (cur, hops, 0 if l is None else 599)
+                return (cur, hops, s)
+
+        want = {u: walk(u) for u in urls}
+        got = _resolved(spark, rows)
+        assert got == want, f"seed={seed}"
+
+
+def test_dns_cache_replay_random(spark):
+    """Seeded-random lookup logs (duplicate timestamps, boundary
+    hits) vs a brute-force Python replay."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for h in range(12):
+        ts0 = rng.randrange(0, 1000)
+        rows += [
+            (f"h{h}", ts0 + rng.randrange(0, 900))
+            for _ in range(rng.randrange(1, 25))
+        ]
+    ttl = 100
+
+    def replay(ts_list):
+        misses, expiry = 0, None
+        for t in sorted(ts_list):
+            if expiry is None or t >= expiry:
+                misses, expiry = misses + 1, t + ttl
+        return misses
+
+    by_host: dict[str, list[int]] = {}
+    for h, t in rows:
+        by_host.setdefault(h, []).append(t)
+    lookups = spark.createDataFrame(rows, "host string, ts long")
+    got = {r["host"]: r for r in
+           D.dns_cache_stats(lookups, ttl_s=ttl).collect()}
+    for h, ts_list in by_host.items():
+        m = replay(ts_list)
+        assert got[h]["lookups"] == len(ts_list)
+        assert got[h]["misses"] == m, h
+        assert got[h]["hits"] == len(ts_list) - m
+
+
 def test_dns_cache_replay(spark):
     """Per-host TTL recurrence: expiry carries from the last MISS, not
     the last lookup — t=0 miss, t=200 hit, t=310 miss (NOT 200+ttl)."""
