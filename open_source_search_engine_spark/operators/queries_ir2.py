@@ -313,6 +313,126 @@ def synonym_weights(base_terms: list[str]) -> dict[str, float]:
     return w
 
 
+def bm25_groups_topk(
+    idx,
+    groups: list[dict[str, float]],
+    k: int = 10,
+    mode: str = "and",
+    restrict=None,
+    neg_terms: list[str] | None = None,
+    round_to: int = 4,
+):
+    """AND/OR of synonym GROUPS (ref: QueryTerm::m_synonymOf +
+    Query.cpp requiredness — a synonym termlist satisfies its base
+    term's requiredness, at reduced score weight). A doc matches
+    group g if it contains ANY member of g; mode='and' requires every
+    group matched (``HAVING count(distinct gid) = n`` — the same
+    one-shuffle shape as bm25_topk's intersection), and the score sums
+    weight·idf·tfnorm over all matched members. This is what
+    'synonyms ON' means in the reference: expansion widens RECALL
+    inside the boolean retrieval, unlike bm25_synonyms_topk's pure
+    weighted OR which only re-ranks."""
+    rows = [
+        (gi, t, w) for gi, g in enumerate(groups) for t, w in g.items()
+    ]
+    spark = idx.postings.sparkSession
+    qdf = spark.createDataFrame(rows, "gid int, term string, weight double")
+    qt = idx.term_stats.join(F.broadcast(qdf), "term").select(
+        "termid", "term", "gid", "weight", idx.idf_col().alias("idf")
+    )
+    cand = idx.postings.join(F.broadcast(qt), ["termid", "term"]).withColumn(
+        "partial", F.col("weight") * F.col("idf") * idx.tfnorm_col()
+    )
+    agg = cand.groupBy("docid").agg(
+        F.sum("partial").alias("score"),
+        F.countDistinct("gid").alias("ngroups"),
+    )
+    if mode == "and":
+        agg = agg.filter(F.col("ngroups") == len(groups))
+    if restrict is not None:
+        agg = agg.join(restrict.select("docid").distinct(), "docid")
+    if neg_terms:
+        # negation stays EXACT (the reference never expands negative
+        # terms) and applies before the top-k cut, like bm25_topk
+        bad = (
+            idx.postings.filter(F.col("term").isin(list(neg_terms)))
+            .select("docid")
+            .distinct()
+        )
+        agg = agg.join(bad, "docid", "left_anti")
+    return (
+        agg.select("docid", F.round("score", round_to).alias("score"))
+        .orderBy(F.desc(F.round("score", round_to)), F.asc("docid"))
+        .limit(k)
+    )
+
+
+def _syngroup_values(base_terms: list[str]) -> str:
+    rows = []
+    for gi, t in enumerate(base_terms):
+        rows.append(f"({gi}, '{t}', 1.0)")
+        for s in SYNONYMS.get(t, []):
+            rows.append(f"({gi}, '{s}', {SYN_WEIGHT})")
+    return ", ".join(rows)
+
+
+def syngroup_sql(base_terms: list[str], k: int = 10) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS docid, t.tokk AS term
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  WHERE t.tokk <> ''
+),
+postings AS (
+  SELECT docid, term, count(*) AS tf FROM tok GROUP BY docid, term
+),
+doclen AS (SELECT docid, count(*) AS dl FROM tok GROUP BY docid),
+consts AS (
+  SELECT (SELECT count(*) FROM doclen) AS n,
+         (SELECT avg(dl) FROM doclen) AS avgdl
+),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+q(gid, term, weight) AS (VALUES {_syngroup_values(base_terms)}),
+scored AS (
+  SELECT p.docid,
+         sum( q.weight * ln((c.n - t.df + 0.5)/(t.df + 0.5) + 1.0)
+              * (p.tf * (1.2 + 1.0))
+                / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / c.avgdl)) )
+           AS score
+  FROM postings p
+  JOIN q ON p.term = q.term
+  JOIN ts t ON p.term = t.term
+  JOIN doclen d ON p.docid = d.docid
+  CROSS JOIN consts c
+  GROUP BY p.docid
+  HAVING count(DISTINCT q.gid) = {len(base_terms)}
+)
+SELECT docid, round(score, 4) AS score
+FROM scored
+ORDER BY round(score, 4) DESC, docid ASC
+LIMIT {k}
+"""
+
+
+_SYNGROUP_TERMS = ["join", "filter"]
+
+
+@register(
+    "bm25_syngroups", syngroup_sql(_SYNGROUP_TERMS), extended=True
+)
+def bm25_syngroups(spark, sf_dir):
+    """AND of two synonym groups — a doc holding only 'merge' (a
+    synonym of 'join') plus 'filter' still matches, at reduced
+    weight."""
+    groups = [
+        {t: 1.0, **{s: SYN_WEIGHT for s in SYNONYMS.get(t, [])}}
+        for t in _SYNGROUP_TERMS
+    ]
+    return bm25_groups_topk(
+        cached_index(spark, sf_dir), groups, k=10, mode="and"
+    )
+
+
 @register("wand_synonyms", SYNONYM_SQL, extended=True)
 def wand_synonyms(spark, sf_dir):
     """Synonym weighting on the PACKED path (ref: Posdb scoring reads

@@ -127,6 +127,26 @@ def search_parsed_or(spark, sf_dir):
     )
 
 
+def _syngroup_oracle():
+    from .queries_ir2 import syngroup_sql
+
+    return syngroup_sql(["join", "filter"])
+
+
+@register("search_parsed_syn", _syngroup_oracle(), extended=True)
+def search_parsed_syn(spark, sf_dir):
+    """D1+D2 through the parser: ``syn:1`` turns on synonym-group
+    expansion inside the boolean retrieval (ref: Synonyms.cpp —
+    expansion widens recall, synonyms score at reduced weight but
+    satisfy their base term's requiredness)."""
+    return S.search(
+        cached_index(spark, sf_dir),
+        _docs_meta(spark, sf_dir),
+        "join filter syn:1",
+        k=10,
+    )
+
+
 # --- D10/F2: site clustering ----------------------------------------------
 
 SITE_CLUSTER_SQL = f"""

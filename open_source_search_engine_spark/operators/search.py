@@ -65,7 +65,7 @@ class ParsedQuery:
         return list(seen)
 
 
-FIELD_NAMES = {"site", "lang", "source", "minlen", "maxlen", "sortby"}
+FIELD_NAMES = {"site", "lang", "source", "minlen", "maxlen", "sortby", "syn"}
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -522,6 +522,27 @@ def search(
             joined.orderBy(F.desc(sortby), F.asc("docid"))
             .limit(k)
             .select("docid", F.col(sortby).cast("long").alias("sval"))
+        )
+    if pq.fields.get("syn") == "1" and pq.terms:
+        # syn:1 — synonym expansion INSIDE the boolean retrieval
+        # (ref: Synonyms.cpp + QueryTerm::m_synonymOf: a synonym
+        # termlist satisfies its base term's requiredness at reduced
+        # weight). Each term becomes a group {term:1.0, syns:0.5};
+        # groups are AND/OR-ed per query mode. Negation stays exact
+        # (the reference never expands negative terms).
+        from .queries_ir2 import SYN_WEIGHT, SYNONYMS, bm25_groups_topk
+
+        groups = [
+            {t: 1.0, **{s: SYN_WEIGHT for s in SYNONYMS.get(t, [])}}
+            for t in pq.terms
+        ]
+        return bm25_groups_topk(
+            index,
+            groups,
+            k=k,
+            mode=pq.mode,
+            restrict=restrict,
+            neg_terms=pq.negated or None,
         )
     return bm25_topk(
         index,

@@ -222,3 +222,57 @@ def test_search_sortby(spark):
     ).collect()
     svals = [r["sval"] for r in out]
     assert svals == sorted(svals, reverse=True) and len(out) == 5
+
+
+# --- D2: synonym-group expansion through the parser (syn:1) ---------------
+
+
+def test_parse_syn_flag():
+    pq = S.parse_query("join filter syn:1")
+    assert pq.fields == {"syn": "1"}
+    assert pq.required == ["join", "filter"]
+
+
+def test_search_syn_groups(spark):
+    """A doc holding only a SYNONYM of a required term still matches
+    under syn:1 (it satisfies the group), never under plain AND;
+    negation stays exact (not expanded)."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join filter speed"),       # literal AND match
+            (2, "merge filter speed"),      # synonym-of-join + filter
+            (3, "merge where speed"),       # synonyms only
+            (4, "join speed"),              # missing filter group
+            (5, "merge filter sluggish"),   # group match but negated
+        ],
+        "docid long, text string",
+    )
+    idx = build_index(docs)
+    meta = docs.select("docid")
+
+    plain = {r["docid"] for r in
+             S.search(idx, meta, "join filter", k=10).collect()}
+    assert plain == {1}
+
+    syn = {r["docid"] for r in
+           S.search(idx, meta, "join filter syn:1", k=10).collect()}
+    assert syn == {1, 2, 3, 5}
+
+    syn_neg = {r["docid"] for r in
+               S.search(idx, meta, "join filter syn:1 -sluggish",
+                        k=10).collect()}
+    assert syn_neg == {1, 2, 3}
+
+    # the all-literal match outscores its synonym-substituted twin
+    # (weight 1.0 > 0.5, and the rarer literal has >= idf) — doc 2/3
+    # relative order is idf-dependent, so only 1-vs-2 and 1-vs-3 are
+    # corpus-independent
+    scores = {r["docid"]: r["score"] for r in
+              S.search(idx, meta, "join filter syn:1", k=10).collect()}
+    assert scores[1] > scores[2] and scores[1] > scores[3]
