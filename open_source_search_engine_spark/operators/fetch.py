@@ -171,10 +171,15 @@ def gunzip_bodies(
 
 
 def redirect_resolve_sql(
-    path: str, n_web: int, host_stride: int, max_hops: int = MAX_HOPS
+    path: str,
+    n_web: int,
+    host_stride: int,
+    max_hops: int = MAX_HOPS,
+    ordered: bool = True,
 ) -> str:
     """DuckDB replay: same md5-derived fetch log, recursive-CTE chain
-    walk, same sentinel taxonomy."""
+    walk, same sentinel taxonomy. ``ordered=False`` drops the trailing
+    ORDER BY for derived-table composition (spider_cycle oracle)."""
     return f"""
 WITH RECURSIVE pg AS (
   SELECT url,
@@ -213,5 +218,5 @@ SELECT l.url AS url, l.cur AS final_url, CAST(l.hops AS INT) AS hops,
                  ELSE x.status END AS INT) AS final_status
 FROM last l JOIN fetches x ON x.url = l.cur
 WHERE l.rn = 1
-ORDER BY url
+{"ORDER BY url" if ordered else ""}
 """

@@ -580,6 +580,67 @@ def crawl_frontier(
     return visited
 
 
+def spider_cycle(
+    links: DataFrame,
+    seeds: DataFrame,
+    allowed: DataFrame,
+    resolved: DataFrame,
+    max_depth: int = 3,
+) -> DataFrame:
+    """The FULL spider admission cycle (SURVEY §3.2/§3.3: SpiderLoop →
+    robots gate → Msg13 fetch/redirects → XmlDoc link extraction →
+    enqueue): BFS where a url expands only if it is CRAWLABLE —
+    robots-allowed AND its redirect chain terminates in 200 — and a
+    crawlable url's outlinks are those of its redirect TARGET's page
+    (the reference indexes the final doc's content, and its outlinks
+    come from that content). Discovered-but-uncrawlable urls stay in
+    the output (the reference keeps them in spiderdb with an error
+    reply) flagged ``crawled = false``.
+
+    Inputs: ``allowed(url, allowed)`` from robots.robots_allowed,
+    ``resolved(url, final_url, …, final_status)`` from
+    fetch.resolve_redirects, ``links(src_url, dst_url, …)`` from the
+    extraction. Same bounded-wave shape as crawl_frontier — the gates
+    pre-shrink the edge set BEFORE the loop (one join each, hash on
+    url, no payloads), so each wave only ever joins crawlable edges.
+    """
+    ok = (
+        allowed.filter(F.col("allowed"))
+        .join(resolved.filter(F.col("final_status") == 200), "url")
+        .select("url", "final_url")
+    )
+    edges = links.select(
+        F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
+    ).distinct()
+    # crawlable url u emits the edges of its CONTENT page final_url(u)
+    cedges = (
+        ok.join(edges, ok.final_url == edges.src)
+        .select(F.col("url").alias("src"), "dst")
+        .distinct()
+        .cache()
+    )
+    visited = seeds.select(
+        F.col("url").cast("string").alias("url"), F.lit(0).alias("depth")
+    ).distinct().cache()
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(cedges, frontier.url == cedges.src)
+            .select(F.col("dst").alias("url"))
+            .distinct()
+            .join(visited.select("url"), "url", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .cache()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).cache()
+        frontier = nxt
+    return visited.join(
+        ok.select("url").withColumn("crawled", F.lit(True)), "url", "left"
+    ).fillna(False, ["crawled"])
+
+
 def crawl_frontier_sql(path: str, seed_mod: int, max_depth: int = 3) -> str:
     """DuckDB recursive-CTE oracle: min-hop BFS over the same pinned
     link extraction (composes LINKS_SQL_CTE — the ONE source of truth

@@ -204,6 +204,67 @@ def redirect_resolve(spark, sf_dir):
     return FE.resolve_redirects(fetches)
 
 
+def spider_cycle_sql(max_depth: int) -> str:
+    """Composed oracle: robots admission + redirect resolution as
+    derived tables (each component's own pinned replay, unchanged —
+    ONE source of truth per gate), link CTE shared with every link
+    oracle, BFS over the gated edge set."""
+    alw = R.robots_oracle_sql(_ROBOTS_PATH, _PATH, ROBOTS_UA, ordered=False)
+    res = FE.redirect_resolve_sql(_PATH, N_WEB, N_HOSTS, ordered=False)
+    return f"""
+WITH RECURSIVE {L.LINKS_SQL_CTE.format(path=_PATH)},
+alw AS (SELECT * FROM ({alw}) t),
+res AS (SELECT * FROM ({res}) t),
+ok AS (
+  SELECT a.url, r.final_url
+  FROM alw a JOIN res r ON a.url = r.url
+  WHERE a.allowed AND r.final_status = 200
+),
+edges AS (SELECT DISTINCT src_url AS src, dst_url AS dst FROM links),
+cedges AS (
+  SELECT DISTINCT o.url AS src, e.dst
+  FROM ok o JOIN edges e ON e.src = o.final_url
+),
+seeds AS (
+  SELECT url FROM pages
+  WHERE CAST(regexp_extract(url, '/p/([0-9]+)$', 1) AS BIGINT)
+        % {SEED_MOD} = 0
+),
+bfs AS (
+  SELECT url, 0 AS depth FROM seeds
+  UNION
+  SELECT c.dst AS url, b.depth + 1 AS depth
+  FROM bfs b JOIN cedges c ON c.src = b.url
+  WHERE b.depth < {max_depth}
+),
+vis AS (SELECT url, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY url)
+SELECT v.url, v.depth, (o.url IS NOT NULL) AS crawled
+FROM vis v LEFT JOIN ok o ON v.url = o.url
+ORDER BY v.url
+"""
+
+
+@register("spider_cycle", spider_cycle_sql(CRAWL_DEPTH), extended=True)
+def spider_cycle(spark, sf_dir):
+    """I1+A1+A2+A3+C13 integrated — the reference's complete spider
+    admission cycle (SpiderLoop → robots gate → fetch w/ redirects →
+    extract → enqueue) as ONE bounded-BFS dataflow: only
+    robots-allowed urls whose redirect chain lands on a 200 expand,
+    and they expand with their redirect TARGET's extracted links."""
+    web, _, links = L.cached_web(spark, N_WEB)
+    urls = web.select("url")
+    rules = R.parse_robots(spark.read.parquet(_ROBOTS_PATH))
+    allowed = R.robots_allowed(urls, rules, ROBOTS_UA)
+    resolved = FE.resolve_redirects(FE.fetch_log(urls, N_WEB, N_HOSTS))
+    seeds = urls.filter(
+        F.regexp_extract("url", "/p/([0-9]+)$", 1).cast("long")
+        % SEED_MOD == 0
+    )
+    return L.spider_cycle(
+        links, seeds, allowed, resolved, max_depth=CRAWL_DEPTH
+    )
+
+
 @register("dns_cache", D.dns_cache_sql(_PATH))
 def dns_cache(spark, sf_dir):
     """A2's computation half (ref: Dns.cpp RdbCache-fronted resolver):

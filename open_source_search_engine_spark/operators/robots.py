@@ -141,9 +141,12 @@ def robots_allowed(
     )
 
 
-def robots_oracle_sql(robots_parquet: str, web_parquet: str, agent: str) -> str:
+def robots_oracle_sql(
+    robots_parquet: str, web_parquet: str, agent: str, ordered: bool = True
+) -> str:
     """DuckDB replay of the same pinned semantics over the same
-    parquet fixtures."""
+    parquet fixtures. ``ordered=False`` drops the trailing ORDER BY so
+    the query composes as a derived table (spider_cycle oracle)."""
     agent = agent.lower()
     return f"""
 WITH raw0 AS (
@@ -225,5 +228,5 @@ SELECT u.url AS url,
          AS allowed
 FROM u
 LEFT JOIN (SELECT url, directive FROM best WHERE rn = 1) b USING (url)
-ORDER BY url
+{"ORDER BY url" if ordered else ""}
 """

@@ -133,3 +133,45 @@ def test_crawl_frontier_min_depth(spark):
         for r in crawl_frontier(links, seeds, max_depth=3).collect()
     }
     assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3}
+
+
+def test_spider_cycle_gates_and_redirect_content(spark):
+    """Full-cycle semantics on a hand-built graph: a robots-blocked
+    url never expands, a 404 url never expands, and a redirecting url
+    expands with its TARGET page's links under its own name."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators import fetch as FE
+    from open_source_search_engine_spark.operators import linkextract as L
+
+    # s -> a (allowed, 301 -> t), a's target t links to x;
+    # s -> b (robots-blocked, 200) links to y — y must NOT appear;
+    # s -> c (allowed, 404) links to z — z must NOT appear.
+    links = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("s", "c"),
+         ("t", "x"), ("b", "y"), ("c", "z")],
+        "src_url string, dst_url string",
+    )
+    seeds = spark.createDataFrame([("s",)], "url string")
+    allowed = spark.createDataFrame(
+        [("s", True), ("a", True), ("b", False), ("c", True),
+         ("t", True), ("x", True)],
+        "url string, allowed boolean",
+    )
+    fetches = spark.createDataFrame(
+        [("s", 200, None), ("a", 301, "t"), ("b", 200, None),
+         ("c", 404, None), ("t", 200, None), ("x", 200, None)],
+        "url string, status int, location string",
+    )
+    resolved = FE.resolve_redirects(fetches)
+    out = {r["url"]: (r["depth"], r["crawled"]) for r in
+           L.spider_cycle(links, seeds, allowed, resolved,
+                          max_depth=3).collect()}
+    # s expands (its own links); a expands via t's links; b, c do not
+    assert out == {
+        "s": (0, True),
+        "a": (1, True),   # crawlable: 301 chain ends at t (200)
+        "b": (1, False),  # discovered but robots-blocked
+        "c": (1, False),  # discovered but 404
+        "x": (2, True),   # reached THROUGH a via t's content links
+    }
