@@ -343,9 +343,18 @@ def bm25_groups_topk(
     cand = idx.postings.join(F.broadcast(qt), ["termid", "term"]).withColumn(
         "partial", F.col("weight") * F.col("idf") * idx.tfnorm_col()
     )
+    # group-coverage via a bitmask popcount, NOT countDistinct(gid):
+    # Spark expands a distinct-aggregate into TWO shuffles (partial on
+    # (docid, gid), then (docid)); bit_or is plain map-side-combinable
+    # — one shuffle, like bm25_topk. Queries have ≤ 64 terms (the
+    # reference caps at MAX_QUERY_TERMS≈16).
+    if len(groups) > 64:
+        raise ValueError("bm25_groups_topk supports at most 64 groups")
     agg = cand.groupBy("docid").agg(
         F.sum("partial").alias("score"),
-        F.countDistinct("gid").alias("ngroups"),
+        F.bit_count(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), gid)"))
+        ).alias("ngroups"),
     )
     if mode == "and":
         agg = agg.filter(F.col("ngroups") == len(groups))
