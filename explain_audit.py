@@ -60,6 +60,21 @@ CHECKS = {
     "ivf_partition_pruned": [
         ("PartitionFilters", "cid probe is parquet partition pruning"),
     ],
+    "syngroups": [
+        ("BroadcastHashJoin", "group/weight table broadcast to the postings scan"),
+        ("TakeOrderedAndProject", "top-k is partial-heap + merge"),
+        ("bit_or", "group coverage is a map-side bitmask agg, not a "
+                   "two-shuffle countDistinct expansion"),
+    ],
+    "dns_cache": [
+        ("FlatMapGroupsInPandas", "per-host TTL replay is one Arrow pass"),
+        # no pre-aggregation is CORRECT here: the replay recurrence
+        # consumes every (host, ts) row, and those two scalars are all
+        # the shuffle carries (column pruning at the cached scan)
+    ],
+    "spider_cycle": [
+        ("BroadcastHashJoin", "crawl gates join broadcast (tiny ok-set)"),
+    ],
 }
 
 NEGATIVE_CHECKS = {
@@ -67,6 +82,16 @@ NEGATIVE_CHECKS = {
     "wand_bucketed": [
         ("Exchange", "zero shuffles: bucketed scan satisfies the scorer's "
                      "distribution, blobs never move"),
+    ],
+    "syngroups": [
+        ("Expand", "no distinct-aggregate expansion"),
+    ],
+    "spider_cycle": [
+        ("CartesianProduct", "every gate is an equi-join"),
+        ("BatchEvalPython", "no row-at-a-time Python in the cycle"),
+    ],
+    "dns_cache": [
+        ("BatchEvalPython", "resolver ip is JVM md5, not a Python UDF"),
     ],
 }
 
@@ -184,6 +209,46 @@ def main() -> None:
     from open_source_search_engine_spark.sources.catalog import load_webtext
 
     plans["link_extract"] = extract_links(load_webtext(spark, 1200))
+
+    # synonym-group retrieval: one docid shuffle, bitmask coverage
+    from open_source_search_engine_spark.operators.queries_ir2 import (
+        SYN_WEIGHT,
+        SYNONYMS,
+        bm25_groups_topk,
+    )
+
+    syn_groups = [
+        {t: 1.0, **{s2: SYN_WEIGHT for s2 in SYNONYMS.get(t, [])}}
+        for t in ("join", "filter")
+    ]
+    plans["syngroups"] = bm25_groups_topk(idx, syn_groups, k=10)
+
+    # crawl-side: DNS TTL replay + the integrated spider cycle
+    from open_source_search_engine_spark.operators import dnscache as DC
+    from open_source_search_engine_spark.operators import fetch as FE
+    from open_source_search_engine_spark.operators import robots as RB
+    from open_source_search_engine_spark.operators.linkextract import (
+        cached_web,
+        spider_cycle,
+    )
+    from open_source_search_engine_spark.sources.webtext import (
+        N_HOSTS,
+        ROBOTS_UA,
+        robots_path,
+    )
+
+    web, _, wlinks = cached_web(spark, N_WEB)
+    plans["dns_cache"] = DC.dns_cache_stats(DC.dns_lookup_log(web))
+    urls = web.select("url")
+    rules = RB.parse_robots(spark.read.parquet(robots_path()))
+    allowed = RB.robots_allowed(urls, rules, ROBOTS_UA)
+    resolved = FE.resolve_redirects(FE.fetch_log(urls, N_WEB, N_HOSTS))
+    seeds = urls.filter(
+        F.regexp_extract("url", "/p/([0-9]+)$", 1).cast("long") % 200 == 0
+    )
+    plans["spider_cycle"] = spider_cycle(
+        wlinks, seeds, allowed, resolved, max_depth=3
+    )
 
     lines = ["# BENCH/plans.md — physical-plan audit (explain_audit.py)\n"]
     failures = []
