@@ -94,6 +94,20 @@ FROM big GROUP BY docid, bigram
 """
 
 
+_BIGRAMS: dict = {}
+
+
+def cached_bigrams(spark, sf_dir):
+    """Memoized (docid, bigram, tf) table — the C5 phrase-term index
+    the bigram-accelerated quoted-query path scans. Keyed like
+    cached_index ((applicationId, startTime): ids never recycle)."""
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir)
+    if key not in _BIGRAMS:
+        _BIGRAMS[key] = bigram_postings(spark, sf_dir).cache()
+    return _BIGRAMS[key]
+
+
 @register("bigram_postings", BIGRAM_SQL)
 def bigram_postings(spark, sf_dir):
     """Two-word phrase terms indexed alongside singles (ref:

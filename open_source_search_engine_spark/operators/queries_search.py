@@ -64,6 +64,26 @@ def phrase_bm25(spark, sf_dir):
 
 
 @register(
+    "phrase_bm25_bigram",
+    bm25_oracle_sql(PHRASE, restrict_cte=PHRASE_RESTRICT_CTE),
+    extended=True,
+)
+def phrase_bm25_bigram(spark, sf_dir):
+    """The same quoted query via the reference's bigram-termlist
+    shortcut (Phrases::set): a 2-word phrase hit-set is ONE bigram
+    termlist scan, zero positional work — same oracle, rank-identical
+    to the positional phrase_bm25."""
+    from .queries_ir2 import cached_bigrams
+
+    return S.phrase_bm25(
+        _pos_index(spark, sf_dir),
+        PHRASE,
+        k=10,
+        bigrams=cached_bigrams(spark, sf_dir),
+    )
+
+
+@register(
     "wand_phrase",
     bm25_oracle_sql(PHRASE, restrict_cte=PHRASE_RESTRICT_CTE),
     extended=True,  # packed-path twin of phrase_bm25, same oracle

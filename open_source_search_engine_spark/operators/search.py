@@ -245,7 +245,11 @@ def bool_search(
 # ---------------------------------------------------------------------------
 
 
-def phrase_docids(index: InvertedIndex, words: list[str]) -> DataFrame:
+def phrase_docids(
+    index: InvertedIndex,
+    words: list[str],
+    restrict: DataFrame | None = None,
+) -> DataFrame:
     """Docids containing the exact token sequence ``words`` (adjacent
     positions). Requires an index built with_positions=True.
 
@@ -254,20 +258,29 @@ def phrase_docids(index: InvertedIndex, words: list[str]) -> DataFrame:
     groupBy(docid, startpos) counting distinct matched offsets == len
     — the n-way adjacency join expressed as one aggregation instead of
     n-1 self-joins (one shuffle, scales with postings of the rarest
-    word after Catalyst prunes).
+    word after Catalyst prunes). ``restrict`` semi-joins the postings
+    to a candidate docid set BEFORE the position explode (the
+    bigram-acceleration verify path).
     """
     n = len(words)
     if n == 1:
-        return (
+        out = (
             index.postings.filter(F.col("term") == words[0])
             .select("docid")
             .distinct()
         )
+        if restrict is not None:
+            out = out.join(restrict, "docid", "left_semi")
+        return out
     parts = []
     for i, w in enumerate(words):
+        src = index.postings.filter(F.col("term") == w)
+        if restrict is not None:
+            # prune BEFORE the explode — only candidates' positions
+            # are ever expanded
+            src = src.join(restrict, "docid", "left_semi")
         parts.append(
-            index.postings.filter(F.col("term") == w)
-            .select("docid", F.explode("positions").alias("pos"))
+            src.select("docid", F.explode("positions").alias("pos"))
             .select(
                 "docid",
                 (F.col("pos") - F.lit(i)).alias("start"),
@@ -286,16 +299,54 @@ def phrase_docids(index: InvertedIndex, words: list[str]) -> DataFrame:
     )
 
 
+def phrase_docids_bigram(
+    index: InvertedIndex, bigrams: DataFrame, words: list[str]
+) -> DataFrame:
+    """Bigram-termlist phrase acceleration (ref: Phrases::set +
+    PosdbTable's bigram termlists — the reference indexes two-word
+    phrase terms precisely so quoted queries can skip the positional
+    intersect). ``bigrams`` is the (docid, bigram, tf) table built by
+    the C5 pipeline (space-joined 2-shingles).
+
+    Exact for 2-word phrases: the bigram termlist IS the phrase
+    hit-set — one termlist scan, ZERO positional work. For longer
+    phrases the AND of adjacent bigrams is a candidate superset
+    ("a b" ∧ "b c" somewhere ≠ "a b c" contiguous), verified by the
+    positional path restricted to the candidates — at scale the
+    verify touches only the candidates' positions instead of every
+    posting of every phrase word."""
+    grams = [f"{words[i]} {words[i + 1]}" for i in range(len(words) - 1)]
+    uniq = list(dict.fromkeys(grams))
+    cand = (
+        bigrams.filter(F.col("bigram").isin(uniq))
+        .groupBy("docid")
+        .agg(F.countDistinct("bigram").alias("ng"))
+        .filter(F.col("ng") == len(uniq))
+        .select("docid")
+    )
+    if len(words) == 2:
+        return cand
+    return phrase_docids(index, words, restrict=cand)
+
+
 def phrase_bm25(
-    index: InvertedIndex, words: list[str], k: int = 10
+    index: InvertedIndex,
+    words: list[str],
+    k: int = 10,
+    bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k restricted to docs containing the exact phrase
     (ref: quoted-query path — termlists intersected, then adjacency
     from positions; Matches.cpp). The phrase hit-set restricts the
-    candidate aggregation BEFORE the top-k cut."""
-    return bm25_topk(
-        index, words, k=k, mode="and", restrict=phrase_docids(index, words)
+    candidate aggregation BEFORE the top-k cut. Pass ``bigrams`` to
+    take the reference's bigram-termlist shortcut instead of the
+    positional intersect (rank-identical; see phrase_docids_bigram)."""
+    hits = (
+        phrase_docids_bigram(index, bigrams, words)
+        if bigrams is not None
+        else phrase_docids(index, words)
     )
+    return bm25_topk(index, words, k=k, mode="and", restrict=hits)
 
 
 # ---------------------------------------------------------------------------

@@ -276,3 +276,48 @@ def test_search_syn_groups(spark):
     scores = {r["docid"]: r["score"] for r in
               S.search(idx, meta, "join filter syn:1", k=10).collect()}
     assert scores[1] > scores[2] and scores[1] > scores[3]
+
+
+# --- D7: bigram-termlist phrase acceleration ------------------------------
+
+
+def test_phrase_bigram_acceleration(spark):
+    """2-word phrases are served exactly from the bigram termlist;
+    3-word phrases AND adjacent bigrams then verify positionally — a
+    doc with both bigrams NON-contiguously must be rejected by the
+    verify."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.operators.pipeline import (
+        shingles_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"),
+         (2, "quick brown elsewhere then brown fox here"),  # superset trap
+         (3, "a quick brown fox b quick brown fox"),
+         (4, "quick brown fox"),
+         (5, "nothing relevant")],
+        "docid long, text string",
+    )
+    idx = build_index(docs, with_positions=True)
+    bg = (
+        docs.select(
+            "docid", F.explode(shingles_col("text", 2)).alias("bigram")
+        )
+        .groupBy("docid", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+    two = {r["docid"] for r in
+           S.phrase_docids_bigram(idx, bg, ["brown", "fox"]).collect()}
+    assert two == {1, 2, 3, 4}
+
+    words = ["quick", "brown", "fox"]
+    pos = {r["docid"] for r in S.phrase_docids(idx, words).collect()}
+    fast = {r["docid"] for r in
+            S.phrase_docids_bigram(idx, bg, words).collect()}
+    assert pos == fast == {1, 3, 4}  # doc 2 rejected by the verify
