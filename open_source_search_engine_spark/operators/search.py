@@ -509,10 +509,12 @@ def search(
     docs_meta: DataFrame,
     qtext: str,
     k: int = 10,
+    bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """Full query path: parse → candidate retrieval (AND/OR/NOT) →
     phrase post-filter → field constraints → top-k (the §3.1 lifecycle
-    as one DataFrame plan)."""
+    as one DataFrame plan). Pass the C5 ``bigrams`` table to serve
+    quoted phrases via the bigram-termlist shortcut."""
     pq = parse_query(qtext)
     if not pq.terms and not pq.fields.get("sortby"):
         # a sortby query may be metadata-only ("lang:en sortby:n_chars"
@@ -521,7 +523,11 @@ def search(
         raise ValueError(f"no searchable terms in query: {qtext!r}")
     restrict = None
     for words in pq.phrases:
-        hits = phrase_docids(index, words)
+        hits = (
+            phrase_docids_bigram(index, bigrams, words)
+            if bigrams is not None and len(words) > 1
+            else phrase_docids(index, words)
+        )
         restrict = hits if restrict is None else restrict.join(hits, "docid")
     meta_filters = []
     if "lang" in pq.fields:
