@@ -42,11 +42,35 @@ def test_extract_features_dim_and_join_ann(spark, media):
 
 
 def test_resize_images_only_images_fixed_size(spark, media):
+    from open_source_search_engine_spark.sources import codecs as C
+
     out = M.resize_images(media, w=8, h=8).collect()
     kinds = {r["media_id"] for r in media.filter("kind = 'image'").collect()}
     assert {r["media_id"] for r in out} == kinds
-    assert all(len(r["payload"]) == 64 for r in out)
     assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+    # synth images are real PNG/BMP → resize re-encodes REAL 8x8 PNGs
+    for r in out:
+        arr = C.decode_png(bytes(r["payload"]))
+        assert arr.shape == (8, 8, 3)
+
+
+def test_resize_is_true_nearest_neighbor(spark, media):
+    """The resized pixels are exactly the source pixels the nearest-
+    neighbor index map selects — decode-resize-encode round-trips
+    through the REAL codecs."""
+    import numpy as np
+
+    from open_source_search_engine_spark.sources import codecs as C
+
+    r0 = media.filter("kind = 'image'").first()
+    src = bytes(r0["payload"])
+    arr = (C.decode_png if C.sniff(src) == "png" else C.decode_bmp)(src)
+    out = M.resize_images(
+        media.filter(media.media_id == r0["media_id"]), w=16, h=12
+    ).first()
+    got = C.decode_png(bytes(out["payload"]))
+    want = C.resize_nearest(arr, 16, 12)
+    assert (got == want).all() and got.shape == (12, 16, 3)
 
 
 def test_sample_frames_flatmap(spark, media):
