@@ -212,16 +212,13 @@ def main() -> None:
 
     # synonym-group retrieval: one docid shuffle, bitmask coverage
     from open_source_search_engine_spark.operators.queries_ir2 import (
-        SYN_WEIGHT,
-        SYNONYMS,
         bm25_groups_topk,
+        synonym_groups,
     )
 
-    syn_groups = [
-        {t: 1.0, **{s2: SYN_WEIGHT for s2 in SYNONYMS.get(t, [])}}
-        for t in ("join", "filter")
-    ]
-    plans["syngroups"] = bm25_groups_topk(idx, syn_groups, k=10)
+    plans["syngroups"] = bm25_groups_topk(
+        idx, synonym_groups(["join", "filter"]), k=10
+    )
 
     # crawl-side: DNS TTL replay + the integrated spider cycle
     from open_source_search_engine_spark.operators import dnscache as DC
@@ -230,6 +227,9 @@ def main() -> None:
     from open_source_search_engine_spark.operators.linkextract import (
         cached_web,
         spider_cycle,
+    )
+    from open_source_search_engine_spark.operators.queries_web import (
+        SEED_MOD,
     )
     from open_source_search_engine_spark.sources.webtext import (
         N_HOSTS,
@@ -244,7 +244,8 @@ def main() -> None:
     allowed = RB.robots_allowed(urls, rules, ROBOTS_UA)
     resolved = FE.resolve_redirects(FE.fetch_log(urls, N_WEB, N_HOSTS))
     seeds = urls.filter(
-        F.regexp_extract("url", "/p/([0-9]+)$", 1).cast("long") % 200 == 0
+        F.regexp_extract("url", "/p/([0-9]+)$", 1).cast("long")
+        % SEED_MOD == 0
     )
     plans["spider_cycle"] = spider_cycle(
         wlinks, seeds, allowed, resolved, max_depth=3

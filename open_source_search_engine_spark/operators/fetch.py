@@ -88,25 +88,36 @@ def resolve_redirects(
     final_status) for every seed url.
 
     Bounded iterative equi-joins (the ``crawl_frontier`` loop shape):
-    wave d joins the still-moving chains to the fetch table on the
-    current url; rows that hit a non-redirect status, a NULL Location,
-    or the hop cap settle OUT of the loop immediately. Sentinels:
-    ``599`` = still redirecting at the cap (too many redirects),
-    ``0`` = redirect with no Location (dead end, never admitted)."""
+    wave d LEFT-joins the still-moving chains to the fetch table on
+    the current url; rows that hit a non-redirect status, a NULL or
+    dangling Location, or the hop cap settle OUT of the loop
+    immediately. Sentinels: ``599`` = still redirecting at the cap
+    (too many redirects), ``0`` = dead end — a redirect with no
+    Location OR one pointing outside the fetch log (every seed url
+    settles exactly once; nothing is silently dropped).
+
+    The per-wave caches back the settled branches referenced by the
+    final union; the result is eagerly localCheckpoint-ed so they can
+    all be released before returning (bounded executor storage no
+    matter how many times the operator runs in one session)."""
     f = fetches.select(
         F.col("url").alias("cur"), "status", "location"
     )
     state = fetches.select(
         "url", F.col("url").alias("cur"), F.lit(0).cast("int").alias("hops")
     )
+    # null-safe status: a LEFT-join miss (Location target absent from
+    # the fetch log) reads as st = -1 → not moving, terminal 0
+    st = F.coalesce(F.col("status"), F.lit(-1))
     moving = (
-        F.col("status").isin(301, 302)
+        st.isin(301, 302)
         & F.col("location").isNotNull()
         & (F.col("hops") < max_hops)
     )
     terminal = (
-        F.when(
-            F.col("status").isin(301, 302),
+        F.when(st == -1, F.lit(0))
+        .when(
+            st.isin(301, 302),
             F.when(F.col("location").isNull(), F.lit(0)).otherwise(
                 F.lit(599)
             ),
@@ -115,8 +126,10 @@ def resolve_redirects(
         .cast("int")
     )
     settled: list[DataFrame] = []
+    caches: list[DataFrame] = []
     for _ in range(max_hops + 1):
-        joined = state.join(f, "cur").cache()
+        joined = state.join(f, "cur", "left").cache()
+        caches.append(joined)
         settled.append(
             joined.filter(~moving).select(
                 "url",
@@ -132,7 +145,10 @@ def resolve_redirects(
         )
         if state.isEmpty():
             break
-    return reduce(lambda a, b: a.unionByName(b), settled)
+    out = reduce(lambda a, b: a.unionByName(b), settled).localCheckpoint()
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def admitted(resolved: DataFrame) -> DataFrame:
@@ -213,10 +229,11 @@ last AS (
   FROM chain
 )
 SELECT l.url AS url, l.cur AS final_url, CAST(l.hops AS INT) AS hops,
-       CAST(CASE WHEN x.status IN (301, 302) THEN
+       CAST(CASE WHEN x.url IS NULL THEN 0  -- dangling Location: dead end
+                 WHEN x.status IN (301, 302) THEN
                    CASE WHEN x.location IS NULL THEN 0 ELSE 599 END
                  ELSE x.status END AS INT) AS final_status
-FROM last l JOIN fetches x ON x.url = l.cur
+FROM last l LEFT JOIN fetches x ON x.url = l.cur
 WHERE l.rn = 1
 {"ORDER BY url" if ordered else ""}
 """

@@ -563,6 +563,7 @@ def crawl_frontier(
     visited = seeds.select(
         F.col("url").cast("string").alias("url"), F.lit(0).alias("depth")
     ).distinct().cache()
+    caches = [visited]
     frontier = visited
     for d in range(1, max_depth + 1):
         nxt = (
@@ -573,11 +574,19 @@ def crawl_frontier(
             .withColumn("depth", F.lit(d))
             .cache()
         )
+        caches.append(nxt)
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt).cache()
+        caches.append(visited)
         frontier = nxt
-    return visited
+    # the wave caches exist to keep each anti-join from recomputing
+    # the whole prefix; eagerly checkpoint the (small) result and
+    # release them so repeated calls never accumulate executor storage
+    out = visited.localCheckpoint()
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def spider_cycle(
@@ -600,9 +609,10 @@ def spider_cycle(
     Inputs: ``allowed(url, allowed)`` from robots.robots_allowed,
     ``resolved(url, final_url, …, final_status)`` from
     fetch.resolve_redirects, ``links(src_url, dst_url, …)`` from the
-    extraction. Same bounded-wave shape as crawl_frontier — the gates
-    pre-shrink the edge set BEFORE the loop (one join each, hash on
-    url, no payloads), so each wave only ever joins crawlable edges.
+    extraction. The gates pre-shrink the edge set BEFORE the loop
+    (one join each, hash on url, no payloads); the BFS itself IS
+    ``crawl_frontier`` over the gated edges — one wave-loop
+    implementation, not two.
     """
     ok = (
         allowed.filter(F.col("allowed"))
@@ -613,29 +623,10 @@ def spider_cycle(
         F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
     ).distinct()
     # crawlable url u emits the edges of its CONTENT page final_url(u)
-    cedges = (
-        ok.join(edges, ok.final_url == edges.src)
-        .select(F.col("url").alias("src"), "dst")
-        .distinct()
-        .cache()
+    cedges = ok.join(edges, ok.final_url == edges.src).select(
+        F.col("url").alias("src_url"), F.col("dst").alias("dst_url")
     )
-    visited = seeds.select(
-        F.col("url").cast("string").alias("url"), F.lit(0).alias("depth")
-    ).distinct().cache()
-    frontier = visited
-    for d in range(1, max_depth + 1):
-        nxt = (
-            frontier.join(cedges, frontier.url == cedges.src)
-            .select(F.col("dst").alias("url"))
-            .distinct()
-            .join(visited.select("url"), "url", "left_anti")
-            .withColumn("depth", F.lit(d))
-            .cache()
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).cache()
-        frontier = nxt
+    visited = crawl_frontier(cedges, seeds, max_depth=max_depth)
     return visited.join(
         ok.select("url").withColumn("crawled", F.lit(True)), "url", "left"
     ).fillna(False, ["crawled"])

@@ -327,6 +327,22 @@ def synonym_weights(base_terms: list[str]) -> dict[str, float]:
     return w
 
 
+def synonym_groups(base_terms: list[str]) -> list[dict[str, float]]:
+    """One weight-summed group per base term — the ONE builder every
+    syn-group caller uses (search.py syn:1, bm25_syngroups, the plan
+    audit). Weights SUM across expansion rows for the same reason as
+    synonym_weights: the SQL oracle's VALUES join accumulates
+    duplicate rows, so a term listed as its own synonym (or twice)
+    must weigh 1.0 + SYN_WEIGHT here too, not dict-overwrite to 0.5."""
+    groups: list[dict[str, float]] = []
+    for t in base_terms:
+        g: dict[str, float] = {t: 1.0}
+        for s in SYNONYMS.get(t, []):
+            g[s] = g.get(s, 0.0) + SYN_WEIGHT
+        groups.append(g)
+    return groups
+
+
 def bm25_groups_topk(
     idx,
     groups: list[dict[str, float]],
@@ -447,12 +463,11 @@ def bm25_syngroups(spark, sf_dir):
     """AND of two synonym groups — a doc holding only 'merge' (a
     synonym of 'join') plus 'filter' still matches, at reduced
     weight."""
-    groups = [
-        {t: 1.0, **{s: SYN_WEIGHT for s in SYNONYMS.get(t, [])}}
-        for t in _SYNGROUP_TERMS
-    ]
     return bm25_groups_topk(
-        cached_index(spark, sf_dir), groups, k=10, mode="and"
+        cached_index(spark, sf_dir),
+        synonym_groups(_SYNGROUP_TERMS),
+        k=10,
+        mode="and",
     )
 
 

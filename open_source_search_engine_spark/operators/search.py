@@ -314,7 +314,10 @@ def phrase_docids_bigram(
     ("a b" ∧ "b c" somewhere ≠ "a b c" contiguous), verified by the
     positional path restricted to the candidates — at scale the
     verify touches only the candidates' positions instead of every
-    posting of every phrase word."""
+    posting of every phrase word. A single-word "phrase" has no
+    bigram — it delegates to the plain termlist path."""
+    if len(words) < 2:
+        return phrase_docids(index, words)
     grams = [f"{words[i]} {words[i + 1]}" for i in range(len(words) - 1)]
     uniq = list(dict.fromkeys(grams))
     cand = (
@@ -587,15 +590,11 @@ def search(
         # weight). Each term becomes a group {term:1.0, syns:0.5};
         # groups are AND/OR-ed per query mode. Negation stays exact
         # (the reference never expands negative terms).
-        from .queries_ir2 import SYN_WEIGHT, SYNONYMS, bm25_groups_topk
+        from .queries_ir2 import bm25_groups_topk, synonym_groups
 
-        groups = [
-            {t: 1.0, **{s: SYN_WEIGHT for s in SYNONYMS.get(t, [])}}
-            for t in pq.terms
-        ]
         return bm25_groups_topk(
             index,
-            groups,
+            synonym_groups(pq.terms),
             k=k,
             mode=pq.mode,
             restrict=restrict,

@@ -71,12 +71,19 @@ def _decode_kernel(payload: bytes, kind: str) -> np.ndarray:
 
     payload = bytes(payload or b"")
     fmt = C.sniff(payload)
-    if fmt == "png":
-        return C.decode_png(payload).astype(np.float32).ravel() / 255.0
-    if fmt == "bmp":
-        return C.decode_bmp(payload).astype(np.float32).ravel() / 255.0
-    if fmt == "wav":
-        return C.decode_wav(payload)[0]
+    try:
+        if fmt == "png":
+            return C.decode_png(payload).astype(np.float32).ravel() / 255.0
+        if fmt == "bmp":
+            return C.decode_bmp(payload).astype(np.float32).ravel() / 255.0
+        if fmt == "wav":
+            return C.decode_wav(payload)[0]
+    except Exception:
+        # a sniffed-but-unsupported variant (palette/interlaced PNG,
+        # RLE BMP, ADPCM WAV, truncated bytes) must not fail the
+        # stage — it falls through to the same fallback as unknown
+        # formats rather than poisoning the whole Arrow batch
+        pass
     if not USE_FAKE_CODEC:
         raise NotImplementedError(
             "no stdlib codec for this format (JPEG/MP4 need "
@@ -179,15 +186,20 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
             for p in pdf["payload"]:
                 b = bytes(p or b"")
                 fmt = C.sniff(b)
-                if fmt in ("png", "bmp"):
-                    arr = (
-                        C.decode_png(b) if fmt == "png" else C.decode_bmp(b)
-                    )
-                    payloads.append(
-                        C.encode_png(C.resize_nearest(arr, w, h))
-                    )
-                else:
-                    payloads.append(b[:n].ljust(n, b"\x00"))
+                try:
+                    if fmt in ("png", "bmp"):
+                        arr = (
+                            C.decode_png(b)
+                            if fmt == "png"
+                            else C.decode_bmp(b)
+                        )
+                        payloads.append(
+                            C.encode_png(C.resize_nearest(arr, w, h))
+                        )
+                        continue
+                except Exception:
+                    pass  # unsupported variant → fake stand-in below
+                payloads.append(b[:n].ljust(n, b"\x00"))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(np.int64),

@@ -172,3 +172,18 @@ def test_dns_cache_replay(spark):
     want = "10.%d.%d.%d" % (int(h[0:2], 16), int(h[2:4], 16),
                             int(h[4:6], 16))
     assert got["h"]["ip"] == want
+
+
+def test_redirect_dangling_location_settles(spark):
+    """A Location pointing OUTSIDE the fetch log settles at the
+    dangling url with sentinel 0 — never silently dropped (every seed
+    settles exactly once)."""
+    got = _resolved(spark, [
+        ("a", 301, "zzz"),      # zzz has no fetch row
+        ("b", 301, "a"),        # chain crossing the dangling hop
+        ("c", 200, None),
+    ])
+    assert got["a"] == ("zzz", 1, 0)
+    assert got["b"] == ("zzz", 2, 0)
+    assert got["c"] == ("c", 0, 200)
+    assert len(got) == 3

@@ -321,3 +321,31 @@ def test_phrase_bigram_acceleration(spark):
     fast = {r["docid"] for r in
             S.phrase_docids_bigram(idx, bg, words).collect()}
     assert pos == fast == {1, 3, 4}  # doc 2 rejected by the verify
+
+
+def test_phrase_bigram_single_word_delegates(spark):
+    """A 1-word 'phrase' with a bigram table must behave like the
+    plain termlist path, not return empty."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+    from open_source_search_engine_spark.operators.pipeline import (
+        shingles_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "fox runs"), (2, "no match")], "docid long, text string"
+    )
+    idx = build_index(docs, with_positions=True)
+    bg = (
+        docs.select(
+            "docid", F.explode(shingles_col("text", 2)).alias("bigram")
+        )
+        .groupBy("docid", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    got = {r["docid"] for r in
+           S.phrase_docids_bigram(idx, bg, ["fox"]).collect()}
+    assert got == {1}
