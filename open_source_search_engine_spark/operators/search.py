@@ -502,6 +502,37 @@ def add_snippets(
     )
 
 
+def render_serp(results: DataFrame, fmt: str = "json") -> DataFrame:
+    """Presentation tail of the §3.1 lifecycle (ref: PageResults.cpp
+    render via ``&format=html/json/xml``): serialize each result row
+    to one string per rank. Pure ``to_json``/``concat`` column
+    expressions — rendering stays JVM-side and distributed; the
+    driver collects strings, never re-serializes. Rank is assigned by
+    the global (score desc, docid asc) contract."""
+    w = Window.orderBy(F.desc("score"), F.asc("docid"))
+    ranked = results.withColumn("rank", F.row_number().over(w))
+    payload = F.struct(*[F.col(c) for c in ranked.columns])
+    if fmt == "json":
+        rendered = F.to_json(payload)
+    elif fmt == "xml":
+        inner = F.concat(*[
+            F.concat(F.lit(f"<{c}>"), F.col(c).cast("string"),
+                     F.lit(f"</{c}>"))
+            for c in results.columns
+        ])
+        rendered = F.concat(F.lit("<result>"), inner, F.lit("</result>"))
+    elif fmt == "html":
+        rendered = F.concat(
+            F.lit('<li class="result">'),
+            F.col("snippet_hl") if "snippet_hl" in results.columns
+            else F.col(results.columns[0]).cast("string"),
+            F.lit("</li>"),
+        )
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    return ranked.select("rank", rendered.alias("rendered")).orderBy("rank")
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: parse + plan + execute
 # ---------------------------------------------------------------------------

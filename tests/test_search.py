@@ -349,3 +349,46 @@ def test_phrase_bigram_single_word_delegates(spark):
     got = {r["docid"] for r in
            S.phrase_docids_bigram(idx, bg, ["fox"]).collect()}
     assert got == {1}
+
+
+# --- §3.1 render tail (&format=) ------------------------------------------
+
+
+def test_render_serp_formats(spark):
+    """JSON rows parse back to the exact result fields with dense
+    ranks in (score desc, docid asc) order; xml/html render; unknown
+    format rejected."""
+    import json
+
+    import pytest as _pytest
+
+    from open_source_search_engine_spark.operators.index_build import (
+        cached_index,
+    )
+
+    docs_meta = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .withColumnRenamed("doc_id", "docid")
+    )
+    idx = cached_index(spark, SF_CORRECT)
+    topk = S.bm25_topk(idx, ["join", "filter"], k=5, mode="and")
+    serp = S.add_snippets(topk, docs_meta, ["join", "filter"])
+
+    rows = S.render_serp(serp, "json").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    parsed = [json.loads(r["rendered"]) for r in rows]
+    want = {r["docid"]: r for r in serp.collect()}
+    assert [p["score"] for p in parsed] == sorted(
+        (r["score"] for r in want.values()), reverse=True
+    )
+    for p in parsed:
+        w = want[p["docid"]]
+        assert p["snippet"] == w["snippet"]
+        assert p["n_hits"] == w["n_hits"]
+
+    xml = S.render_serp(serp, "xml").first()["rendered"]
+    assert xml.startswith("<result><docid>") and xml.endswith("</result>")
+    html = S.render_serp(serp, "html").first()["rendered"]
+    assert html.startswith('<li class="result">') and "<b>" in html
+    with _pytest.raises(ValueError):
+        S.render_serp(serp, "csv")
