@@ -138,6 +138,23 @@ def ann_ivf(spark, sf_dir):
     return P.ann_ivf(emb, _query_vec(spark, sf_dir), k=10)
 
 
+@register(
+    "ann_ivf_kmeans",
+    P.ann_ivf_kmeans_sql("(SELECT embedding FROM embeddings WHERE vec_id = 0)"),
+    extended=True,
+)
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF with a REAL distributed k-means coarse quantizer: spherical
+    Lloyd's iterations where assignment is a Pandas UDF (centroid
+    matrix in the closure, O(C·dim) driver state) and per-dimension
+    means come from posexplode + groupBy — the corpus never reaches
+    the driver. Oracle-paired by UNROLLING the pinned iteration count
+    as CTE pairs with rounded centroids/dots, so even the iterative
+    fit is hash-checked against DuckDB."""
+    emb = _emb(spark, sf_dir)
+    return P.ann_ivf_kmeans(emb, _query_vec(spark, sf_dir), k=10)
+
+
 @register("embedding_dups", P.embedding_dups_sql(threshold=0.4))
 def embedding_dups(spark, sf_dir):
     """Embedding near-dup pairs, oracle-paired via the same literal-

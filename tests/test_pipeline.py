@@ -310,3 +310,29 @@ def test_shingles_match_python(spark, docs):
         t = tokenize(r["text"])
         want = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
         assert gmap[r["docid"]] == want
+
+
+def test_ann_ivf_kmeans_recall_and_determinism(spark):
+    """The k-means IVF probe keeps decent recall vs brute force, the
+    fit is deterministic (pure function of the data), and driver
+    state stays O(C x dim)."""
+    import numpy as np
+
+    from open_source_search_engine_spark.operators import pipeline as P
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").cache()
+    q = [float(x) for x in
+         emb.filter("vec_id = 0").first()["embedding"]]
+
+    c1 = P.kmeans_centroids(emb, n_centroids=8, iters=2)
+    c2 = P.kmeans_centroids(emb, n_centroids=8, iters=2)
+    assert c1.shape == (8, len(q))
+    assert (c1 == c2).all()  # deterministic fit
+
+    exact = [r["vec_id"] for r in
+             P.ann_bruteforce(emb, q, k=10).collect()]
+    approx = {r["vec_id"] for r in
+              P.ann_ivf_kmeans(emb, q, k=10, n_probe=3,
+                               n_centroids=8).collect()}
+    recall = len(set(exact) & approx) / 10.0
+    assert recall >= 0.5, recall
