@@ -1,0 +1,101 @@
+"""Streaming ingest-time exact deduplication (the training-data
+pipeline's front gate, run continuously).
+
+Reference anchor: the reference dedups at index time from
+``clusterdb``'s content hashes (``XmlDoc::getContentHash32`` checked
+by ``Msg51``/``Dedup``); a training-data pipeline wants the same gate
+at INGEST so duplicate documents never reach storage. Spark-native
+shape: Structured Streaming ``foreachBatch`` where each micro-batch
+
+1. hashes content (md5 — same 128-bit hash as the batch
+   ``dedup_exact``, so 10^12 docs don't birthday-collide),
+2. dedups WITHIN the batch (smallest docid wins — the batch
+   operator's pinned rule),
+3. anti-joins against the accumulated SEEN-HASH store (cross-batch
+   dedup; first batch to present a hash wins, later duplicates drop),
+4. appends survivors to the output and their hashes to the store,
+   both under epoch-keyed dirs overwritten on replay (idempotent,
+   the I7 contract the incremental indexer pins).
+
+Scale notes:
+- the seen store holds (h) only — 16-byte hashes, never text; the
+  anti-join shuffles hashes and ids. At 10^12 docs, bucket the store
+  by a hash prefix so the anti-join co-locates (same layout note as
+  ``segments.save_bucketed``).
+- state lives in PARQUET, not the streaming state store: exact-dedup
+  state never expires (no watermark can bound "every hash ever
+  seen"), so it must live somewhere compactable and restart-safe —
+  the same reasoning the reference uses clusterdb (an Rdb) instead
+  of memory.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _hashed(batch: DataFrame) -> DataFrame:
+    return batch.withColumn(
+        "h", F.md5(F.col("text").cast("string"))
+    )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    schema: str = "docid long, text string",
+):
+    """Continuously dedup documents dropped into ``input_dir``;
+    unique survivors land in ``out_dir`` (epoch-keyed parquet), the
+    hash store accumulates under ``seen_dir``. Returns the
+    StreamingQuery (availableNow trigger; stop() when drained)."""
+    os.makedirs(seen_dir, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        hashed = _hashed(batch)
+        # within-batch: smallest docid per hash (dedup_exact's rule)
+        w = Window.partitionBy("h").orderBy(F.asc("docid"))
+        firsts = (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # cross-batch: drop hashes any EARLIER epoch admitted
+        seen_files = [
+            os.path.join(seen_dir, d)
+            for d in os.listdir(seen_dir)
+            if d.startswith("epoch=") and d != f"epoch={epoch_id:06d}"
+        ]
+        if seen_files:
+            seen = spark.read.parquet(*seen_files).select("h")
+            firsts = firsts.join(seen, "h", "left_anti")
+        firsts = firsts.cache()
+        # epoch-keyed overwrite on both writes → replay-idempotent
+        firsts.drop("h").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id:06d}")
+        )
+        firsts.select("h").write.mode("overwrite").parquet(
+            os.path.join(seen_dir, f"epoch={epoch_id:06d}")
+        )
+        firsts.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def deduped_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The accumulated unique-document table (all epochs)."""
+    return spark.read.parquet(out_dir)

@@ -267,3 +267,54 @@ def test_throttle_streaming_state(spark, tmp_path):
         for r in throttle_batch(spark.read.parquet(src), rate=1e-5).collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """Ingest-time exact dedup across micro-batches: within-batch
+    duplicates keep the smallest docid, a later epoch's copy of an
+    already-admitted content is dropped, and the accumulated output
+    equals the batch dedup of the full input."""
+    import os as _os
+
+    from open_source_search_engine_spark.streaming.dedup_stream import (
+        deduped_output,
+        start_dedup_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    seen_dir = str(tmp_path / "seen")
+    ck = str(tmp_path / "ck")
+    _os.makedirs(in_dir)
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "docid long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / ("stage_" + name))
+        )
+        import glob
+        import shutil
+        src = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(src, _os.path.join(in_dir, name + ".parquet"))
+
+    # batch 1: an internal duplicate (docids 3 & 7 share content)
+    drop("b1", [(3, "alpha beta"), (7, "alpha beta"), (1, "gamma")])
+    q = start_dedup_stream(spark, in_dir, out_dir, seen_dir, ck)
+    q.awaitTermination(120)
+
+    got1 = {(r["docid"], r["text"])
+            for r in deduped_output(spark, out_dir).collect()}
+    assert got1 == {(3, "alpha beta"), (1, "gamma")}
+
+    # batch 2: cross-batch dup of "alpha beta" (drops), new content,
+    # and a new internal dup pair
+    drop("b2", [(9, "alpha beta"), (5, "delta"), (11, "eps"),
+                (10, "eps")])
+    q = start_dedup_stream(spark, in_dir, out_dir, seen_dir, ck)
+    q.awaitTermination(120)
+
+    got2 = {(r["docid"], r["text"])
+            for r in deduped_output(spark, out_dir).collect()}
+    assert got2 == {(3, "alpha beta"), (1, "gamma"), (5, "delta"),
+                    (10, "eps")}
