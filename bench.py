@@ -251,6 +251,8 @@ def bench_query_batch(
     return {
         "t_query_batch": round(dt, 4),
         "n_queries_batch": len(jobs),
+        "qb_passes": passes,
+        "qb_threads": threads,
         "qps": round(len(jobs) / dt, 2),
     }
 
@@ -350,6 +352,7 @@ def run_scaling(
             if "t_query_batch" in q:
                 qtimes[cores].append(q["t_query_batch"])
                 n_qbatch = q["n_queries_batch"]
+                qb_params = (q.get("qb_passes"), q.get("qb_threads"))
             n_docs = q["n_docs"]
 
     # Noise model: this host's speed drifts 1.5-2x between runs (see
@@ -386,6 +389,8 @@ def run_scaling(
         report.update(
             {
                 "n_queries_batch": n_qbatch,
+                "qb_passes": qb_params[0],
+                "qb_threads": qb_params[1],
                 "t_query_batch_lo_runs": [round(t, 1) for t in qtimes[lo]],
                 "t_query_batch_hi_runs": [round(t, 1) for t in qtimes[hi]],
                 "qps_lo": round(n_qbatch / tq_lo, 2),
@@ -436,7 +441,8 @@ def _qps_section(r: dict) -> str:
     return f"""## Serve-path (query) scaling, same runs
 
 After each build leg, a batch of {r["n_queries_batch"]} concurrent
-WAND top-k queries (the 5 QUERY_SET shapes × 4 passes, 4 driver
+WAND top-k queries (the {len(QUERY_SET)} QUERY_SET shapes ×
+{r.get("qb_passes", "?")} passes, {r.get("qb_threads", "?")} driver
 threads — the single-node stand-in for concurrent users on a serving
 cluster) runs against the just-built {r["n_docs"]:,}-doc store:
 

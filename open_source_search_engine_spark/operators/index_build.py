@@ -119,6 +119,11 @@ def build_index(
                 F.col("z.toks").alias("term"),
                 F.col("z.nxts").alias("nxt"),
             )
+            # a token-LESS doc has toks=[] but nxts=[NULL]; arrays_zip
+            # pads, so posexplode would emit one phantom term=NULL row
+            # that skews n_docs/avgdl vs the non-positional build and
+            # every oracle's consts CTE. Real tokens are never NULL.
+            .filter(F.col("term").isNotNull())
         )
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
         aggs.append(

@@ -164,8 +164,11 @@ register(
 
 DENSITY_TERMS = ["join", "filter"]
 
-DENSITY_SQL = f"""
-WITH ptok AS (
+# positional tokenization + BM25-stats prologue shared by BOTH
+# positional-rank oracles (the non-positional analogue is
+# registry.TOK_CTE) — ONE copy so a token-spec change cannot
+# desynchronize density from diversity
+POS_TOK_CTE = """ptok AS (
   SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
   FROM (SELECT doc_id AS docid,
                regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -177,7 +180,10 @@ consts AS (
   SELECT (SELECT count(*) FROM doclen) AS n,
          (SELECT avg(dl) FROM doclen) AS avgdl
 ),
-ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),"""
+
+DENSITY_SQL = f"""
+WITH {POS_TOK_CTE}
 reps AS (
   SELECT docid, term, count(*) AS repeats
   FROM (SELECT docid, term, pos,
@@ -232,19 +238,7 @@ def density_bm25(spark, sf_dir):
 # damping (``XmlDoc::getDiversityVec``). Integer-exact, so the oracle
 # replays it with a lead() window + count(DISTINCT).
 DIVERSITY_SQL = f"""
-WITH ptok AS (
-  SELECT docid, unnest(t) AS term, generate_subscripts(t, 1) AS pos
-  FROM (SELECT doc_id AS docid,
-               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        FROM documents)
-),
-postings AS (SELECT docid, term, count(*) AS tf FROM ptok GROUP BY 1, 2),
-doclen AS (SELECT docid, count(*) AS dl FROM ptok GROUP BY 1),
-consts AS (
-  SELECT (SELECT count(*) FROM doclen) AS n,
-         (SELECT avg(dl) FROM doclen) AS avgdl
-),
-ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+WITH {POS_TOK_CTE}
 nexts AS (
   SELECT docid, term,
          lead(term) OVER (PARTITION BY docid ORDER BY pos) AS nxt

@@ -535,6 +535,16 @@ def compact_segments(
     otherwise dominate on a real vocabulary's block count."""
     packed = store.packed(spark)
     has_pos = "positions" in packed.columns
+    if has_pos and "divs" not in packed.columns:
+        # a positional store persisted before the divs stream existed:
+        # refuse with a clear message instead of a KeyError deep in
+        # the merge kernel (zero-filling would silently halve every
+        # diversity multiplier — rebuilding is always derivable, A12)
+        raise ValueError(
+            "positional store lacks the 'divs' stream (pre-diversity "
+            "layout); rebuild it with build_segments(with_positions="
+            "True) before compacting"
+        )
 
     def merge_frame(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.varbyte import (

@@ -695,6 +695,13 @@ class PackedIndex:
             "store was built without positions "
             "(build_segments(with_positions=True))"
         )
+        if kind == "diversity" and "divs" not in self.packed.columns:
+            raise ValueError(
+                "positional store lacks the 'divs' stream "
+                "(pre-diversity layout); rebuild with "
+                "build_segments(with_positions=True) to score "
+                "diversity"
+            )
         terms = list(dict.fromkeys(terms))
         rows = self._term_rows(terms)
         found = {r["term"]: r for r in rows}

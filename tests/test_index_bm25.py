@@ -83,3 +83,23 @@ def test_topk_is_take_ordered(index):
     global sort."""
     plan = bm25_topk(index, ["join"], k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_positional_build_tokenless_docs(spark):
+    """Token-less docs (empty/punctuation-only text) must not emit
+    phantom NULL-term postings in the positional build, and both
+    build modes must agree on n_docs/avgdl (review-found bug: the
+    NULL-padded nxts array zipped to length 1 for empty toks)."""
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, "!!!")], "docid long, text string"
+    )
+    pos = build_index(docs, with_positions=True)
+    plain = build_index(docs)
+    assert pos.postings.filter("term IS NULL").count() == 0
+    assert pos.postings.count() == plain.postings.count() == 2
+    assert pos.n_docs == plain.n_docs == 1
+    assert pos.avgdl == plain.avgdl == 3.0
