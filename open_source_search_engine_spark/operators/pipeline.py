@@ -513,6 +513,34 @@ def simhash_col_docs(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_bands(
+    sh: DataFrame, max_hamming: int = 3, nbits: int = 64
+) -> DataFrame:
+    """(docid, simhash, q, qval) Manku band rows — the pigeonhole
+    banding primitive shared by ``hamming_pairs`` and the streaming
+    near-dup gate. nbits split into EXACTLY max_hamming + 1
+    contiguous bands (remainder distributed): a pair within the
+    radius has too few differing bits to touch every band, so it
+    agrees exactly on at least one (q, qval)."""
+    nbands = max_hamming + 1
+    base, extra = divmod(nbits, nbands)
+    assert base >= 1, f"radius {max_hamming} too wide for {nbits} bits"
+    band_exprs = []
+    lo = 0
+    for q in range(nbands):
+        width = base + (1 if q < extra else 0)
+        mask = (1 << width) - 1
+        band_exprs.append(f"shiftright(simhash, {lo}) & {mask}")
+        lo += width
+    return sh.select(
+        "docid",
+        "simhash",
+        F.posexplode(F.expr(f"array({', '.join(band_exprs)})")).alias(
+            "q", "qval"
+        ),
+    )
+
+
 def hamming_pairs(
     sh: DataFrame, max_hamming: int = 3, nbits: int = 64
 ) -> DataFrame:
@@ -530,30 +558,7 @@ def hamming_pairs(
     radius ≤ the band width the corpus can afford (Manku's tables ×
     blocks layout is band composition over this same primitive).
     """
-    nbands = max_hamming + 1
-    # Partition the nbits into EXACTLY nbands contiguous bands,
-    # distributing the remainder (first nbits % nbands bands are one
-    # bit wider). The round-2 form used a ceil width and stopped when
-    # lo >= nbits, which for nbits=60, radius 10 produced only 10
-    # bands — a pair at Hamming 10 with one differing bit per band
-    # matched no band and was silently missed. Pigeonhole needs
-    # nbands = max_hamming + 1 bands, always.
-    base, extra = divmod(nbits, nbands)
-    assert base >= 1, f"radius {max_hamming} too wide for {nbits} bits"
-    band_exprs = []
-    lo = 0
-    for q in range(nbands):
-        width = base + (1 if q < extra else 0)
-        mask = (1 << width) - 1
-        band_exprs.append(f"shiftright(simhash, {lo}) & {mask}")
-        lo += width
-    bands = sh.select(
-        "docid",
-        "simhash",
-        F.posexplode(F.expr(f"array({', '.join(band_exprs)})")).alias(
-            "q", "qval"
-        ),
-    )
+    bands = simhash_bands(sh, max_hamming, nbits)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["q", "qval"])

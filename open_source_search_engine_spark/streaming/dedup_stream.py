@@ -99,3 +99,88 @@ def start_dedup_stream(
 def deduped_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """The accumulated unique-document table (all epochs)."""
     return spark.read.parquet(out_dir)
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    max_hamming: int = 3,
+    schema: str = "docid long, text string",
+):
+    """NEAR-dup gate at ingest: SimHash fingerprints + Manku banding
+    against a persistent signature store. Policy (pinned): a document
+    within Hamming ``max_hamming`` of a smaller-docid doc in its own
+    batch, or of ANY signature an earlier epoch admitted, is dropped
+    (first content in wins — same precedence as the exact gate; a
+    transitive chain collapses toward its smallest member, the batch
+    ``dedup_clusters`` canonical-min rule).
+
+    Why this state shape: the store holds (docid, simhash) — 8-byte
+    fingerprints, never text or shingles — so the cross-batch check
+    is a band-bucket join + XOR popcount with NO re-read of admitted
+    documents (a MinHash gate would need stored shingle sets for its
+    verify; SimHash's verify IS the fingerprint distance)."""
+    from ..operators.pipeline import (
+        SIMHASH_BITS,
+        hamming_pairs,
+        simhash_bands,
+        simhash_col_docs,
+    )
+
+    os.makedirs(seen_dir, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sh = simhash_col_docs(batch).cache()
+        # within-batch: any doc pairing with a smaller docid drops
+        losers = (
+            hamming_pairs(sh, max_hamming, nbits=SIMHASH_BITS)
+            .select(F.col("doc_b").alias("docid"))
+            .distinct()
+        )
+        keep = sh.join(losers, "docid", "left_anti")
+        seen_files = [
+            os.path.join(seen_dir, d)
+            for d in os.listdir(seen_dir)
+            if d.startswith("epoch=") and d != f"epoch={epoch_id:06d}"
+        ]
+        if seen_files:
+            seen = spark.read.parquet(*seen_files).select(
+                "docid", "simhash"
+            )
+            nb = simhash_bands(keep, max_hamming, SIMHASH_BITS)
+            sb = simhash_bands(seen, max_hamming, SIMHASH_BITS)
+            hits = (
+                nb.alias("x")
+                .join(sb.alias("y"), ["q", "qval"])
+                .filter(
+                    F.bit_count(
+                        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+                    )
+                    <= max_hamming
+                )
+                .select(F.col("x.docid").alias("docid"))
+                .distinct()
+            )
+            keep = keep.join(hits, "docid", "left_anti")
+        keep = keep.cache()
+        batch.join(keep.select("docid"), "docid", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"epoch={epoch_id:06d}"))
+        keep.select("docid", "simhash").write.mode("overwrite").parquet(
+            os.path.join(seen_dir, f"epoch={epoch_id:06d}")
+        )
+        keep.unpersist()
+        sh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

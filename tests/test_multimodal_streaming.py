@@ -318,3 +318,51 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
             for r in deduped_output(spark, out_dir).collect()}
     assert got2 == {(3, "alpha beta"), (1, "gamma"), (5, "delta"),
                     (10, "eps")}
+
+
+def test_streaming_neardup_cross_batch(spark, tmp_path):
+    """SimHash near-dup gate: identical content (Hamming 0) dropped
+    within and across batches under first-wins precedence; distinct
+    content passes. The policy check uses Hamming-0 twins so the test
+    never gambles on the fingerprint distance of hand-edited text."""
+    import os as _os
+
+    from open_source_search_engine_spark.streaming.dedup_stream import (
+        deduped_output,
+        start_neardup_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    seen_dir = str(tmp_path / "seen")
+    ck = str(tmp_path / "ck")
+    _os.makedirs(in_dir)
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "completely different content about database query engines"
+    t_c = "a third unrelated text mentioning spark shuffles and joins"
+
+    def drop(name, rows):
+        import glob
+        import shutil
+        spark.createDataFrame(
+            rows, "docid long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / ("stage_" + name))
+        )
+        src = glob.glob(
+            str(tmp_path / ("stage_" + name) / "part-*.parquet")
+        )[0]
+        shutil.copy(src, _os.path.join(in_dir, name + ".parquet"))
+
+    drop("b1", [(4, t_a), (2, t_a), (6, t_b)])  # within-batch twins
+    q = start_neardup_stream(spark, in_dir, out_dir, seen_dir, ck)
+    q.awaitTermination(180)
+    got1 = {r["docid"] for r in deduped_output(spark, out_dir).collect()}
+    assert got1 == {2, 6}  # smallest docid of the twin pair wins
+
+    drop("b2", [(9, t_a), (11, t_c)])  # 9 = cross-batch twin of 2
+    q = start_neardup_stream(spark, in_dir, out_dir, seen_dir, ck)
+    q.awaitTermination(180)
+    got2 = {r["docid"] for r in deduped_output(spark, out_dir).collect()}
+    assert got2 == {2, 6, 11}
