@@ -346,7 +346,7 @@ def synonym_groups(base_terms: list[str]) -> list[dict[str, float]]:
 def bm25_groups_topk(
     idx,
     groups: list[dict[str, float]],
-    k: int = 10,
+    k: int | None = 10,
     mode: str = "and",
     restrict=None,
     neg_terms: list[str] | None = None,
@@ -399,11 +399,14 @@ def bm25_groups_topk(
             .distinct()
         )
         agg = agg.join(bad, "docid", "left_anti")
-    return (
-        agg.select("docid", F.round("score", round_to).alias("score"))
-        .orderBy(F.desc(F.round("score", round_to)), F.asc("docid"))
-        .limit(k)
-    )
+    out = agg.select("docid", F.round("score", round_to).alias("score"))
+    if k is None:
+        # match-set mode (sortby:+syn:1): no ranking cut, caller
+        # re-orders by its own key
+        return out
+    return out.orderBy(
+        F.desc(F.round("score", round_to)), F.asc("docid")
+    ).limit(k)
 
 
 def _syngroup_values(base_terms: list[str]) -> str:

@@ -20,7 +20,7 @@ import re
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -502,13 +502,27 @@ def add_snippets(
     )
 
 
+def _markup_escape(col: Column) -> Column:
+    """HTML/XML-encode a field value (ref: PageResults.cpp HTML-encodes
+    every doc-derived string before emit). NULLs render as the empty
+    string so one NULL column can't null-propagate through ``concat``
+    and erase the whole row. `&` is escaped first so later entities
+    aren't double-escaped."""
+    out = F.coalesce(col.cast("string"), F.lit(""))
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&#39;")):
+        out = F.replace(out, F.lit(raw), F.lit(ent))
+    return out
+
+
 def render_serp(results: DataFrame, fmt: str = "json") -> DataFrame:
     """Presentation tail of the §3.1 lifecycle (ref: PageResults.cpp
     render via ``&format=html/json/xml``): serialize each result row
     to one string per rank. Pure ``to_json``/``concat`` column
     expressions — rendering stays JVM-side and distributed; the
     driver collects strings, never re-serializes. Rank is assigned by
-    the global (score desc, docid asc) contract."""
+    the global (score desc, docid asc) contract. xml/html field values
+    are markup-escaped (NULL → '')."""
     w = Window.orderBy(F.desc("score"), F.asc("docid"))
     ranked = results.withColumn("rank", F.row_number().over(w))
     payload = F.struct(*[F.col(c) for c in ranked.columns])
@@ -516,17 +530,23 @@ def render_serp(results: DataFrame, fmt: str = "json") -> DataFrame:
         rendered = F.to_json(payload)
     elif fmt == "xml":
         inner = F.concat(*[
-            F.concat(F.lit(f"<{c}>"), F.col(c).cast("string"),
+            F.concat(F.lit(f"<{c}>"), _markup_escape(F.col(c)),
                      F.lit(f"</{c}>"))
             for c in results.columns
         ])
         rendered = F.concat(F.lit("<result>"), inner, F.lit("</result>"))
     elif fmt == "html":
+        # snippet_hl wraps RAW doc text in our <b> markup; escape the
+        # WHOLE string (doc-embedded markup can't inject) then restore
+        # only our exact <b>/</b> markers so highlighting survives.
+        if "snippet_hl" in results.columns:
+            body = _markup_escape(F.col("snippet_hl"))
+            for esc, raw in (("&lt;b&gt;", "<b>"), ("&lt;/b&gt;", "</b>")):
+                body = F.replace(body, F.lit(esc), F.lit(raw))
+        else:
+            body = _markup_escape(F.col(results.columns[0]))
         rendered = F.concat(
-            F.lit('<li class="result">'),
-            F.col("snippet_hl") if "snippet_hl" in results.columns
-            else F.col(results.columns[0]).cast("string"),
-            F.lit("</li>"),
+            F.lit('<li class="result">'), body, F.lit("</li>")
         )
     else:
         raise ValueError(f"unknown format {fmt!r}")
@@ -587,14 +607,30 @@ def search(
         # silently dropped every other constraint. A TERM-LESS sortby
         # ("lang:en sortby:n_chars") orders the restrict set directly.
         if pq.terms:
-            matched = bm25_topk(
-                index,
-                pq.terms,
-                k=None,
-                mode=pq.mode,
-                neg_terms=pq.negated or None,
-                restrict=restrict,
-            ).select("docid")
+            if pq.fields.get("syn") == "1":
+                # syn:1 + sortby: the MATCH set must still be
+                # synonym-expanded (the ranking key swap doesn't
+                # change requiredness semantics) — round-3 silently
+                # matched unexpanded here.
+                from .queries_ir2 import bm25_groups_topk, synonym_groups
+
+                matched = bm25_groups_topk(
+                    index,
+                    synonym_groups(pq.terms),
+                    k=None,
+                    mode=pq.mode,
+                    restrict=restrict,
+                    neg_terms=pq.negated or None,
+                ).select("docid")
+            else:
+                matched = bm25_topk(
+                    index,
+                    pq.terms,
+                    k=None,
+                    mode=pq.mode,
+                    neg_terms=pq.negated or None,
+                    restrict=restrict,
+                ).select("docid")
         elif restrict is not None:
             matched = restrict.select("docid").distinct()
             for w in pq.negated:

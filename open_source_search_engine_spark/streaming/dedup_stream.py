@@ -38,8 +38,13 @@ from pyspark.sql import functions as F
 
 
 def _hashed(batch: DataFrame) -> DataFrame:
+    # NULL text hashes to NULL, and NULL never equi-joins: within a
+    # batch the row_number window would collapse all NULL-h docs to
+    # one survivor while the cross-batch left_anti join would never
+    # drop them — inconsistent. Coalesce to '' so empty and missing
+    # text hash identically and BOTH gates agree (round-4 ADVICE fix).
     return batch.withColumn(
-        "h", F.md5(F.col("text").cast("string"))
+        "h", F.md5(F.coalesce(F.col("text").cast("string"), F.lit("")))
     )
 
 

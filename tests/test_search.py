@@ -392,3 +392,25 @@ def test_render_serp_formats(spark):
     assert html.startswith('<li class="result">') and "<b>" in html
     with _pytest.raises(ValueError):
         S.render_serp(serp, "csv")
+
+
+def test_render_serp_escapes_and_null_safe(spark):
+    """Doc-derived markup is entity-escaped in xml/html (no HTML
+    injection — ref: PageResults.cpp HTML-encodes) and a NULL column
+    renders as '' instead of nulling the whole concat row."""
+    rows = [
+        (1, 2.0, '<script>alert("x")</script> & more',
+         'see <b>join</b> & <script>'),
+        (2, 1.0, None, None),  # NULL snippet must not null the row
+    ]
+    serp = spark.createDataFrame(
+        rows, "docid long, score double, snippet string, snippet_hl string"
+    )
+    xml = {r["rank"]: r["rendered"] for r in S.render_serp(serp, "xml").collect()}
+    assert "&lt;script&gt;" in xml[1] and "<script>" not in xml[1]
+    assert "&amp; more" in xml[1]
+    assert xml[2] is not None and "<snippet></snippet>" in xml[2]
+    html = {r["rank"]: r["rendered"] for r in S.render_serp(serp, "html").collect()}
+    # our own highlight markup survives; doc-embedded <script> doesn't
+    assert "<b>join</b>" in html[1] and "<script>" not in html[1]
+    assert html[2] == '<li class="result"></li>'
