@@ -60,6 +60,10 @@ CHECKS = {
     "ivf_partition_pruned": [
         ("PartitionFilters", "cid probe is parquet partition pruning"),
     ],
+    "lsh_partition_pruned": [
+        ("PartitionFilters", "(t, sig) probe is parquet partition pruning"),
+        ("BroadcastHashJoin", "candidate ids re-join embeddings broadcast"),
+    ],
     "syngroups": [
         ("BroadcastHashJoin", "group/weight table broadcast to the postings scan"),
         ("TakeOrderedAndProject", "top-k is partial-heap + merge"),
@@ -200,6 +204,18 @@ def main() -> None:
     qv = [float(x) for x in emb.first()["embedding"]]
     plans["ivf_partition_pruned"] = ann_ivf_from_store(
         spark, emb, ivf_root, qv, k=10
+    )
+
+    # LSH probe over the write-time (t, sig)-partitioned store
+    from open_source_search_engine_spark.operators.pipeline import (
+        ann_lsh_from_store,
+        lsh_write,
+    )
+
+    lsh_root = tempfile.mkdtemp(prefix="audit_lsh_")
+    lsh_write(emb, lsh_root)
+    plans["lsh_partition_pruned"] = ann_lsh_from_store(
+        spark, emb, lsh_root, qv, k=10
     )
 
     # link extraction over webtext html

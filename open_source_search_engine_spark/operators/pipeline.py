@@ -20,6 +20,8 @@ Scale notes are per-function; the shared principles:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..tokenizer import tokens_col
+
+_LOG = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # shingles
@@ -356,56 +360,114 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. Large-Star: every neighbour v > u re-attaches to
+    m = min(Γ(u) ∪ {u}). Input edges are directed (a > b); the full
+    neighbourhood is recovered by symmetrizing. Output stays directed
+    (a > b)."""
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.col("a")).alias("m")
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Kiveris et al. Small-Star: every smaller neighbour (and u
+    itself) re-attaches to m = min of u's smaller neighbourhood.
+    Input/output directed (a > b)."""
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    nb = edges.join(mins, "a")
+    out = (
+        nb.filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .unionAll(mins.select("a", F.col("m").alias("b")))
+    )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
 def connected_components(
     ids: DataFrame, pairs: DataFrame, max_iter: int = 25
 ) -> DataFrame:
     """(docid, cluster_id): connected components over a near-dup pair
-    set by iterative min-label propagation — the Clusterdb analogue
-    (each doc keyed to its duplicate group; cluster_id = smallest
-    docid in the component, the canonical representative a dedup
-    keep-policy selects).
+    set — the Clusterdb analogue (each doc keyed to its duplicate
+    group; cluster_id = smallest docid in the component, the canonical
+    representative a dedup keep-policy selects).
 
-    Iterative: O(component diameter) rounds, each one join + one
-    min-aggregate, with a driver-side convergence check (near-dup
-    components are shallow — a handful of rounds; at 10^12 docs the
-    standard upgrade is the large-star/small-star algorithm
-    (Kiveris et al.), same join primitive, O(log n) rounds).
+    Algorithm (round-4 verdict #6): alternating LARGE-STAR/SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log n) rounds instead of the round-3
+    min-label loop's O(component diameter), so chain-shaped near-dup
+    families (crawl mirrors) no longer drive the round count linear.
+    Each round is two join+agg stages and ONE action (a count+checksum
+    signature for the convergence test). At the fixpoint the edge set
+    is a star forest rooted at each component's minimum id.
+
+    Round count is recorded on ``connected_components.last_rounds``
+    (and debug-logged) for the scale tests.
+
+    Lineage discipline: each round's edge set is ``localCheckpoint``ed
+    (eager). ``cache()`` alone is NOT enough for an iterative
+    DataFrame algorithm — it truncates execution but the LOGICAL plan
+    keeps nesting (≈4× nodes per star round), so analysis/
+    canonicalization goes super-linear and deep chains stack-overflow
+    Catalyst. Checkpointing materializes the round and cuts the plan
+    to a leaf; on a cluster with dynamic executors use
+    ``spark.checkpoint`` (reliable, HDFS-backed) instead.
     """
-    e = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).cache()
-    labels = ids.select(
-        F.col("docid").alias("u"), F.col("docid").alias("lbl")
-    ).cache()
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # order-independent set checksum; bit_xor can't overflow
+            # (F.sum of hashes trips ANSI long-overflow)
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(edges)
+    rounds = 0
     for _ in range(max_iter):
-        prop = (
-            edges.join(
-                labels.select(F.col("u").alias("v"), "lbl"), "v"
-            )
-            .select("u", "lbl")
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(
+            eager=True
         )
-        new_labels = (
-            labels.unionAll(prop)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("lbl"))
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        new_sig = _sig(new_edges)
+        edges = new_edges
+        rounds += 1
+        if new_sig == sig:
             break
-    edges.unpersist()
-    return labels.select(
-        F.col("u").alias("docid"), F.col("lbl").alias("cluster_id")
+        sig = new_sig
+    connected_components.last_rounds = rounds
+    _LOG.debug("connected_components converged in %d rounds", rounds)
+
+    # star forest: leaf → root (the component min); roots + isolated
+    # docs label themselves. groupBy-min is a safety net (a star leaf
+    # has exactly one root at the fixpoint).
+    roots = edges.groupBy("a").agg(F.min("b").alias("lbl"))
+    return (
+        ids.select(F.col("docid"))
+        .join(roots.withColumnRenamed("a", "docid"), "docid", "left")
+        .select(
+            "docid",
+            F.coalesce("lbl", F.col("docid")).alias("cluster_id"),
+        )
     )
 
 
@@ -721,6 +783,80 @@ def ann_lsh(
     )
 
 
+def lsh_write(
+    emb: DataFrame,
+    root: str,
+    n_planes: int = ANN_LSH_PLANES,
+    n_tables: int = ANN_LSH_TABLES,
+    seed: int = ANN_LSH_SEED,
+) -> None:
+    """Write-time (t, sig)-bucketed LSH layout (round-4 verdict #3 —
+    the store ``ann_lsh``'s docstring promised; the IVF analogue is
+    ``ivf_write``). One pass computes every table's signature and
+    explodes to ID-ONLY rows (t, sig, vec_id) PARTITIONED BY (t, sig):
+    a query then reads exactly ``n_tables`` partition directories
+    (Parquet/Iceberg partition pruning) instead of recomputing
+    signatures over the full embedding table per query.
+
+    Id-only on purpose: materializing the vector n_tables times would
+    multiply the store by 16×; candidates re-join ``emb`` by vec_id
+    for the exact-cosine verify — the same candidates-carry-ids-only
+    rule the round-3 ``embedding_dups`` fix pinned.
+    """
+    planes = _hyperplanes(n_tables, n_planes, emb_dim(emb), seed)
+    (
+        emb.withColumn("sigs", _plane_sig_udf(planes)("embedding"))
+        .select("vec_id", F.posexplode("sigs").alias("t", "sig"))
+        .write.mode("overwrite")
+        .partitionBy("t", "sig")
+        .parquet(root)
+    )
+
+
+def ann_lsh_from_store(
+    spark,
+    emb: DataFrame,
+    root: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = ANN_LSH_PLANES,
+    n_tables: int = ANN_LSH_TABLES,
+    seed: int = ANN_LSH_SEED,
+) -> DataFrame:
+    """Probe a written LSH store: the per-table (t, sig) equality
+    pairs are PARTITION filters (n_tables directories read, plan
+    audited in BENCH/plans.md §lsh_partition_pruned); candidate ids
+    dedup and re-join ``emb`` for the exact-cosine top-k. Result is
+    identical to ``ann_lsh`` (same planes, same ANY-table match) —
+    pinned by pytest."""
+    planes = _hyperplanes(n_tables, n_planes, len(query_vec), seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_sigs = [
+        int(((planes[t] @ q) > 0).astype(np.uint64)
+            @ (1 << np.arange(n_planes, dtype=np.uint64)))
+        for t in range(n_tables)
+    ]
+    store = spark.read.parquet(root)
+    match = F.lit(False)
+    for t, qs in enumerate(q_sigs):
+        match = match | ((F.col("t") == t) & (F.col("sig") == F.lit(qs)))
+    cand_ids = store.filter(match).select("vec_id").distinct()
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = emb.join(cand_ids, "vec_id").withColumn("q", qlit).withColumn(
+        "cosine", F.round(_cosine_expr("embedding", "q"), 4)
+    )
+    return (
+        cand.select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def emb_dim(emb: DataFrame) -> int:
+    """Embedding dimensionality from one row (metadata-scale read)."""
+    return len(emb.select("embedding").first()["embedding"])
+
+
 # Fixed-SIZE deterministic centroid sample: the n_centroids vec_ids
 # with the smallest Knuth-mixed key (vec_id * 2654435761) mod 2^32 —
 # a stand-in for a k-means fit that BOTH engines can replay exactly.
@@ -946,11 +1082,21 @@ def kmeans_centroids(
     {IVF_KM_ROUND} dp per update and empty clusters keep their
     previous centroid — both pinned so the unrolled SQL oracle
     replays the iterations exactly."""
+    # label centroids in the SAME order as the oracle's cent0
+    # row_number (mix-key asc, vec_id asc) — labeling by vec_id-sorted
+    # order (round 3) let the argmax 'smallest cid' tie-break pick
+    # DIFFERENT physical centroids across engines on exact rounded-dot
+    # ties (round-4 ADVICE fix). The mix key is recomputed driver-side
+    # so the order never depends on collect() row order.
     init = sorted(
-        (int(r["cid"]), [float(x) for x in r["cvec"]])
+        (
+            (int(r["cid"]) * IVF_MIX) % IVF_MIX_MOD,
+            int(r["cid"]),
+            [float(x) for x in r["cvec"]],
+        )
         for r in ivf_centroid_sample(emb, n_centroids).collect()
     )
-    cmat = np.array([c[1] for c in init], dtype=np.float64)
+    cmat = np.array([c[2] for c in init], dtype=np.float64)
     cmat = np.round(
         cmat / np.linalg.norm(cmat, axis=1, keepdims=True), IVF_KM_ROUND
     )

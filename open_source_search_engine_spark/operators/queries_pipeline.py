@@ -125,6 +125,44 @@ def ann_lsh(spark, sf_dir):
     return P.ann_lsh(emb, _query_vec(spark, sf_dir), k=10)
 
 
+_LSH_STORES: dict[tuple, str] = {}
+
+
+def _lsh_store(spark, sf_dir):
+    """Session-cached write-time LSH store (written once per
+    (session, sf_dir) — on a cluster this is the build-time artifact
+    every query probes)."""
+    import tempfile
+
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime, sf_dir)
+    if key not in _LSH_STORES:
+        root = tempfile.mkdtemp(prefix="sfx_lshstore_")
+        P.lsh_write(_emb(spark, sf_dir), root)
+        _LSH_STORES[key] = root
+    return _LSH_STORES[key]
+
+
+@register(
+    "ann_lsh_store",
+    P.ann_lsh_sql("(SELECT embedding FROM embeddings WHERE vec_id = 0)"),
+    extended=True,
+)
+def ann_lsh_store(spark, sf_dir):
+    """The SCALE form of ann_lsh (round-4 verdict #3): signatures are
+    computed ONCE at write time into a (t, sig)-partitioned id-only
+    store; the probe reads n_tables partition directories (Parquet
+    partition pruning — BENCH/plans.md §lsh_partition_pruned) and
+    re-joins candidates to the embedding table for the exact-cosine
+    top-k. Same planes + same ANY-table match as ann_lsh, so the same
+    SQL oracle hash-checks it."""
+    emb = _emb(spark, sf_dir)
+    return P.ann_lsh_from_store(
+        spark, emb, _lsh_store(spark, sf_dir), _query_vec(spark, sf_dir),
+        k=10,
+    )
+
+
 @register(
     "ann_ivf",
     P.ann_ivf_sql("(SELECT embedding FROM embeddings WHERE vec_id = 0)"),

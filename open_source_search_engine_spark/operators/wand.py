@@ -159,6 +159,106 @@ _DENS_MULT_MAX = (8.0 + MAX_DENSITY_RANK) / 16.0  # spam 0, dens max
 _DIV_MULT_MAX = (8.0 + MAX_DIVERSITY_RANK) / 16.0
 
 
+_POS_BITS = 32  # key layout: (candidate_doc_idx << 32) | word_position
+#                 positions are in-document word ordinals (≪ 2^32) and
+#                 doc_idx indexes the bucket's candidate set, so the
+#                 packed key orders by (doc, pos) with room to spare
+
+
+def _gather_positions(blks, uniq: np.ndarray) -> np.ndarray:
+    """One term's positions across ALL candidate docs as a SORTED
+    int64 key array ``(doc_idx << 32) | pos`` (doc_idx = index into
+    ``uniq``, which is sorted ascending). The whole gather is numpy
+    segment arithmetic — blocks holding no candidate are never
+    varbyte-decoded, and no Python statement runs per doc."""
+    parts = []
+    for docids, tfs_int, blob in blks:
+        ii = np.searchsorted(docids, uniq)
+        ok = ii < docids.size
+        ok[ok] = docids[ii[ok]] == uniq[ok]
+        if not ok.any():
+            continue  # no candidate in this block: skip decode
+        flat, off = unpack_positions(blob, tfs_int)
+        mi = ii[ok]  # posting index per matched candidate
+        ci = np.nonzero(ok)[0].astype(np.int64)  # candidate index
+        starts = off[mi].astype(np.int64)
+        lens = (off[mi + 1] - off[mi]).astype(np.int64)
+        tot = int(lens.sum())
+        if tot == 0:
+            continue
+        # segment-gather: output[s_j : s_j + len_j] = flat[start_j : …]
+        out_start = np.cumsum(lens) - lens
+        idx = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(out_start, lens)
+            + np.repeat(starts, lens)
+        )
+        parts.append(
+            (np.repeat(ci, lens) << _POS_BITS)
+            | flat[idx].astype(np.int64)
+        )
+    if not parts:
+        return np.empty(0, np.int64)
+    out = np.concatenate(parts)
+    out.sort()
+    return out
+
+
+def _sorted_member(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``needles`` in SORTED ``haystack`` via
+    searchsorted — O((n+m)·log m), no hashing, no Python loop."""
+    pos = np.searchsorted(haystack, needles)
+    hit = pos < haystack.size
+    hit[hit] = haystack[pos[hit]] == needles[hit]
+    return hit
+
+
+def _phrase_keep_mask(
+    keys_by_tid: dict, word_tids: list, n_cand: int
+) -> np.ndarray:
+    """Candidate-doc mask for exact phrase adjacency: valid start keys
+    are intersected term by term (``start + j`` stays inside its doc's
+    key range because positions ≪ 2^32), batched across every
+    candidate doc at once."""
+    empty = np.empty(0, np.int64)
+    starts = keys_by_tid.get(word_tids[0], empty)
+    for j, t in enumerate(word_tids[1:], start=1):
+        if starts.size == 0:
+            break
+        starts = starts[
+            _sorted_member(keys_by_tid.get(t, empty), starts + j)
+        ]
+    keep = np.zeros(n_cand, dtype=bool)
+    if starts.size:
+        keep[np.unique(starts >> _POS_BITS)] = True
+    return keep
+
+
+def _prox_min_gap(
+    ka: np.ndarray, kb: np.ndarray, n_cand: int
+) -> np.ndarray:
+    """Per-candidate-doc min |pos_a − pos_b| between two terms' sorted
+    key arrays (int64 max where a doc lacks positions on either side).
+    Nearest-neighbour via ONE searchsorted over the packed keys; the
+    left/right neighbours are validated to be in the SAME doc, then
+    per-doc minima reduce with ``np.minimum.at``."""
+    best = np.full(n_cand, np.iinfo(np.int64).max)
+    if ka.size == 0 or kb.size == 0:
+        return best
+    da, pa = ka >> _POS_BITS, ka & 0xFFFFFFFF
+    db, pb = kb >> _POS_BITS, kb & 0xFFFFFFFF
+    ii = np.searchsorted(kb, ka)
+    left = ii > 0
+    left[left] = db[ii[left] - 1] == da[left]
+    if left.any():
+        np.minimum.at(best, da[left], pa[left] - pb[ii[left] - 1])
+    right = ii < kb.size
+    right[right] = db[ii[right]] == da[right]
+    if right.any():
+        np.minimum.at(best, da[right], pb[ii[right]] - pa[right])
+    return best
+
+
 def _make_pos_scorer(
     idf_by_termid: dict[int, float],
     required: set[int],
@@ -263,53 +363,31 @@ def _make_pos_scorer(
             uniq, scores = uniq[keep], scores[keep]
 
         if kind in ("phrase", "proximity") and uniq.size:
-            pos_index: dict[int, list] = {}
-            for tid, blks in pos_blobs.items():
-                for docids, tfs_int, blob in blks:
-                    if not np.isin(uniq, docids, assume_unique=True).any():
-                        continue  # no candidate in this block: skip decode
-                    flat, offsets = unpack_positions(blob, tfs_int)
-                    pos_index.setdefault(tid, []).append(
-                        (docids, offsets, flat.astype(np.int64))
-                    )
-
-            def positions_of(tid: int, docid: int) -> np.ndarray:
-                for d, off, flat in pos_index.get(tid, ()):
-                    i = int(np.searchsorted(d, docid))
-                    if i < d.size and d[i] == docid:
-                        return flat[off[i]:off[i + 1]]
-                return np.empty(0, np.int64)
-
+            # BATCHED span kernel (round-4 verdict #2): candidate
+            # docs' positions are gathered term-by-term into ONE flat
+            # (doc_idx, pos) key array and the adjacency / min-gap
+            # tests run as sorted-array operations over the whole
+            # bucket — no Python statement executes per candidate doc
+            # (the r3 per-doc loop + repeated np.isin paid Python-loop
+            # cost per AND survivor; cf. the reference's C++ span loop
+            # in PosdbTable::intersectLists10_r).
+            keys_by_tid = {
+                tid: _gather_positions(blks, uniq)
+                for tid, blks in pos_blobs.items()
+            }
             if kind == "phrase":
-                keep = np.zeros(uniq.size, dtype=bool)
-                for i, doc in enumerate(uniq):
-                    starts = positions_of(word_tids[0], doc)
-                    for j, t in enumerate(word_tids[1:], start=1):
-                        if starts.size == 0:
-                            break
-                        starts = starts[
-                            np.isin(starts + j, positions_of(t, doc))
-                        ]
-                    keep[i] = starts.size > 0
+                keep = _phrase_keep_mask(keys_by_tid, word_tids, uniq.size)
                 uniq, scores = uniq[keep], scores[keep]
-            else:  # proximity: min |a-b| over the two terms' positions
-                t0, t1 = word_tids[0], word_tids[1]
-                for i, doc in enumerate(uniq):
-                    a = positions_of(t0, doc)
-                    b = positions_of(t1, doc)
-                    ii = np.searchsorted(b, a)
-                    best = np.iinfo(np.int64).max
-                    left = ii > 0
-                    if left.any():
-                        best = min(best, int(np.min(
-                            a[left] - b[ii[left] - 1]
-                        )))
-                    right = ii < b.size
-                    if right.any():
-                        best = min(best, int(np.min(
-                            b[ii[right]] - a[right]
-                        )))
-                    scores[i] = scores[i] + prox_w / best
+            else:  # proximity: per-doc min |a-b| over two terms
+                best = _prox_min_gap(
+                    keys_by_tid[word_tids[0]],
+                    keys_by_tid[word_tids[1]],
+                    uniq.size,
+                )
+                boosted = best < np.iinfo(np.int64).max
+                scores = scores + np.where(
+                    boosted, prox_w / np.maximum(best, 1), 0.0
+                )
         if uniq.size > k:
             # tie-inclusive keep — see _make_bucket_scorer
             kth = np.partition(scores, uniq.size - k)[uniq.size - k]

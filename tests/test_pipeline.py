@@ -262,6 +262,35 @@ def test_dedup_clusters_cap_exact(spark, docs, duck_correct):
     assert_df_matches_duckdb(sdf, duck_correct, P.DEDUP_CLUSTERS_SQL)
 
 
+def test_connected_components_chain_olog_rounds(spark):
+    """Large-star/small-star CC (Kiveris et al.): a 256-node CHAIN —
+    the diameter-linear worst case for the old min-label loop —
+    resolves to one component labeled by its min id in O(log n)
+    rounds, and disjoint structures (triangle + isolated docs) keep
+    their own labels."""
+    n = 256
+    ids = spark.createDataFrame(
+        [(i,) for i in range(n + 3)] + [(900,), (901,)], "docid long"
+    )
+    chain = [(i, i + 1) for i in range(n - 1)]  # 0-1-2-…-255
+    tri = [(n, n + 1), (n + 1, n + 2), (n, n + 2)]
+    pairs = spark.createDataFrame(
+        chain + tri, "doc_a long, doc_b long"
+    )
+    got = {
+        r["docid"]: r["cluster_id"]
+        for r in P.connected_components(ids, pairs).collect()
+    }
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[i] == n for i in (n, n + 1, n + 2))
+    assert got[900] == 900 and got[901] == 901
+    rounds = P.connected_components.last_rounds
+    assert rounds <= 12, (
+        f"{rounds} rounds for a {n}-chain — star ops should be "
+        f"O(log n), the min-label loop would take {n - 1}"
+    )
+
+
 def test_ivf_fixed_centroid_count(spark, emb):
     """The centroid sample is FIXED-SIZE (driver holds k·dim floats,
     not a corpus fraction)."""
@@ -291,6 +320,36 @@ def test_ivf_store_partition_pruning(spark, emb, tmp_path):
         [d for d in os.listdir(root) if d.startswith("cid=")]
     )
     assert n_parts > 3, "corpus should spread over >3 centroids"
+
+
+def test_lsh_store_partition_pruning(spark, emb, tmp_path):
+    """lsh_write persists id-only rows PARTITIONED BY (t, sig); the
+    probe's plan shows partition filters and the result is identical
+    to the in-flight ann_lsh (same planes, same ANY-table match)."""
+    root = str(tmp_path / "lsh")
+    P.lsh_write(emb, root)
+    q = _qvec(emb)
+    from_store = P.ann_lsh_from_store(spark, emb, root, q, k=10)
+    in_flight = P.ann_lsh(emb, q, k=10)
+    assert [tuple(r) for r in from_store.collect()] == [
+        tuple(r) for r in in_flight.collect()
+    ]
+    plan = from_store._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan
+    import os
+
+    # id-only store: no embedding column materialized n_tables times
+    t0 = os.path.join(root, "t=0")
+    assert os.path.isdir(t0)
+    some_sig = next(d for d in os.listdir(t0) if d.startswith("sig="))
+    import pyarrow.parquet as pq
+
+    f = next(
+        os.path.join(t0, some_sig, p)
+        for p in os.listdir(os.path.join(t0, some_sig))
+        if p.endswith(".parquet")
+    )
+    assert pq.read_schema(f).names == ["vec_id"]
 
 
 # --- shingles sanity ------------------------------------------------------
