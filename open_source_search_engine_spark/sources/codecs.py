@@ -5,9 +5,12 @@ because the sandbox has no imaging libraries. That framing under-used
 the stdlib: WAV is fully decodable with ``wave`` + numpy, PNG is
 zlib-deflate + five per-row filters (implemented here from the PNG
 spec, RFC 2083 §6), and uncompressed BMP is a header parse. This
-module implements those three for real; only formats whose codecs
-genuinely require external libraries (JPEG's DCT entropy coding,
-MP4/H.264) remain on the fake-codec fallback, now narrowly scoped.
+module implements those three for real. Round 4 adds a pure-numpy
+BASELINE JPEG codec (ITU-T T.81 sequential DCT: canonical Huffman,
+Annex-K tables, batched 8×8 IDCT as two matrix products) — the
+dominant web image format no longer rides the fake path. Only
+formats whose codecs genuinely require external libraries (MP4/H.264)
+remain on the fake-codec fallback, now narrowly scoped.
 
 Everything is numpy-vectorized where the format allows: PNG's Up
 filter and all encoders are whole-row operations; Sub/Average/Paeth
@@ -23,6 +26,7 @@ they never touch Spark.
 from __future__ import annotations
 
 import io
+import re
 import struct
 import wave
 import zlib
@@ -35,13 +39,16 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type → samples/pixel
 
 
 def sniff(payload: bytes) -> str:
-    """Magic-byte format sniff: 'png' | 'bmp' | 'wav' | 'unknown'."""
+    """Magic-byte format sniff: 'png' | 'bmp' | 'wav' | 'jpeg' |
+    'unknown'."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 
@@ -214,6 +221,556 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         f.setframerate(rate)
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+# --- JPEG (baseline sequential DCT, ITU-T T.81) -----------------------------
+#
+# Pure numpy + stdlib. Scope: baseline (SOF0), 8-bit, 1 or 3
+# components, sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0), restart
+# markers honored. Progressive (SOF2) / arithmetic coding / 12-bit
+# raise ValueError and land on the tagged 'fallback' route in
+# sources/multimodal.py. Entropy (de)coding is per-symbol Python —
+# inherently sequential bit I/O; everything after it (dequant, IDCT,
+# upsample, colorspace) is batched numpy over ALL blocks at once.
+# Production swaps this kernel for libjpeg-turbo; the Spark-side
+# plumbing is identical.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K quantization tables (quality 50), in NATURAL (row-major)
+# order; zigzagged at segment-write / dequant time.
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K "typical" Huffman tables: (BITS[1..16], HUFFVAL).
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis C: forward F = C f Cᵀ,
+    inverse f = Cᵀ F C — the whole image IDCTs as two einsums."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16.0)
+    c[0] *= np.sqrt(0.5)
+    return c * 0.5
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huff_decode_table(bits: list, values: list) -> dict:
+    """Canonical Huffman (T.81 Annex C): {(length, code): value}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list, values: list) -> dict:
+    """Inverse view for the encoder: {value: (code, length)}."""
+    return {
+        v: (code, length)
+        for (length, code), v in _huff_decode_table(bits, values).items()
+    }
+
+
+class _BitReader:
+    """MSB-first bit reader over DESTUFFED entropy-coded bytes."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.acc, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                # past-the-end pad bits read as 1 (T.81 F.2.2.5 —
+                # encoders pad the final byte with 1-bits)
+                return 1
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude → signed coefficient."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB.
+
+    Marker parse → per-MCU canonical-Huffman entropy decode (the only
+    sequential part) → BATCHED dequant + 8×8 IDCT over all blocks as
+    two matrix products → nearest upsample of subsampled chroma →
+    JFIF YCbCr→RGB. Raises ValueError on non-baseline streams."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}  # (class 0=DC/1=AC, id) → decode table
+    comps = None  # list of (cid, h, v, tq)
+    H = W = 0
+    restart_interval = 0
+    scan = None
+    scan_order = None  # list of (comp_idx, dc_table, ac_table)
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            continue  # standalone (SOI/EOI/RST/TEM)
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(
+                    seg, np.uint8, count=64, offset=p + 1
+                ).astype(np.int32)
+                nat = np.empty(64, np.int32)
+                nat[_ZIGZAG] = zz
+                quant[tq] = nat
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                nval = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nval])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + nval
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/etc)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = seg[0]
+            scan_order = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                ci = next(
+                    j for j, c in enumerate(comps) if c[0] == cs
+                )
+                scan_order.append((ci, tt >> 4, tt & 0xF))
+            data_start = pos + seglen
+            end = data_start
+            while end < len(payload) - 1:
+                if payload[end] == 0xFF and payload[end + 1] not in (
+                    0x00, 0xD0, 0xD1, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+                    0xD7,
+                ):
+                    break
+                end += 1
+            scan = payload[data_start:end]
+            pos = end
+            continue
+        pos += seglen
+    if comps is None or scan is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
+    # per-component zigzag coefficient planes (block grid × 64)
+    planes = [
+        np.zeros((mcus_y * v, mcus_x * h, 64), np.int32)
+        for (_, h, v, _) in comps
+    ]
+    # restart markers byte-align and reset DC prediction: split on
+    # RSTn and destuff each interval independently
+    intervals = (
+        re.split(b"\xff[\xd0-\xd7]", scan)
+        if restart_interval
+        else [scan]
+    )
+    pred = [0] * len(comps)
+    mcu = 0
+    for interval in intervals:
+        rd = _BitReader(interval.replace(b"\xff\x00", b"\xff"))
+        if restart_interval:
+            pred = [0] * len(comps)
+            stop = min(mcu + restart_interval, mcus_x * mcus_y)
+        else:
+            stop = mcus_x * mcus_y
+        while mcu < stop:
+            my, mx = divmod(mcu, mcus_x)
+            for ci, tdc, tac in scan_order:
+                _, ch, cv, _ = comps[ci]
+                for b in range(ch * cv):
+                    by, bx = divmod(b, ch)
+                    s = rd.huff(huff[(0, tdc)])
+                    pred[ci] += _extend(rd.bits(s), s)
+                    blk = planes[ci][my * cv + by, mx * ch + bx]
+                    blk[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = rd.huff(huff[(1, tac)])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        blk[k] = _extend(rd.bits(s), s)
+                        k += 1
+            mcu += 1
+
+    out_planes = []
+    for (cid, ch, cv, tq), coefs in zip(comps, planes):
+        by, bx, _ = coefs.shape
+        deq = coefs.astype(np.float64)
+        zzq = quant[tq][_ZIGZAG]  # natural→zigzag view of the table
+        deq *= zzq  # dequant in zigzag order
+        nat = np.zeros_like(deq)
+        nat[:, :, _ZIGZAG] = deq  # de-zigzag all blocks at once
+        blocks = nat.reshape(by, bx, 8, 8)
+        # batched IDCT: f = Cᵀ F C over every block in one einsum pair
+        spatial = np.einsum(
+            "ki,yxkl,lj->yxij", _DCT_C, blocks, _DCT_C, optimize=True
+        )
+        plane = (
+            spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+            + 128.0
+        )
+        # nearest upsample to full resolution, crop to (H, W)
+        plane = np.repeat(
+            np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+        )[:H, :W]
+        out_planes.append(plane)
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _mag_cat(v: int) -> int:
+    """Magnitude category (bit length of |v|)."""
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(wtr, blk, pred, enc_dc, enc_ac) -> int:
+    """Huffman-encode one zigzag block; returns the new DC pred."""
+    dc = int(blk[0])
+    diff = dc - pred
+    s = _mag_cat(diff)
+    code, length = enc_dc[s]
+    wtr.write(code, length)
+    if s:
+        wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = enc_ac[0xF0]  # ZRL
+            wtr.write(code, length)
+            run -= 16
+        s = _mag_cat(v)
+        code, length = enc_ac[(run << 4) | s]
+        wtr.write(code, length)
+        wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, length = enc_ac[0x00]  # EOB
+        wtr.write(code, length)
+    return dc
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
+    (Annex-K quality-50 quant + typical Huffman tables; ``subsample``
+    '444' or '420' [2×2-mean chroma], optional DRI restart markers).
+    The fixture-generator dual of ``decode_jpeg`` — deterministic, so
+    tests pin decoded output exactly."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    if subsample not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
+    sub = subsample == "420" and not gray
+    # (h_i, v_i) per component
+    samp = [(1, 1)] if gray else (
+        [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)]
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qtabs = [_QUANT_LUMA] + ([] if gray else [_QUANT_CHROMA])
+    enc_dc = [_huff_encode_table(*_HUFF_DC_LUMA)] + (
+        [] if gray else [_huff_encode_table(*_HUFF_DC_CHROMA)]
+    )
+    enc_ac = [_huff_encode_table(*_HUFF_AC_LUMA)] + (
+        [] if gray else [_huff_encode_table(*_HUFF_AC_CHROMA)]
+    )
+
+    zz_planes = []
+    for pi, plane in enumerate(planes):
+        ch, cv = samp[pi]
+        if (ch, cv) != (hmax, vmax):  # chroma downsample by mean
+            ph = -(-h // 2) * 2
+            pw = -(-w // 2) * 2
+            p2 = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+            plane = p2.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cby, cbx = mcus_y * cv, mcus_x * ch
+        padded = np.pad(
+            plane,
+            (
+                (0, cby * 8 - plane.shape[0]),
+                (0, cbx * 8 - plane.shape[1]),
+            ),
+            mode="edge",
+        ) - 128.0
+        blocks = padded.reshape(cby, 8, cbx, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum(
+            "ik,yxkl,jl->yxij", _DCT_C, blocks, _DCT_C, optimize=True
+        )
+        q = qtabs[min(pi, 1)].reshape(8, 8).astype(np.float64)
+        qz = np.round(coefs / q).astype(np.int32).reshape(cby, cbx, 64)
+        zz_planes.append(qz[:, :, _ZIGZAG])
+
+    chunks = []  # entropy-coded intervals, RSTn markers interleaved
+    wtr = _BitWriter()
+    pred = [0] * len(planes)
+    rst = 0
+    for myx in range(mcus_y * mcus_x):
+        if restart_interval and myx and myx % restart_interval == 0:
+            chunks.append(wtr.flush())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) & 7
+            wtr = _BitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(myx, mcus_x)
+        for pi in range(len(planes)):
+            ch, cv = samp[pi]
+            t = min(pi, 1)
+            for b in range(ch * cv):
+                byi, bxi = divmod(b, ch)
+                blk = zz_planes[pi][my * cv + byi, mx * ch + bxi]
+                pred[pi] = _encode_block(
+                    wtr, blk, pred[pi], enc_dc[t], enc_ac[t]
+                )
+    chunks.append(wtr.flush())
+    data = b"".join(chunks)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qtabs):
+        out += seg(
+            0xDB, bytes([tq]) + bytes(qt[_ZIGZAG].astype(np.uint8))
+        )
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hi, vi = samp[i]
+        sof += bytes([i + 1, (hi << 4) | vi, min(i, 1)])
+    out += seg(0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    tables = [(0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA)]
+    if not gray:
+        tables += [(0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)]
+    for tc, th, (bits, vals) in tables:
+        out += seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        )
+    sos = bytes([nc])
+    for i in range(nc):
+        t = min(i, 1)
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff-dispatched image decode (png/bmp/jpeg) → uint8 array."""
+    fmt = sniff(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "jpeg":
+        return decode_jpeg(payload)
+    raise ValueError(f"not a decodable image (sniffed {fmt!r})")
 
 
 # --- transforms ------------------------------------------------------------

@@ -57,8 +57,8 @@ FEATURE_DIM = 16
 USE_FAKE_CODEC = True  # fallback for JPEG/MP4 only — see docstring
 
 
-def _decode_kernel(payload: bytes, kind: str) -> np.ndarray:
-    """Decode a media payload to a float32 sample array.
+def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
+    """Decode a media payload to (float32 sample array, codec tag).
 
     REAL for PNG / BMP (pixels flattened to [0, 1]) and WAV (mono
     samples in [-1, 1]) via ``sources/codecs.py``; formats the stdlib
@@ -66,31 +66,60 @@ def _decode_kernel(payload: bytes, kind: str) -> np.ndarray:
     (samples derived from the payload bytes, reproducible in tests),
     or raise when ``USE_FAKE_CODEC`` is off — plug Pillow/ffmpeg into
     this branch in production.
+
+    The codec tag makes the route OBSERVABLE (round-4 ADVICE fix):
+    ``png``/``bmp``/``wav``/``jpeg`` = the real decoder ran;
+    ``fake`` = unknown format on the disclosed fake path; ``fallback``
+    = a payload that SNIFFED as a real format but failed to decode
+    (truncated PNG, ADPCM WAV, …) — a data-quality failure that would
+    otherwise silently yield plausible fake features. Aggregate the
+    tag downstream (``GROUP BY codec``) to monitor corpus health.
     """
     from . import codecs as C
 
     payload = bytes(payload or b"")
     fmt = C.sniff(payload)
+    fellback = False
     try:
         if fmt == "png":
-            return C.decode_png(payload).astype(np.float32).ravel() / 255.0
+            return (
+                C.decode_png(payload).astype(np.float32).ravel() / 255.0,
+                "png",
+            )
         if fmt == "bmp":
-            return C.decode_bmp(payload).astype(np.float32).ravel() / 255.0
+            return (
+                C.decode_bmp(payload).astype(np.float32).ravel() / 255.0,
+                "bmp",
+            )
         if fmt == "wav":
-            return C.decode_wav(payload)[0]
+            return C.decode_wav(payload)[0], "wav"
+        if fmt == "jpeg":
+            return (
+                C.decode_jpeg(payload).astype(np.float32).ravel() / 255.0,
+                "jpeg",
+            )
     except Exception:
         # a sniffed-but-unsupported variant (palette/interlaced PNG,
         # RLE BMP, ADPCM WAV, truncated bytes) must not fail the
-        # stage — it falls through to the same fallback as unknown
-        # formats rather than poisoning the whole Arrow batch
-        pass
+        # stage — it falls through to the fake kernel rather than
+        # poisoning the whole Arrow batch, but the tag records it
+        fellback = True
     if not USE_FAKE_CODEC:
         raise NotImplementedError(
-            "no stdlib codec for this format (JPEG/MP4 need "
-            "Pillow/ffmpeg); set USE_FAKE_CODEC or plug one in here"
+            "no stdlib codec for this format (MP4 needs ffmpeg); "
+            "set USE_FAKE_CODEC or plug one in here"
         )
     raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
-    return (raw.astype(np.float32) / 255.0)[:4096]
+    return (
+        (raw.astype(np.float32) / 255.0)[:4096],
+        "fallback" if fellback else "fake",
+    )
+
+
+def _decode_kernel(payload: bytes, kind: str) -> np.ndarray:
+    """Samples-only view of ``_decode_with_codec`` (kept for callers
+    that don't need the route tag)."""
+    return _decode_with_codec(payload, kind)[0]
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -102,20 +131,22 @@ def decode_media(df: DataFrame) -> DataFrame:
     """
 
     out_schema = (
-        "media_id long, kind string, n_samples int, "
+        "media_id long, kind string, codec string, n_samples int, "
         "sample_mean double, sample_std double"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [
-                _decode_kernel(p, k)
+            pairs = [
+                _decode_with_codec(p, k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
+            decoded = [d for d, _ in pairs]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(np.int64),
                     "kind": pdf["kind"],
+                    "codec": [c for _, c in pairs],
                     "n_samples": np.array(
                         [d.size for d in decoded], np.int32
                     ),
@@ -171,8 +202,9 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
     """image media -> (media_id, payload binary, width, height) with
     the payload decoded, nearest-neighbor resized to (w, h), and
-    re-encoded as PNG — REAL for PNG/BMP payloads. Unknown formats
-    (JPEG) keep the fake stand-in (truncate/pad to w*h bytes)."""
+    re-encoded as PNG — REAL for PNG/BMP/baseline-JPEG payloads.
+    Unknown formats keep the fake stand-in (truncate/pad to w*h
+    bytes)."""
     out_schema = (
         "media_id long, payload binary, width int, height int"
     )
@@ -187,12 +219,8 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
                 b = bytes(p or b"")
                 fmt = C.sniff(b)
                 try:
-                    if fmt in ("png", "bmp"):
-                        arr = (
-                            C.decode_png(b)
-                            if fmt == "png"
-                            else C.decode_bmp(b)
-                        )
+                    if fmt in ("png", "bmp", "jpeg"):
+                        arr = C.decode_image(b)
                         payloads.append(
                             C.encode_png(C.resize_nearest(arr, w, h))
                         )
@@ -256,9 +284,10 @@ def sample_frames(
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests/benches (no
     external data; payloads are a pure function of (seed, media_id)).
-    Images are REAL PNGs (every third image a real 24-bit BMP), audio
-    rows are REAL 16-bit PCM WAVs; only video payloads are opaque
-    bytes (MP4 stays on the disclosed fake-codec path)."""
+    Images rotate through REAL PNG / baseline-JPEG (4:2:0, restart
+    markers) / 24-bit BMP, audio rows are REAL 16-bit PCM WAVs; only
+    video payloads are opaque bytes (MP4 stays on the disclosed
+    fake-codec path)."""
     from . import codecs as C
 
     rows = []
@@ -268,8 +297,14 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             arr = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
-            if (i // 3) % 3 == 2:
+            rot = (i // 3) % 3
+            if rot == 2:
                 payload, mime = C.encode_bmp(arr), "image/bmp"
+            elif rot == 1:
+                payload = C.encode_jpeg(
+                    arr, subsample="420", restart_interval=2
+                )
+                mime = "image/jpeg"
             else:
                 payload, mime = C.encode_png(arr), "image/png"
             wd, ht, dur = 64, 48, None

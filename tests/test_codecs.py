@@ -101,7 +101,8 @@ def test_sniff():
     assert C.sniff(C.encode_png(a)) == "png"
     assert C.sniff(C.encode_bmp(a)) == "bmp"
     assert C.sniff(C.encode_wav(np.zeros(10, np.float32), 8000)) == "wav"
-    assert C.sniff(b"\xff\xd8\xff jpeg") == "unknown"
+    assert C.sniff(b"\xff\xd8\xff jpeg") == "jpeg"
+    assert C.sniff(b"\x00\x01\x02") == "unknown"
 
 
 def test_decode_kernel_routes_real_formats():
@@ -116,3 +117,103 @@ def test_decode_kernel_routes_real_formats():
     # unknown format still lands on the deterministic fake
     fake = M._decode_kernel(b"\x01\x02\x03", "video")
     assert fake.size == 3
+
+
+def test_decode_kernel_codec_tags_observable():
+    """Corrupt real-format payloads are TAGGED, not silently faked
+    (round-4 ADVICE fix): 'fallback' ≠ 'fake' ≠ real codec names."""
+    from open_source_search_engine_spark.sources import multimodal as M
+
+    a = np.full((3, 4, 3), 7, np.uint8)
+    good = C.encode_png(a)
+    _, tag = M._decode_with_codec(good, "image")
+    assert tag == "png"
+    # truncate mid-IDAT: sniffs as png, fails to decode → 'fallback'
+    _, tag = M._decode_with_codec(good[: len(good) - 20], "image")
+    assert tag == "fallback"
+    _, tag = M._decode_with_codec(b"\x01\x02\x03", "video")
+    assert tag == "fake"
+
+
+# --- baseline JPEG (round 4: pure-numpy T.81 sequential DCT) ---------------
+
+
+def _gradient_rgb(h=24, w=33):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [yy * 255 // h, xx * 255 // w, (yy + xx) * 255 // (h + w)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_sniff_and_round_trip_444():
+    img = _gradient_rgb()
+    enc = C.encode_jpeg(img)
+    assert C.sniff(enc) == "jpeg"
+    dec = C.decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # q50 quantization loss on a smooth gradient stays small
+    assert err.mean() < 4 and err.max() < 16
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    """4:2:0 chroma + DRI exercise the decoder's generic MCU walk
+    (4 Y blocks per MCU) and the RST byte-align / DC-reset path."""
+    img = _gradient_rgb(h=37, w=50)  # odd sizes force edge padding
+    enc = C.encode_jpeg(img, subsample="420", restart_interval=3)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0
+    dec = C.decode_jpeg(enc)
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 6  # chroma halved: a bit lossier, still close
+
+
+def test_jpeg_grayscale():
+    yy, xx = np.mgrid[0:16, 0:24]
+    g = ((yy * 4 + xx * 2) % 200 + 20).astype(np.uint8)
+    dec = C.decode_jpeg(C.encode_jpeg(g))
+    assert dec.shape == g.shape and dec.ndim == 2
+    assert np.abs(dec.astype(int) - g.astype(int)).mean() < 6
+
+
+def test_jpeg_deterministic_and_decode_pinned():
+    """encode and decode are bit-deterministic: the fixture's encoded
+    stream and its decoded pixels hash identically across runs (the
+    'byte-checked deterministic fixture' the round-4 plan asks for)."""
+    import hashlib
+
+    img = _gradient_rgb()
+    e1, e2 = C.encode_jpeg(img), C.encode_jpeg(img)
+    assert e1 == e2
+    d1 = C.decode_jpeg(e1)
+    d2 = C.decode_jpeg(e2)
+    assert (d1 == d2).all()
+    # pin against accidental kernel drift (tables, IDCT, rounding)
+    assert hashlib.md5(e1).hexdigest() == (
+        "711b9bde6ee61a5df62de7f7582777d0"
+    )
+    assert hashlib.md5(d1.tobytes()).hexdigest() == (
+        "902bdca5095ba539d5b07bc1bd53c7e3"
+    )
+
+
+def test_jpeg_rejects_progressive():
+    enc = bytearray(C.encode_jpeg(_gradient_rgb()))
+    i = bytes(enc).find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(bytes(enc))
+
+
+def test_decode_image_dispatch():
+    img = _gradient_rgb(8, 8)
+    assert (C.decode_image(C.encode_png(img)) == img).all()
+    assert (C.decode_image(C.encode_bmp(img)) == img).all()
+    assert C.decode_image(C.encode_jpeg(img)).shape == img.shape
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        C.decode_image(b"\x00\x01\x02")

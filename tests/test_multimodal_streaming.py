@@ -23,10 +23,20 @@ def media(spark):
 def test_decode_media_schema_and_determinism(spark, media):
     out = M.decode_media(media)
     assert [f.name for f in out.schema.fields] == [
-        "media_id", "kind", "n_samples", "sample_mean", "sample_std",
+        "media_id", "kind", "codec", "n_samples", "sample_mean",
+        "sample_std",
     ]
     rows = {r["media_id"]: r for r in out.collect()}
     assert len(rows) == 48
+    # the route tag is observable: synth images/audio hit the REAL
+    # stdlib codecs, only MP4 video rides the disclosed fake path
+    by_kind = {(r["kind"], r["codec"]) for r in rows.values()}
+    assert ("video", "fake") in by_kind
+    assert all(
+        c in ("png", "bmp", "jpeg") for k, c in by_kind if k == "image"
+    )
+    assert ("image", "jpeg") in by_kind  # real baseline-JPEG decode
+    assert all(c == "wav" for k, c in by_kind if k == "audio")
     # deterministic fake codec: recompute one row in-process
     r0 = media.filter(media.media_id == 0).first()
     d = M._decode_kernel(bytes(r0["payload"]), r0["kind"])
@@ -64,7 +74,7 @@ def test_resize_is_true_nearest_neighbor(spark, media):
 
     r0 = media.filter("kind = 'image'").first()
     src = bytes(r0["payload"])
-    arr = (C.decode_png if C.sniff(src) == "png" else C.decode_bmp)(src)
+    arr = C.decode_image(src)
     out = M.resize_images(
         media.filter(media.media_id == r0["media_id"]), w=16, h=12
     ).first()
