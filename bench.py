@@ -90,9 +90,44 @@ def _warmup(spark):
     )
 
 
-def bench_build(spark, sf_dir: str, mult: int = 1) -> dict:
+def _title_field_postings(docs):
+    """Deterministic ``title:`` field stream for the bench corpus: the
+    first 8 body tokens stand in for a title (the plain-text documents
+    table has no markup — webtext corpora use the real
+    ``title_postings``/``anchor_postings`` extractors). Exercises the
+    exact shipping build path: prefixed terms unioned into the same
+    segments, doclen=0, synthetic ordinals under positions."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.tokenizer import tokens_col
+
+    return (
+        docs.select(
+            "docid",
+            F.explode(F.slice(tokens_col("text"), 1, 8)).alias("w"),
+        )
+        .groupBy("docid", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .select(
+            "docid", F.concat(F.lit("title:"), "w").alias("term"), "tf"
+        )
+    )
+
+
+def bench_build(
+    spark, sf_dir: str, mult: int = 1, positional: bool = True
+) -> dict:
     """Index-build throughput: exploded index + packed segments,
-    materialized end-to-end (count / parquet write forces the job)."""
+    materialized end-to-end (count / parquet write forces the job).
+
+    TWO packed builds are timed (round-4 verdict #1 — the bench must
+    measure the SHIPPING index, not just the minimal one):
+    - minimal (docids+tfs only) — comparable with r1-r3 numbers;
+    - positional (with_positions=True: position/density/spam/
+      diversity streams) + a ``title:`` field stream — the
+      configuration the engine actually ships for phrase/proximity/
+      rank-signal/field-boosted queries.
+    """
     from open_source_search_engine_spark.operators.index_build import build_index
     from open_source_search_engine_spark.operators.segments import (
         SegmentStore,
@@ -136,8 +171,8 @@ def bench_build(spark, sf_dir: str, mult: int = 1) -> dict:
         n_segments=n_segments, n_buckets=n_buckets,
     )
     t_packed = time.time() - t0
-    docs.unpersist()
-    return {
+
+    out = {
         "n_docs": n_docs,
         "n_postings": n_postings,
         "t_build_exploded": t_exploded,
@@ -145,6 +180,27 @@ def bench_build(spark, sf_dir: str, mult: int = 1) -> dict:
         "build_docs_per_sec": n_docs / t_packed if t_packed else 0.0,
         "_store_root": root,
     }
+
+    if positional and not os.environ.get("BENCH_SKIP_POSITIONAL"):
+        # shipping-config leg: positional streams + title field stream
+        fp = _title_field_postings(docs)
+        t0 = time.time()
+        root_pos = tempfile.mkdtemp(prefix="bench_packed_pos_")
+        build_segments(
+            spark, docs, SegmentStore(root_pos),
+            n_segments=n_segments, n_buckets=n_buckets,
+            with_positions=True, field_postings=fp,
+        )
+        t_pos = time.time() - t0
+        out.update(
+            {
+                "t_build_packed_pos": t_pos,
+                "build_docs_per_sec_pos": n_docs / t_pos if t_pos else 0.0,
+                "_store_root_pos": root_pos,
+            }
+        )
+    docs.unpersist()
+    return out
 
 
 # Query mix: head (frequent terms), tail, AND/OR/NOT — the reference
@@ -158,7 +214,51 @@ QUERY_SET = [
 ]
 
 
-def bench_queries(spark, sf_dir: str, store_root: str) -> dict:
+def _bucketed_pidx(spark, store_root: str, table: str):
+    """PackedIndex over the WRITE-TIME bucketed layout
+    (``save_bucketed``): the scan satisfies the per-bucket scorer's
+    distribution with ZERO Exchange and the JVM-side blockmax prune
+    keeps pruned buckets' blobs on disk — the 100 TB serving layout
+    the in-memory cache path stands in for."""
+    from open_source_search_engine_spark.operators.segments import (
+        SegmentStore,
+        save_bucketed,
+    )
+    from open_source_search_engine_spark.operators.wand import PackedIndex
+
+    store = SegmentStore(store_root)
+    name = save_bucketed(
+        spark, store, table,
+        path=tempfile.mkdtemp(prefix=f"bench_{table}_"),
+    )
+    return PackedIndex(spark, store, packed=spark.table(name))
+
+
+def _wand_leg(pidx, prefix: str, out: dict) -> float:
+    """Run QUERY_SET through one PackedIndex; returns the p50 (ms)."""
+    lat = []
+    for name, terms, mode, neg in QUERY_SET:
+        dt = min(
+            _timed(lambda: pidx.wand_topk(
+                terms, k=10, mode=mode, neg_terms=neg
+            ).collect())
+            for _ in range(2)
+        )
+        out[f"q_{prefix}_{name}"] = round(dt, 4)
+        lat.append(dt)
+    p50 = round(statistics.median(lat) * 1000, 1)
+    out[f"{prefix}_p50_ms"] = p50
+    return p50
+
+
+def bench_queries(
+    spark, sf_dir: str, store_root: str, store_root_pos: str | None = None
+) -> dict:
+    """Query latency matrix (round-4 verdict #1): the relational BM25
+    baseline plus WAND over {minimal, positional} stores × {in-memory
+    cache, write-time bucketed} layouts. ``wand_p50_ms`` (minimal ×
+    cache) keeps its r1-r3 meaning; the three new legs measure the
+    SHIPPING configuration (positional index, bucketed store)."""
     from open_source_search_engine_spark.operators.bm25 import bm25_topk
     from open_source_search_engine_spark.operators.index_build import cached_index
     from open_source_search_engine_spark.operators.segments import SegmentStore
@@ -177,7 +277,7 @@ def bench_queries(spark, sf_dir: str, store_root: str) -> dict:
     t_wand_warm = time.time() - t0
 
     out: dict[str, float] = {"t_wand_warm": round(t_wand_warm, 4)}
-    rel_lat, wand_lat = [], []
+    rel_lat = []
     # best-of-2 per query: the host's 1.5-2x run-to-run drift (see
     # BENCH/BASELINE.md noise model) makes single measurements soft —
     # interference only ever SLOWS a run, so min is the least-biased
@@ -192,18 +292,29 @@ def bench_queries(spark, sf_dir: str, store_root: str) -> dict:
         )
         out[f"q_bm25_{name}"] = round(dt, 4)
         rel_lat.append(dt)
-
-        dt = min(
-            _timed(lambda: pidx.wand_topk(
-                terms, k=10, mode=mode, neg_terms=neg
-            ).collect())
-            for _ in range(2)
-        )
-        out[f"q_wand_{name}"] = round(dt, 4)
-        wand_lat.append(dt)
-
     out["bm25_p50_ms"] = round(statistics.median(rel_lat) * 1000, 1)
-    out["wand_p50_ms"] = round(statistics.median(wand_lat) * 1000, 1)
+
+    _wand_leg(pidx, "wand", out)  # minimal × cache (the r1-r3 metric)
+
+    # minimal × bucketed
+    t0 = time.time()
+    pidx_b = _bucketed_pidx(spark, store_root, "bench_bucketed_min")
+    out["t_wand_warm_bucketed"] = round(time.time() - t0, 4)
+    _wand_leg(pidx_b, "wand_bucketed", out)
+
+    if store_root_pos:
+        # positional × cache
+        t0 = time.time()
+        pidx_p = PackedIndex(spark, SegmentStore(store_root_pos))
+        out["t_wand_warm_pos"] = round(time.time() - t0, 4)
+        _wand_leg(pidx_p, "wand_pos", out)
+        # positional × bucketed — THE shipping configuration
+        t0 = time.time()
+        pidx_pb = _bucketed_pidx(
+            spark, store_root_pos, "bench_bucketed_pos"
+        )
+        out["t_wand_warm_pos_bucketed"] = round(time.time() - t0, 4)
+        _wand_leg(pidx_pb, "wand_pos_bucketed", out)
     return out
 
 
@@ -257,6 +368,93 @@ def bench_query_batch(
     }
 
 
+def run_concurrency(
+    sf_dir: str, threads_list=(1, 4, 8), passes: int = 4
+) -> None:
+    """Concurrent-query latency evidence (round-4 verdict #5): the
+    QUERY_SET × ``passes`` jobs run against ONE PackedIndex
+    sequentially and at 4/8 driver threads, reporting per-query
+    p50/p95 and aggregate QPS per concurrency level. The scorer is
+    stateless (shared cached store, no per-query mutable state), so
+    this measures Spark's job-level interleaving — the single-node
+    stand-in for concurrent users on a serving cluster.
+
+    FAIR scheduling with one pool per client thread: under FIFO a
+    long query HEAD-OF-LINE-blocks every later submission, which is
+    not how a serving deployment runs. Pools are created on demand
+    (default weight 1 = equal shares). cores=8 keeps the measurement
+    inside this host's real ~9-10-core envelope (BENCH/BASELINE.md).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from open_source_search_engine_spark.operators.segments import (
+        SegmentStore,
+    )
+    from open_source_search_engine_spark.operators.wand import PackedIndex
+    from open_source_search_engine_spark.session import get_spark
+
+    cores = 8
+    spark = get_spark(
+        "bench-conc", cores=cores,
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    cal_pre = _calibrate()
+    build = bench_build(spark, sf_dir, positional=False)
+    pidx = PackedIndex(spark, SegmentStore(build["_store_root"]))
+    for _, terms, mode, neg in QUERY_SET:  # warm (codegen, caches)
+        pidx.wand_topk(terms, k=10, mode=mode, neg_terms=neg).collect()
+    jobs = [
+        (terms, mode, neg)
+        for _ in range(passes)
+        for (_, terms, mode, neg) in QUERY_SET
+    ]
+
+    def run_one(j, pool=None):
+        if pool is not None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", pool
+            )
+        t0 = time.time()
+        pidx.wand_topk(j[0], k=10, mode=j[1], neg_terms=j[2]).collect()
+        return time.time() - t0
+
+    legs = {}
+    for nt in threads_list:
+        t0 = time.time()
+        if nt == 1:
+            lats = [run_one(j) for j in jobs]
+        else:
+            import threading
+
+            def pooled(j):
+                return run_one(j, pool=threading.current_thread().name)
+
+            with ThreadPoolExecutor(nt) as ex:
+                lats = list(ex.map(pooled, jobs))
+        wall = time.time() - t0
+        ms = sorted(x * 1000 for x in lats)
+        legs[f"threads_{nt}"] = {
+            "p50_ms": round(statistics.median(ms), 1),
+            "p95_ms": round(ms[int(0.95 * (len(ms) - 1))], 1),
+            "max_ms": round(ms[-1], 1),
+            "wall_s": round(wall, 2),
+            "qps": round(len(jobs) / wall, 2),
+        }
+    report = {
+        "sf": _sf_of(sf_dir),
+        "cores": cores,
+        "n_queries": len(jobs),
+        "n_docs": build["n_docs"],
+        "calibration_pre": cal_pre,
+        "calibration_post": _calibrate(),
+        "legs": legs,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/concurrency.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
 def run_bench(
     cores: int, sf_dir: str, build_only: bool = False, mult: int = 1
 ) -> dict:
@@ -273,8 +471,13 @@ def run_bench(
     )
     cal_pre = _calibrate()
     t_all = time.time()
-    build = bench_build(spark, sf_dir, mult=mult)
+    # scaling legs stay minimal-build-only: the N-vs-4N comparison
+    # needs the identical job at both core counts, and r1-r3 history
+    # is minimal-build (the positional config gets its own metrics
+    # in the default bench instead).
+    build = bench_build(spark, sf_dir, mult=mult, positional=not build_only)
     store_root = build.pop("_store_root")
+    store_root_pos = build.pop("_store_root_pos", None)
     if build_only:
         queries = (
             bench_query_batch(spark, store_root)
@@ -282,7 +485,7 @@ def run_bench(
             else {}
         )
     else:
-        queries = bench_queries(spark, sf_dir, store_root)
+        queries = bench_queries(spark, sf_dir, store_root, store_root_pos)
     total = time.time() - t_all
     cal_post = _calibrate()
 
@@ -543,6 +746,9 @@ def main() -> None:
         if "--repeats" in args:
             repeats = int(args[args.index("--repeats") + 1])
         run_scaling(SF_DIR, repeats=repeats)
+        return
+    if "--concurrency" in args:
+        run_concurrency(SF_DIR)
         return
     cores = CPUS
     if "--cores" in args:
