@@ -1638,3 +1638,114 @@ SELECT docid,
        CAST(len(list_distinct(s)) AS BIGINT) AS n_shingles
 FROM sh
 """
+
+
+# ---------------------------------------------------------------------------
+# repeated-section vote dedup (ref: Sections.cpp — per-site section
+# voting marks template/boilerplate content)
+# ---------------------------------------------------------------------------
+
+
+def section_fingerprints(
+    docs: DataFrame, site_col: str = "source", block: int = 16
+) -> DataFrame:
+    """(docid, site, sec, h): non-overlapping ``block``-token sections
+    per document, each hashed (md5 — replayable in the SQL oracle).
+
+    The reference (Sections.cpp) splits on HTML structure and votes
+    per-site on section content hashes; this corpus is plain text, so
+    the section unit is a fixed token window — the voting semantics
+    (below) are the part that transfers. All JVM: regexp tokenize →
+    sequence+explode → slice+md5, whole-stage codegen, no UDF.
+
+    Scale: output carries (ids, 32-char hash) only — the section TEXT
+    never shuffles. Sections per doc is O(doclen/block), so the
+    explode is bounded by corpus token count / block.
+    """
+    toks = docs.select(
+        F.col("docid"),
+        F.col(site_col).alias("site"),
+        tokens_col("text").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    n_secs = F.ceil(F.size("toks") / F.lit(block)).cast("int")
+    return toks.withColumn(
+        "sec", F.explode(F.sequence(F.lit(0), n_secs - F.lit(1)))
+    ).select(
+        "docid",
+        "site",
+        "sec",
+        F.md5(
+            F.array_join(
+                F.slice("toks", F.col("sec") * block + 1, block), " "
+            )
+        ).alias("h"),
+    )
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    site_col: str = "source",
+    block: int = 16,
+    min_docs: int = 3,
+) -> DataFrame:
+    """(docid, n_sections, n_boiler, boiler_frac): per-document
+    boilerplate share by repeated-section voting — a section hash seen
+    in ≥ ``min_docs`` DISTINCT documents of the same site is template
+    content (ref: Sections.cpp SEC_DUP voting; used there to keep
+    navigation/footer text out of snippets and dedup signatures).
+
+    Plan shape: one (site, h) shuffle for the vote (map-side partial
+    agg; value is a 16-byte hash + id), the boilerplate set is
+    typically tiny (it IS the repeated tail) and re-joins the
+    fingerprints on (site, h); one final docid agg. No row ever
+    carries document text past the scan.
+    """
+    fp = section_fingerprints(docs, site_col, block)
+    boiler = (
+        fp.groupBy("site", "h")
+        .agg(F.countDistinct("docid").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("site", "h", F.lit(1).alias("is_b"))
+    )
+    return (
+        fp.join(boiler, ["site", "h"], "left")
+        .groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).alias("n_sections"),
+            F.count("is_b").alias("n_boiler"),
+            F.round(
+                F.count("is_b") / F.count(F.lit(1)), 4
+            ).alias("boiler_frac"),
+        )
+        .orderBy("docid")
+    )
+
+
+def section_boilerplate_sql(block: int = 16, min_docs: int = 3) -> str:
+    """DuckDB replay of ``boilerplate_stats`` (same tokenization as
+    TOK_CTE: whitespace split + empty filter)."""
+    return f"""
+WITH arr AS (
+  SELECT doc_id AS docid, source AS site,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), secs AS (
+  SELECT docid, site,
+         md5(array_to_string(
+             toks[(i*{block}+1):(i*{block}+{block})], ' ')) AS h
+  FROM arr, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(toks) / {block}.0) AS BIGINT))) AS i
+  ) s
+  WHERE len(toks) > 0
+), boiler AS (
+  SELECT site, h FROM secs GROUP BY site, h
+  HAVING count(DISTINCT docid) >= {min_docs}
+)
+SELECT s.docid,
+       count(*) AS n_sections,
+       count(b.h) AS n_boiler,
+       round(count(b.h) * 1.0 / count(*), 4) AS boiler_frac
+FROM secs s LEFT JOIN boiler b ON s.site = b.site AND s.h = b.h
+GROUP BY s.docid
+ORDER BY docid
+"""

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import functions as F
 
 from . import pipeline as P
+from .catdir import CATEGORY_ROLLUP_SQL
 from .registry import register
 
 
@@ -263,3 +264,36 @@ def doc_enrich(spark, sf_dir):
             "fingerprint", "n_shingles",
         )
     )
+
+
+# --- repeated-section vote dedup (Sections.cpp analogue) --------------------
+
+
+@register(
+    "section_boilerplate",
+    P.section_boilerplate_sql(block=2, min_docs=3),
+    extended=True,
+)
+def section_boilerplate(spark, sf_dir):
+    """Per-site repeated-section voting (ref: Sections.cpp SEC_DUP) —
+    sections seen in >= 3 distinct docs of a site are template
+    content; reports each doc's boilerplate share. block=2 here
+    because the synthetic corpus is word salad (real pages repeat
+    16-token nav/footer blocks; 2-token windows make the vote fire at
+    sf0.01 so the oracle checks non-trivial output)."""
+    return P.boilerplate_stats(
+        _docs(spark, sf_dir), block=2, min_docs=3
+    )
+
+
+# --- directory taxonomy (Catdb.cpp / Categories.cpp analogue) ---------------
+
+
+@register("category_rollup", CATEGORY_ROLLUP_SQL, extended=True)
+def category_rollup(spark, sf_dir):
+    """DMOZ-style directory browse: per-category direct + subtree doc
+    counts via ancestor-explode + one groupBy shuffle (ref: Catdb.cpp
+    url->catid lookup, Categories.cpp directory page counts)."""
+    from .catdir import category_rollup as _rollup
+
+    return _rollup(_docs(spark, sf_dir))

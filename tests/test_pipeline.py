@@ -395,3 +395,52 @@ def test_ann_ivf_kmeans_recall_and_determinism(spark):
                                n_centroids=8).collect()}
     recall = len(set(exact) & approx) / 10.0
     assert recall >= 0.5, recall
+
+
+def test_boilerplate_stats_votes_per_site(spark):
+    """Sections.cpp-style voting: a block repeated in >=3 distinct
+    docs of ONE site is boilerplate there; the same block on another
+    site with fewer copies is not (votes never cross sites)."""
+    rows = [
+        # site A: "nav bar" leads 3 docs -> boilerplate there
+        (1, "A", "nav bar alpha beta"),
+        (2, "A", "nav bar gamma delta"),
+        (3, "A", "nav bar epsilon zeta"),
+        (4, "A", "eta theta iota kappa"),
+        # site B: "nav bar" appears once -> NOT boilerplate
+        (5, "B", "nav bar lambda mu"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "docid long, source string, text string"
+    )
+    got = {
+        r["docid"]: (r["n_sections"], r["n_boiler"], r["boiler_frac"])
+        for r in P.boilerplate_stats(docs, block=2, min_docs=3).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 1, 0.5)
+    assert got[4] == (2, 0, 0.0)
+    assert got[5] == (2, 0, 0.0)  # same hash, different site
+
+
+def test_category_rollup_subtree_semantics(spark):
+    """Directory counts: n_subtree at an inner node is the sum of its
+    leaves' n_direct; inner nodes have n_direct 0; root covers all."""
+    from open_source_search_engine_spark.operators import catdir as CD
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(70)], "docid long"
+    )
+    got = {
+        r["cat"]: (r["n_direct"], r["n_subtree"])
+        for r in CD.category_rollup(docs).collect()
+    }
+    n_leaves = len(CD.TAXONOMY_LEAVES)
+    assert got["top"] == (0, 70)
+    for leaf in CD.TAXONOMY_LEAVES:
+        want = sum(1 for i in range(70) if CD.TAXONOMY_LEAVES[i % n_leaves] == leaf)
+        assert got[leaf] == (want, want)
+    for inner in ("top/arts", "top/science", "top/computers"):
+        kids = [l for l in CD.TAXONOMY_LEAVES if l.startswith(inner + "/")]
+        assert got[inner] == (0, sum(got[k][0] for k in kids))
