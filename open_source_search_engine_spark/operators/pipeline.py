@@ -454,6 +454,15 @@ def connected_components(
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # max_iter exhausted without a fixpoint: the edge set may not
+        # be a star forest yet, so groupBy-min labels below can name a
+        # non-root intermediate. Downstream keep-policies treat
+        # cluster_id as authoritative — surface it loudly.
+        _LOG.warning(
+            "connected_components hit max_iter=%d without converging; "
+            "labels may split components (raise max_iter)", max_iter,
+        )
     connected_components.last_rounds = rounds
     _LOG.debug("connected_components converged in %d rounds", rounds)
 
@@ -719,20 +728,46 @@ def ann_bruteforce(
     Scale: at 10^9 vectors this is the per-partition scan the IVF/LSH
     path prunes; it stays the ground-truth oracle for recall tests.
     """
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    df = emb.withColumn("q", qlit).withColumn(
-        "cosine", F.round(_cosine_expr("embedding", "q"), 4)
-    )
-    return (
-        df.select("vec_id", "cosine")
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _exact_cosine_topk(emb, query_vec, k)
 
 
 ANN_LSH_PLANES = 6
 ANN_LSH_TABLES = 16
 ANN_LSH_SEED = 7
+# SINGLE dim source for every LSH surface (ann_lsh, lsh_write,
+# ann_lsh_from_store): _hyperplanes(dim) seeds a dim-shaped
+# RandomState draw, so two code paths deriving dim differently would
+# silently build DIFFERENT plane matrices and break the
+# store-equals-in-flight contract the oracle pairing depends on.
+ANN_LSH_DIM = 64
+
+
+def _query_sigs(planes: np.ndarray, query_vec: list[float]) -> list[int]:
+    """The query's n_tables sign-bit signatures (shared by the
+    in-flight and store-probe paths — keep them bit-identical)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    n_planes = planes.shape[1]
+    return [
+        int(((planes[t] @ q) > 0).astype(np.uint64)
+            @ (1 << np.arange(n_planes, dtype=np.uint64)))
+        for t in range(planes.shape[0])
+    ]
+
+
+def _exact_cosine_topk(
+    cand: DataFrame, query_vec: list[float], k: int
+) -> DataFrame:
+    """Shared verify tail: exact cosine vs the literal query over a
+    candidate set carrying (vec_id, embedding)."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.withColumn("q", qlit).withColumn(
+        "cosine", F.round(_cosine_expr("embedding", "q"), 4)
+    )
+    return (
+        scored.select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def ann_lsh(
@@ -742,7 +777,7 @@ def ann_lsh(
     n_planes: int = ANN_LSH_PLANES,
     n_tables: int = ANN_LSH_TABLES,
     seed: int = ANN_LSH_SEED,
-    dim: int = 64,
+    dim: int = ANN_LSH_DIM,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH (Charikar'02).
 
@@ -762,25 +797,12 @@ def ann_lsh(
     pytest.
     """
     planes = _hyperplanes(n_tables, n_planes, dim, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q_sigs = [
-        int(((planes[t] @ q) > 0).astype(np.uint64)
-            @ (1 << np.arange(n_planes, dtype=np.uint64)))
-        for t in range(n_tables)
-    ]
+    q_sigs = _query_sigs(planes, query_vec)
     sigs = emb.withColumn("sigs", _plane_sig_udf(planes)("embedding"))
     match = F.lit(False)
     for t, qs in enumerate(q_sigs):
         match = match | (F.element_at("sigs", t + 1) == F.lit(qs))
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = sigs.filter(match).withColumn("q", qlit).withColumn(
-        "cosine", F.round(_cosine_expr("embedding", "q"), 4)
-    )
-    return (
-        cand.select("vec_id", "cosine")
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _exact_cosine_topk(sigs.filter(match), query_vec, k)
 
 
 def lsh_write(
@@ -789,6 +811,7 @@ def lsh_write(
     n_planes: int = ANN_LSH_PLANES,
     n_tables: int = ANN_LSH_TABLES,
     seed: int = ANN_LSH_SEED,
+    dim: int = ANN_LSH_DIM,
 ) -> None:
     """Write-time (t, sig)-bucketed LSH layout (round-4 verdict #3 —
     the store ``ann_lsh``'s docstring promised; the IVF analogue is
@@ -803,7 +826,7 @@ def lsh_write(
     for the exact-cosine verify — the same candidates-carry-ids-only
     rule the round-3 ``embedding_dups`` fix pinned.
     """
-    planes = _hyperplanes(n_tables, n_planes, emb_dim(emb), seed)
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
     (
         emb.withColumn("sigs", _plane_sig_udf(planes)("embedding"))
         .select("vec_id", F.posexplode("sigs").alias("t", "sig"))
@@ -822,33 +845,23 @@ def ann_lsh_from_store(
     n_planes: int = ANN_LSH_PLANES,
     n_tables: int = ANN_LSH_TABLES,
     seed: int = ANN_LSH_SEED,
+    dim: int = ANN_LSH_DIM,
 ) -> DataFrame:
     """Probe a written LSH store: the per-table (t, sig) equality
     pairs are PARTITION filters (n_tables directories read, plan
     audited in BENCH/plans.md §lsh_partition_pruned); candidate ids
     dedup and re-join ``emb`` for the exact-cosine top-k. Result is
-    identical to ``ann_lsh`` (same planes, same ANY-table match) —
-    pinned by pytest."""
-    planes = _hyperplanes(n_tables, n_planes, len(query_vec), seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q_sigs = [
-        int(((planes[t] @ q) > 0).astype(np.uint64)
-            @ (1 << np.arange(n_planes, dtype=np.uint64)))
-        for t in range(n_tables)
-    ]
+    identical to ``ann_lsh`` (same planes via the shared ANN_LSH_DIM/
+    _query_sigs, same ANY-table match) — pinned by pytest."""
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
+    q_sigs = _query_sigs(planes, query_vec)
     store = spark.read.parquet(root)
     match = F.lit(False)
     for t, qs in enumerate(q_sigs):
         match = match | ((F.col("t") == t) & (F.col("sig") == F.lit(qs)))
     cand_ids = store.filter(match).select("vec_id").distinct()
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = emb.join(cand_ids, "vec_id").withColumn("q", qlit).withColumn(
-        "cosine", F.round(_cosine_expr("embedding", "q"), 4)
-    )
-    return (
-        cand.select("vec_id", "cosine")
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
+    return _exact_cosine_topk(
+        emb.join(cand_ids, "vec_id"), query_vec, k
     )
 
 

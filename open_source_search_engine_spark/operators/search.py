@@ -537,8 +537,13 @@ def render_serp(results: DataFrame, fmt: str = "json") -> DataFrame:
         rendered = F.concat(F.lit("<result>"), inner, F.lit("</result>"))
     elif fmt == "html":
         # snippet_hl wraps RAW doc text in our <b> markup; escape the
-        # WHOLE string (doc-embedded markup can't inject) then restore
-        # only our exact <b>/</b> markers so highlighting survives.
+        # WHOLE string, then restore only <b>/</b>. This is a b-tag
+        # WHITELIST, not full isolation: doc text that literally
+        # contains '<b>' is indistinguishable from our markers after
+        # the fact and comes back as real bold (styling leak only —
+        # nothing outside b-tags can render, so no script/attribute
+        # injection). Full isolation needs sentinel markers end to
+        # end, which the oracle-paired '<b>' snippet format pins away.
         if "snippet_hl" in results.columns:
             body = _markup_escape(F.col("snippet_hl"))
             for esc, raw in (("&lt;b&gt;", "<b>"), ("&lt;/b&gt;", "</b>")):

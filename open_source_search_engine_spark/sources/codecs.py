@@ -470,7 +470,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
+            if scan is not None:
+                # multi-scan (non-interleaved) baseline: each SOS
+                # carries one component; decoding only the last would
+                # silently return garbage tagged as a real decode
+                raise ValueError(
+                    "multi-scan baseline JPEG unsupported (one "
+                    "interleaved SOS only)"
+                )
             ns = seg[0]
+            if comps is not None and ns != len(comps):
+                raise ValueError(
+                    "non-interleaved scan (components split across "
+                    "scans) unsupported"
+                )
             scan_order = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -542,6 +555,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         blk[k] = _extend(rd.bits(s), s)
                         k += 1
             mcu += 1
+    if mcu != mcus_x * mcus_y:
+        # a DRI stream truncated at a restart boundary exhausts the
+        # interval list early; without this check the remaining MCUs
+        # silently decode as flat gray (all-zero blocks)
+        raise ValueError(
+            f"truncated JPEG scan: {mcu}/{mcus_x * mcus_y} MCUs decoded"
+        )
 
     out_planes = []
     for (cid, ch, cv, tq), coefs in zip(comps, planes):

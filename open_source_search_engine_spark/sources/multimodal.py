@@ -105,6 +105,12 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
         # poisoning the whole Arrow batch, but the tag records it
         fellback = True
     if not USE_FAKE_CODEC:
+        if fellback:
+            raise ValueError(
+                "payload sniffed as a real format but failed to "
+                "decode (corrupt/unsupported variant) — data-quality "
+                "failure, not a missing codec"
+            )
         raise NotImplementedError(
             "no stdlib codec for this format (MP4 needs ffmpeg); "
             "set USE_FAKE_CODEC or plug one in here"

@@ -189,7 +189,12 @@ def test_jpeg_deterministic_and_decode_pinned():
     d1 = C.decode_jpeg(e1)
     d2 = C.decode_jpeg(e2)
     assert (d1 == d2).all()
-    # pin against accidental kernel drift (tables, IDCT, rounding)
+    # pin against accidental kernel drift (tables, IDCT, rounding).
+    # CAVEAT: the encode path rounds einsum/BLAS float output, so a
+    # numpy/BLAS upgrade could legitimately flip a .5-boundary
+    # coefficient and change these hashes — if ONLY these two asserts
+    # fail after an environment change, re-pin; the determinism
+    # asserts above are the correctness claim.
     assert hashlib.md5(e1).hexdigest() == (
         "711b9bde6ee61a5df62de7f7582777d0"
     )
@@ -217,3 +222,26 @@ def test_decode_image_dispatch():
 
     with _pytest.raises(ValueError):
         C.decode_image(b"\x00\x01\x02")
+
+
+def test_jpeg_rejects_multiscan_and_truncated_dri():
+    """Silent-garbage guards: a second SOS (multi-scan baseline) and a
+    DRI stream truncated at a restart boundary both raise instead of
+    decoding zero blocks as flat gray (they must land on the tagged
+    'fallback' route, not fake a real decode)."""
+    import pytest as _pytest
+
+    img = _gradient_rgb(h=37, w=50)
+    enc = C.encode_jpeg(img, subsample="420", restart_interval=2)
+    # truncate at the last RST marker: whole MCU intervals go missing
+    last_rst = max(enc.rfind(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    truncated = enc[:last_rst] + b"\xff\xd9"
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(truncated)
+
+    # duplicate the SOS header+scan => multi-scan stream
+    sos = enc.find(b"\xff\xda")
+    eoi = enc.rfind(b"\xff\xd9")
+    doubled = enc[:eoi] + enc[sos:eoi] + b"\xff\xd9"
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(doubled)

@@ -35,7 +35,13 @@ FAMILY_PRIMARY = {
 
 
 def _coverage_rows():
-    txt = open("COVERAGE.md").read()
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "COVERAGE.md",
+    )
+    txt = open(path).read()
     for line in txt.splitlines():
         m = re.match(
             r"^\|\s*([A-I]\d+(?:/[A-I]?\d+)?)\b[^|]*\|[^|]*\|[^|]*\|"
