@@ -449,6 +449,10 @@ def connected_components(
             eager=True
         )
         new_sig = _sig(new_edges)
+        # the superseded round's checkpoint is dead weight once the
+        # new one is materialized — drop it so long-lived sessions
+        # don't pin max_iter edge-set copies in executor storage
+        edges.unpersist()
         edges = new_edges
         rounds += 1
         if new_sig == sig:
@@ -863,11 +867,6 @@ def ann_lsh_from_store(
     return _exact_cosine_topk(
         emb.join(cand_ids, "vec_id"), query_vec, k
     )
-
-
-def emb_dim(emb: DataFrame) -> int:
-    """Embedding dimensionality from one row (metadata-scale read)."""
-    return len(emb.select("embedding").first()["embedding"])
 
 
 # Fixed-SIZE deterministic centroid sample: the n_centroids vec_ids
@@ -1297,7 +1296,8 @@ def _plane_sig_udf(planes: np.ndarray):
 
 def embedding_dup_pairs(
     emb: DataFrame, threshold: float = 0.4, k_planes: int = EMB_DUP_PLANES,
-    seed: int = EMB_DUP_SEED, dim: int = 64, n_tables: int = EMB_DUP_TABLES,
+    seed: int = EMB_DUP_SEED, dim: int = ANN_LSH_DIM,
+    n_tables: int = EMB_DUP_TABLES,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine >= threshold) via hyperplane-
     LSH candidate buckets + exact verify — the embedding analogue of
@@ -1382,7 +1382,7 @@ def ann_lsh_sql(
     n_planes: int = ANN_LSH_PLANES,
     n_tables: int = ANN_LSH_TABLES,
     seed: int = ANN_LSH_SEED,
-    dim: int = 64,
+    dim: int = ANN_LSH_DIM,
 ) -> str:
     """DuckDB mirror of ``ann_lsh``: same literal planes, same packed
     signatures, ANY-table query match, exact-cosine top-k."""
@@ -1415,7 +1415,7 @@ def embedding_dups_sql(
     threshold: float = 0.4,
     k_planes: int = EMB_DUP_PLANES,
     seed: int = EMB_DUP_SEED,
-    dim: int = 64,
+    dim: int = ANN_LSH_DIM,
     n_tables: int = EMB_DUP_TABLES,
 ) -> str:
     """DuckDB mirror of ``embedding_dup_pairs``: same literal planes,

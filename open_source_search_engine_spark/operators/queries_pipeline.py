@@ -127,21 +127,36 @@ def ann_lsh(spark, sf_dir):
 
 
 _LSH_STORES: dict[tuple, str] = {}
+_LSH_STORES_LOCK = __import__("threading").Lock()
+
+
+def _cleanup_lsh_stores() -> None:
+    import shutil
+
+    for root in _LSH_STORES.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _LSH_STORES.clear()
+
+
+__import__("atexit").register(_cleanup_lsh_stores)
 
 
 def _lsh_store(spark, sf_dir):
     """Session-cached write-time LSH store (written once per
     (session, sf_dir) — on a cluster this is the build-time artifact
-    every query probes)."""
+    every query probes). Lock-guarded so concurrent driver threads
+    (bench.py --concurrency) build it exactly once; dirs are removed
+    at interpreter exit."""
     import tempfile
 
     sc = spark.sparkContext
     key = (sc.applicationId, sc.startTime, sf_dir)
-    if key not in _LSH_STORES:
-        root = tempfile.mkdtemp(prefix="sfx_lshstore_")
-        P.lsh_write(_emb(spark, sf_dir), root)
-        _LSH_STORES[key] = root
-    return _LSH_STORES[key]
+    with _LSH_STORES_LOCK:
+        if key not in _LSH_STORES:
+            root = tempfile.mkdtemp(prefix="sfx_lshstore_")
+            P.lsh_write(_emb(spark, sf_dir), root)
+            _LSH_STORES[key] = root
+        return _LSH_STORES[key]
 
 
 @register(

@@ -414,7 +414,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Marker parse → per-MCU canonical-Huffman entropy decode (the only
     sequential part) → BATCHED dequant + 8×8 IDCT over all blocks as
     two matrix products → nearest upsample of subsampled chroma →
-    JFIF YCbCr→RGB. Raises ValueError on non-baseline streams."""
+    JFIF YCbCr→RGB. Raises ValueError on non-baseline or corrupt
+    streams (truncated segments / undeclared tables surface as the
+    documented ValueError, never IndexError/KeyError/struct.error)."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"corrupt JPEG stream: {exc!r}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     pos = 2
@@ -478,8 +489,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "multi-scan baseline JPEG unsupported (one "
                     "interleaved SOS only)"
                 )
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            if comps is not None and ns != len(comps):
+            if ns != len(comps):
                 raise ValueError(
                     "non-interleaved scan (components split across "
                     "scans) unsupported"
@@ -487,10 +500,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan_order = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                ci = next(
-                    j for j, c in enumerate(comps) if c[0] == cs
-                )
-                scan_order.append((ci, tt >> 4, tt & 0xF))
+                by_id = [j for j, c in enumerate(comps) if c[0] == cs]
+                if not by_id:
+                    raise ValueError(
+                        f"SOS names component {cs} absent from SOF"
+                    )
+                scan_order.append((by_id[0], tt >> 4, tt & 0xF))
             data_start = pos + seglen
             end = data_start
             while end < len(payload) - 1:
@@ -552,6 +567,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 continue
                             break  # EOB
                         k += r
+                        if k > 63:
+                            raise ValueError(
+                                "corrupt JPEG: AC run past coef 63"
+                            )
                         blk[k] = _extend(rd.bits(s), s)
                         k += 1
             mcu += 1

@@ -12,11 +12,12 @@ codecs for every format the stdlib can express: PNG and 24-bit BMP
 decode/encode and 8/16/32-bit PCM WAV decode/encode are implemented
 for real in ``sources/codecs.py`` (zlib + the five PNG row filters,
 ``wave`` + numpy). ``_decode_kernel`` sniffs the payload's magic
-bytes and routes real formats to the real decoders; only formats
-whose codecs genuinely need external libraries (JPEG, MP4/H.264)
-fall back to the deterministic fake codec (or raise
-``NotImplementedError`` when ``USE_FAKE_CODEC`` is off — production
-plugs Pillow/ffmpeg into that one branch).
+bytes and routes real formats to the real decoders — round 4 added a
+pure-numpy baseline JPEG decoder (Huffman + IDCT), so JPEG now rides
+the real route too; only formats whose codecs genuinely need external
+libraries (MP4/H.264) fall back to the deterministic fake codec (or
+raise ``NotImplementedError`` when ``USE_FAKE_CODEC`` is off —
+production plugs ffmpeg into that one branch).
 
 Scale notes:
 - payloads stay ``binary`` end-to-end; nothing re-encodes to base64
@@ -60,9 +61,9 @@ USE_FAKE_CODEC = True  # fallback for JPEG/MP4 only — see docstring
 def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
     """Decode a media payload to (float32 sample array, codec tag).
 
-    REAL for PNG / BMP (pixels flattened to [0, 1]) and WAV (mono
-    samples in [-1, 1]) via ``sources/codecs.py``; formats the stdlib
-    cannot decode (JPEG, MP4) fall back to the deterministic fake
+    REAL for PNG / BMP / baseline JPEG (pixels flattened to [0, 1])
+    and WAV (mono samples in [-1, 1]) via ``sources/codecs.py``;
+    formats the stdlib cannot decode (MP4) fall back to the fake
     (samples derived from the payload bytes, reproducible in tests),
     or raise when ``USE_FAKE_CODEC`` is off — plug Pillow/ffmpeg into
     this branch in production.

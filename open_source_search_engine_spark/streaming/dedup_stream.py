@@ -41,10 +41,13 @@ def _hashed(batch: DataFrame) -> DataFrame:
     # NULL text hashes to NULL, and NULL never equi-joins: within a
     # batch the row_number window would collapse all NULL-h docs to
     # one survivor while the cross-batch left_anti join would never
-    # drop them — inconsistent. Coalesce to '' so empty and missing
-    # text hash identically and BOTH gates agree (round-4 ADVICE fix).
+    # drop them — inconsistent. Map NULL to a sentinel AFTER hashing
+    # so both gates agree AND the grouping matches batch dedup_exact,
+    # where groupBy puts NULL text in its own group, distinct from ''
+    # (md5 output is 32 hex chars, so "null-text" cannot collide).
     return batch.withColumn(
-        "h", F.md5(F.coalesce(F.col("text").cast("string"), F.lit("")))
+        "h",
+        F.coalesce(F.md5(F.col("text").cast("string")), F.lit("null-text")),
     )
 
 

@@ -245,3 +245,31 @@ def test_jpeg_rejects_multiscan_and_truncated_dri():
     doubled = enc[:eoi] + enc[sos:eoi] + b"\xff\xd9"
     with _pytest.raises(ValueError):
         C.decode_jpeg(doubled)
+
+
+def test_jpeg_corrupt_streams_raise_valueerror():
+    """The documented failure mode for corrupt-but-sniffed-as-JPEG
+    payloads is ValueError — never IndexError/StopIteration/KeyError
+    (round-4 review fix). Exercises: SOS naming a component id absent
+    from SOF, SOS arriving before any SOF, and a segment truncated
+    mid-header."""
+    import pytest as _pytest
+
+    enc = C.encode_jpeg(_gradient_rgb(16, 16))
+
+    # SOS names component id 9 which SOF never declared
+    sos = enc.find(b"\xff\xda")
+    bad_comp = bytearray(enc)
+    bad_comp[sos + 5] = 9  # first scan component selector
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(bytes(bad_comp))
+
+    # SOS before SOF: splice the SOS header+scan right after SOI
+    eoi = enc.rfind(b"\xff\xd9")
+    premature = enc[:2] + enc[sos:eoi] + b"\xff\xd9"
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(premature)
+
+    # segment truncated mid-header (struct.unpack would die)
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(enc[: enc.find(b"\xff\xc4") + 3])

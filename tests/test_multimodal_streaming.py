@@ -330,6 +330,57 @@ def test_streaming_dedup_cross_batch(spark, tmp_path):
                     (10, "eps")}
 
 
+def test_streaming_dedup_null_vs_empty_text(spark, tmp_path):
+    """NULL text and '' text are DISTINCT hash groups, matching batch
+    dedup_exact (where groupBy puts NULL in its own group): one
+    survivor each within a batch, and a later epoch's NULL-text doc
+    is recognized cross-batch and dropped (the round-4 sentinel fix —
+    plain md5(NULL)=NULL never equi-joins, while coalescing text to
+    '' before hashing wrongly merged the two groups)."""
+    import glob
+    import os as _os
+    import shutil
+
+    from open_source_search_engine_spark.streaming.dedup_stream import (
+        deduped_output,
+        start_dedup_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    seen_dir = str(tmp_path / "seen")
+    ck = str(tmp_path / "ck")
+    _os.makedirs(in_dir)
+
+    def drop(name, rows):
+        spark.createDataFrame(
+            rows, "docid long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / ("stage_" + name))
+        )
+        src = glob.glob(
+            str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(src, _os.path.join(in_dir, name + ".parquet"))
+
+    # batch 1: two NULL-text docs (one group, smallest id survives)
+    # and two ''-text docs (a DIFFERENT group, smallest id survives)
+    drop("b1", [(4, None), (2, None), (8, ""), (6, "")])
+    q = start_dedup_stream(spark, in_dir, out_dir, seen_dir, ck)
+    q.awaitTermination(120)
+    got1 = {(r["docid"], r["text"])
+            for r in deduped_output(spark, out_dir).collect()}
+    assert got1 == {(2, None), (6, "")}
+
+    # batch 2: cross-batch NULL and '' copies both drop; real text
+    # passes
+    drop("b2", [(9, None), (7, ""), (5, "zeta")])
+    q = start_dedup_stream(spark, in_dir, out_dir, seen_dir, ck)
+    q.awaitTermination(120)
+    got2 = {(r["docid"], r["text"])
+            for r in deduped_output(spark, out_dir).collect()}
+    assert got2 == {(2, None), (6, ""), (5, "zeta")}
+
+
 def test_streaming_neardup_cross_batch(spark, tmp_path):
     """SimHash near-dup gate: identical content (Hamming 0) dropped
     within and across batches under first-wins precedence; distinct
