@@ -40,7 +40,7 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type → samples/pixel
 
 def sniff(payload: bytes) -> str:
     """Magic-byte format sniff: 'png' | 'bmp' | 'wav' | 'jpeg' |
-    'unknown'."""
+    'mp4' | 'unknown'."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:2] == b"BM":
@@ -49,6 +49,8 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
     return "unknown"
 
 
@@ -798,6 +800,287 @@ def encode_jpeg(
     out += data
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- MP4 (ISO BMFF container demux — ISO/IEC 14496-12) ----------------------
+#
+# The CONTAINER is plain big-endian box structures the stdlib parses
+# fine; only the codec payload inside (H.264/AAC) needs external
+# libraries. So frame SAMPLING is real: walk moov → trak(vide) → stbl,
+# expand the stts/stsc/stsz/stco sample tables, and slice each
+# sample's exact byte range out of mdat with its real timestamp.
+# Pixel decode of those samples stays on the disclosed stub.
+
+
+def _box(tag: bytes, *payload: bytes) -> bytes:
+    body = b"".join(payload)
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _fbox(tag: bytes, version: int, flags: int, *payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags), *payload)
+
+
+_MP4_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def encode_mp4(
+    frames: list,
+    durations_ms=400,
+    timescale: int = 1000,
+    width: int = 64,
+    height: int = 48,
+    samples_per_chunk: int = 3,
+) -> bytes:
+    """Minimal valid ISO-BMFF MP4: ftyp + mdat (concatenated frame
+    payloads) + moov with one video trak whose stts/stsc/stsz/stco
+    tables describe the frames exactly. Frame payloads are opaque
+    bytes (tests use deterministic stand-ins for coded pictures —
+    the container math is what's real). ``durations_ms`` is an int
+    (uniform) or a per-frame list."""
+    n = len(frames)
+    if n == 0:
+        raise ValueError("encode_mp4 needs at least one frame")
+    if isinstance(durations_ms, int):
+        durations_ms = [durations_ms] * n
+    if len(durations_ms) != n:
+        raise ValueError("durations_ms length != frame count")
+    deltas = [max(1, int(round(d * timescale / 1000.0)))
+              for d in durations_ms]
+
+    ftyp = _box(
+        b"ftyp", b"isom", struct.pack(">I", 0x200), b"isom", b"iso2",
+        b"mp41",
+    )
+    sizes = [len(f) for f in frames]
+    mdat = _box(b"mdat", *[bytes(f) for f in frames])
+    base = len(ftyp) + 8  # first sample's file offset
+
+    # chunks of up to samples_per_chunk samples; stsc is the
+    # run-length encoding of the per-chunk sample counts
+    spc = max(1, samples_per_chunk)
+    counts = [min(spc, n - i) for i in range(0, n, spc)]
+    stsc_runs = []
+    for ci, c in enumerate(counts, start=1):
+        if not stsc_runs or stsc_runs[-1][1] != c:
+            stsc_runs.append((ci, c))
+    offsets, pos, si = [], base, 0
+    for c in counts:
+        offsets.append(pos)
+        pos += sum(sizes[si:si + c])
+        si += c
+
+    stts_runs = []
+    for d in deltas:
+        if stts_runs and stts_runs[-1][1] == d:
+            stts_runs[-1][0] += 1
+        else:
+            stts_runs.append([1, d])
+    stts = _fbox(
+        b"stts", 0, 0, struct.pack(">I", len(stts_runs)),
+        *[struct.pack(">II", c, d) for c, d in stts_runs],
+    )
+    stsc = _fbox(
+        b"stsc", 0, 0, struct.pack(">I", len(stsc_runs)),
+        *[struct.pack(">III", fc, c, 1) for fc, c in stsc_runs],
+    )
+    stsz = _fbox(
+        b"stsz", 0, 0, struct.pack(">II", 0, n),
+        *[struct.pack(">I", s) for s in sizes],
+    )
+    stco = _fbox(
+        b"stco", 0, 0, struct.pack(">I", len(offsets)),
+        *[struct.pack(">I", o) for o in offsets],
+    )
+    # VisualSampleEntry ('mp4v'): 6 reserved + data_ref_index, then
+    # the 70-byte visual fields (ISO 14496-12 §12.1.3)
+    entry = _box(
+        b"mp4v",
+        b"\x00" * 6 + struct.pack(">H", 1),
+        struct.pack(">HH", 0, 0) + b"\x00" * 12,
+        struct.pack(">HH", width, height),
+        struct.pack(">II", 0x00480000, 0x00480000),
+        struct.pack(">I", 0), struct.pack(">H", 1),
+        b"\x00" * 32,
+        struct.pack(">Hh", 0x0018, -1),
+    )
+    stsd = _fbox(b"stsd", 0, 0, struct.pack(">I", 1), entry)
+    stbl = _box(b"stbl", stsd, stts, stsc, stsz, stco)
+    dinf = _box(
+        b"dinf",
+        _fbox(b"dref", 0, 0, struct.pack(">I", 1), _fbox(b"url ", 0, 1)),
+    )
+    minf = _box(
+        b"minf", _fbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0)),
+        dinf, stbl,
+    )
+    duration = sum(deltas)
+    mdhd = _fbox(
+        b"mdhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration),
+        struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = _fbox(
+        b"hdlr", 0, 0, struct.pack(">I", 0), b"vide", b"\x00" * 12,
+        b"VideoHandler\x00",
+    )
+    mdia = _box(b"mdia", mdhd, hdlr, minf)
+    tkhd = _fbox(
+        b"tkhd", 0, 7,
+        struct.pack(">IIII", 0, 0, 1, 0),
+        struct.pack(">I", duration), b"\x00" * 8,
+        struct.pack(">HHHH", 0, 0, 0, 0), _MP4_MATRIX,
+        struct.pack(">II", width << 16, height << 16),
+    )
+    trak = _box(b"trak", tkhd, mdia)
+    mvhd = _fbox(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, duration),
+        struct.pack(">IHH", 0x00010000, 0x0100, 0), b"\x00" * 8,
+        _MP4_MATRIX, b"\x00" * 24, struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd, trak)
+    return ftyp + mdat + moov
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) for the boxes in
+    buf[start:end]; handles 64-bit largesize and size-0 (to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size, tag = struct.unpack(">I4s", buf[pos:pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("corrupt MP4: truncated largesize")
+            size = struct.unpack(">Q", buf[pos + 8:pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("corrupt MP4: box overruns container")
+        yield tag, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_child(buf: bytes, start: int, end: int, tag: bytes):
+    for t, s, e in _mp4_boxes(buf, start, end):
+        if t == tag:
+            return s, e
+    return None
+
+
+def _mp4_table(buf: bytes, s: int, e: int, tag: str) -> list:
+    """Entries of a full-box uint32 table (stts/stsc/stco row shapes)."""
+    if e - s < 8:
+        raise ValueError(f"corrupt MP4: truncated {tag}")
+    (n,) = struct.unpack(">I", buf[s + 4:s + 8])
+    per = {"stts": 2, "stsc": 3, "stco": 1}[tag]
+    need = s + 8 + 4 * per * n
+    if need > e:
+        raise ValueError(f"corrupt MP4: {tag} shorter than its count")
+    vals = struct.unpack(f">{per * n}I", buf[s + 8:need])
+    return [vals[i * per:(i + 1) * per] for i in range(n)]
+
+
+def demux_mp4(payload: bytes) -> list:
+    """MP4 bytes → [(ts_ms, sample_bytes)] for the first video trak
+    (first trak if none is tagged 'vide'), timestamps from stts in
+    mdhd-timescale units converted to ms. Raises ValueError on
+    non-MP4 or corrupt/truncated structures."""
+    buf = bytes(payload)
+    if sniff(buf) != "mp4":
+        raise ValueError("not an MP4 (no ftyp)")
+    moov = _mp4_child(buf, 0, len(buf), b"moov")
+    if moov is None:
+        raise ValueError("corrupt MP4: no moov box")
+    traks = [(s, e) for t, s, e in _mp4_boxes(buf, *moov) if t == b"trak"]
+    if not traks:
+        raise ValueError("corrupt MP4: no trak in moov")
+    chosen = None
+    for ts_, te_ in traks:
+        mdia = _mp4_child(buf, ts_, te_, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(buf, *mdia, b"hdlr")
+        if hdlr and buf[hdlr[0] + 8:hdlr[0] + 12] == b"vide":
+            chosen = mdia
+            break
+        if chosen is None:
+            chosen = mdia
+    if chosen is None:
+        raise ValueError("corrupt MP4: no mdia in any trak")
+    mdhd = _mp4_child(buf, *chosen, b"mdhd")
+    if mdhd is None or mdhd[1] - mdhd[0] < 24:
+        raise ValueError("corrupt MP4: missing/truncated mdhd")
+    version = buf[mdhd[0]]
+    tsc_off = mdhd[0] + (20 if version == 1 else 12)
+    (timescale,) = struct.unpack(">I", buf[tsc_off:tsc_off + 4])
+    if timescale == 0:
+        raise ValueError("corrupt MP4: zero timescale")
+    minf = _mp4_child(buf, *chosen, b"minf")
+    stbl = minf and _mp4_child(buf, *minf, b"stbl")
+    if not stbl:
+        raise ValueError("corrupt MP4: no stbl")
+
+    stts = _mp4_child(buf, *stbl, b"stts")
+    stsc = _mp4_child(buf, *stbl, b"stsc")
+    stsz = _mp4_child(buf, *stbl, b"stsz")
+    stco = _mp4_child(buf, *stbl, b"stco")
+    if not (stts and stsc and stsz and stco):
+        raise ValueError("corrupt MP4: incomplete sample tables")
+
+    s, e = stsz
+    if e - s < 12:
+        raise ValueError("corrupt MP4: truncated stsz")
+    fixed, n = struct.unpack(">II", buf[s + 4:s + 12])
+    if fixed:
+        sizes = [fixed] * n
+    else:
+        if s + 12 + 4 * n > e:
+            raise ValueError("corrupt MP4: stsz shorter than its count")
+        sizes = list(struct.unpack(f">{n}I", buf[s + 12:s + 12 + 4 * n]))
+
+    deltas = []
+    for cnt, d in _mp4_table(buf, *stts, "stts"):
+        deltas.extend([d] * cnt)
+    if len(deltas) < n:
+        raise ValueError("corrupt MP4: stts covers fewer samples "
+                         "than stsz")
+    offsets = [o for (o,) in _mp4_table(buf, *stco, "stco")]
+    runs = _mp4_table(buf, *stsc, "stsc")
+    if not runs or runs[0][0] != 1:
+        raise ValueError("corrupt MP4: stsc must start at chunk 1")
+
+    samples, ts, si = [], 0, 0
+    for ci, chunk_off in enumerate(offsets, start=1):
+        spc = 0
+        for first, cnt, _desc in runs:
+            if first <= ci:
+                spc = cnt
+            else:
+                break
+        pos = chunk_off
+        for _ in range(spc):
+            if si >= n:
+                break
+            size = sizes[si]
+            if pos + size > len(buf):
+                raise ValueError("corrupt MP4: sample overruns mdat")
+            samples.append(
+                (int(round(ts * 1000.0 / timescale)), buf[pos:pos + size])
+            )
+            pos += size
+            ts += deltas[si]
+            si += 1
+        if si >= n:
+            break
+    if si < n:
+        raise ValueError("corrupt MP4: chunks cover fewer samples "
+                         "than stsz declares")
+    return samples
 
 
 def decode_image(payload: bytes) -> np.ndarray:

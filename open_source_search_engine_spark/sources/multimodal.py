@@ -13,10 +13,12 @@ decode/encode and 8/16/32-bit PCM WAV decode/encode are implemented
 for real in ``sources/codecs.py`` (zlib + the five PNG row filters,
 ``wave`` + numpy). ``_decode_kernel`` sniffs the payload's magic
 bytes and routes real formats to the real decoders — round 4 added a
-pure-numpy baseline JPEG decoder (Huffman + IDCT), so JPEG now rides
-the real route too; only formats whose codecs genuinely need external
-libraries (MP4/H.264) fall back to the deterministic fake codec (or
-raise ``NotImplementedError`` when ``USE_FAKE_CODEC`` is off —
+pure-numpy baseline JPEG decoder (Huffman + IDCT), so JPEG rides the
+real route too, and a real ISO-BMFF demuxer so ``sample_frames``
+slices ACTUAL coded samples + stts timestamps out of MP4 containers.
+Only H.264/AAC pixel/sample DECODE genuinely needs external
+libraries; that one step falls back to the deterministic fake codec
+(or raises ``NotImplementedError`` when ``USE_FAKE_CODEC`` is off —
 production plugs ffmpeg into that one branch).
 
 Scale notes:
@@ -249,31 +251,76 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
     )
 
 
+def _grid_samples(
+    samples: list, every_ms: int, max_frames: int
+) -> list:
+    """Pick ≤max_frames demuxed samples on the every_ms grid: for each
+    target t = 0, every_ms, 2·every_ms, … take the LAST sample with
+    ts ≤ t (the seek-to-timestamp convention), skipping targets that
+    land on an already-picked sample. Returns (ts_ms, bytes) pairs."""
+    picked, last_i, t = [], -1, 0
+    last_ts = samples[-1][0]
+    while len(picked) < max_frames and t <= max(last_ts, 0):
+        i = 0
+        for j, (ts, _b) in enumerate(samples):
+            if ts <= t:
+                i = j
+            else:
+                break
+        if i != last_i:
+            picked.append(samples[i])
+            last_i = i
+        t += every_ms
+    return picked
+
+
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
     """video media -> one row per sampled frame (media_id, frame_idx,
     ts_ms, frame binary). The UDF is a flat-map: output rows != input
     rows, which mapInPandas supports natively (the reference has no
-    analogue — closest is Sections.cpp splitting docs into parts)."""
+    analogue — closest is Sections.cpp splitting docs into parts).
+
+    REAL for MP4 payloads (round 4): the ISO-BMFF container is
+    demuxed for real (``codecs.demux_mp4`` walks moov→trak→stbl and
+    slices each sample's exact byte range out of mdat), so ``frame``
+    is the actual coded sample and ``ts_ms`` its real stts timestamp;
+    only pixel DECODE of those samples still needs ffmpeg. Unknown
+    formats keep the byte-stride stand-in."""
     out_schema = "media_id long, frame_idx int, ts_ms int, frame binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs as C
+
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
             for mid, p, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 b = bytes(p or b"")
-                n_frames = min(
-                    max_frames, max(1, int(dur or 0) // every_ms)
-                )
-                step = max(1, len(b) // max(n_frames, 1))
-                for i in range(n_frames):
+                got = None
+                if C.sniff(b) == "mp4":
+                    try:
+                        got = _grid_samples(
+                            C.demux_mp4(b), every_ms, max_frames
+                        )
+                    except ValueError:
+                        got = None  # corrupt container → stand-in
+                if got is None:
+                    n_frames = min(
+                        max_frames, max(1, int(dur or 0) // every_ms)
+                    )
+                    step = max(1, len(b) // max(n_frames, 1))
+                    got = [
+                        (i * every_ms, b[i * step : i * step + 64])
+                        for i in range(n_frames)
+                    ]
+                for i, (ts, frame) in enumerate(got):
                     ids.append(mid)
                     idxs.append(i)
-                    tss.append(i * every_ms)
-                    frames.append(b[i * step : i * step + 64])
+                    tss.append(ts)
+                    frames.append(frame)
             yield pd.DataFrame(
                 {
                     "media_id": np.array(ids, np.int64),
@@ -292,9 +339,11 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests/benches (no
     external data; payloads are a pure function of (seed, media_id)).
     Images rotate through REAL PNG / baseline-JPEG (4:2:0, restart
-    markers) / 24-bit BMP, audio rows are REAL 16-bit PCM WAVs; only
-    video payloads are opaque bytes (MP4 stays on the disclosed
-    fake-codec path)."""
+    markers) / 24-bit BMP, audio rows are REAL 16-bit PCM WAVs, and
+    video rows are REAL minimal MP4 containers (ftyp/mdat/moov with
+    exact stts/stsc/stsz/stco sample tables) whose frame payloads are
+    deterministic opaque bytes standing in for coded pictures — the
+    container demux is real; only pixel decode stays stubbed."""
     from . import codecs as C
 
     rows = []
@@ -325,13 +374,19 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
             mime, wd, ht = "audio/wav", None, None
         else:
-            size = int(rng.randint(256, 2048))
-            payload = bytes(
-                (np.arange(size, dtype=np.int64) * (i + 7) % 251).astype(
-                    np.uint8
+            n_frames = int(rng.randint(3, 12))
+            frame_ms = int(rng.choice([200, 400, 500]))
+            frames = [
+                bytes(
+                    (
+                        np.arange(int(rng.randint(64, 512)), dtype=np.int64)
+                        * (i + 7 + fi) % 251
+                    ).astype(np.uint8)
                 )
-            )
+                for fi in range(n_frames)
+            ]
+            payload = C.encode_mp4(frames, frame_ms)
             mime, wd, ht = "video/mp4", 64, 48
-            dur = int(rng.randint(1000, 9000))
+            dur = n_frames * frame_ms
         rows.append((i, kind, payload, mime, wd, ht, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -273,3 +273,56 @@ def test_jpeg_corrupt_streams_raise_valueerror():
     # segment truncated mid-header (struct.unpack would die)
     with _pytest.raises(ValueError):
         C.decode_jpeg(enc[: enc.find(b"\xff\xc4") + 3])
+
+
+# --- MP4 (ISO BMFF demux) ---------------------------------------------------
+
+
+def test_mp4_roundtrip_frames_and_timestamps():
+    """encode_mp4 → demux_mp4 returns byte-exact samples with the
+    cumulative stts timestamps, across multi-chunk stsc layouts and
+    run-length stts (mixed per-frame durations)."""
+    frames = [bytes([i] * (10 + 7 * i)) for i in range(7)]
+    durs = [400, 400, 500, 500, 500, 300, 300]
+    enc = C.encode_mp4(frames, durs, samples_per_chunk=3)
+    assert C.sniff(enc) == "mp4"
+    out = C.demux_mp4(enc)
+    assert [b for _, b in out] == frames
+    assert [t for t, _ in out] == [0, 400, 800, 1300, 1800, 2300, 2600]
+    # uniform int duration + single frame (one chunk, one stts run)
+    assert C.demux_mp4(C.encode_mp4([b"xyz"], 250)) == [(0, b"xyz")]
+    # non-1000 timescale: ts still lands in ms
+    enc2 = C.encode_mp4([b"a", b"bb"], [100, 100], timescale=90000)
+    assert [t for t, _ in C.demux_mp4(enc2)] == [0, 100]
+
+
+def test_mp4_corrupt_streams_raise_valueerror():
+    import pytest as _pytest
+
+    enc = C.encode_mp4([b"aaaa", b"bbbb", b"cccc"], 400)
+    for bad in (
+        enc[:40],                        # no moov at all
+        enc[: len(enc) - 10],            # moov truncated mid-box
+        b"\x00\x00\x00\x0cftypabcd",     # ftyp only
+        enc.replace(b"stco", b"XXXX"),   # sample tables incomplete
+        enc.replace(b"mdhd", b"XXXX"),   # no mdhd
+        b"not an mp4 at all",            # sniff fails
+    ):
+        with _pytest.raises(ValueError):
+            C.demux_mp4(bad)
+
+
+def test_mp4_stsz_overrun_rejected():
+    """A sample that points past the end of the buffer (truncated
+    mdat) raises rather than returning short bytes."""
+    import pytest as _pytest
+    import struct as _struct
+
+    frames = [b"a" * 32, b"b" * 32]
+    enc = C.encode_mp4(frames, 400)
+    # inflate the first stsz entry so the sample overruns the file
+    si = enc.find(b"stsz")
+    entry0 = si + 4 + 4 + 8  # tag + verflags + (fixed, count)
+    bad = enc[:entry0] + _struct.pack(">I", 1 << 24) + enc[entry0 + 4:]
+    with _pytest.raises(ValueError):
+        C.demux_mp4(bad)

@@ -84,16 +84,31 @@ def test_resize_is_true_nearest_neighbor(spark, media):
 
 
 def test_sample_frames_flatmap(spark, media):
+    """Synth video rows are REAL MP4 containers (round 4), so the
+    sampled frames must be the ACTUAL demuxed samples: real stts
+    timestamps and byte-exact sample payloads sliced from mdat."""
+    from open_source_search_engine_spark.sources import codecs as C
+
+    vid_rows = media.filter("kind = 'video'").collect()
     out = M.sample_frames(media, every_ms=1000, max_frames=4).collect()
-    vids = {r["media_id"] for r in media.filter("kind = 'video'").collect()}
+    vids = {r["media_id"] for r in vid_rows}
     assert {r["media_id"] for r in out} == vids
     by_id = {}
     for r in out:
         by_id.setdefault(r["media_id"], []).append(r)
+    demuxed = {
+        r["media_id"]: dict(C.demux_mp4(bytes(r["payload"])))
+        for r in vid_rows
+    }
     for mid, frames in by_id.items():
-        idxs = sorted(f["frame_idx"] for f in frames)
-        assert idxs == list(range(len(idxs)))  # dense frame indices
-        assert all(f["ts_ms"] == f["frame_idx"] * 1000 for f in frames)
+        frames.sort(key=lambda f: f["frame_idx"])
+        assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+        assert len(frames) <= 4
+        tss = [f["ts_ms"] for f in frames]
+        assert tss == sorted(set(tss))  # strictly increasing real ts
+        for f in frames:
+            # byte-exact: the frame is the demuxed sample at its ts
+            assert bytes(f["frame"]) == demuxed[mid][f["ts_ms"]]
 
 
 # --- streaming -------------------------------------------------------------
