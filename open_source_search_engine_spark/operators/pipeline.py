@@ -21,6 +21,7 @@ Scale notes are per-function; the shared principles:
 from __future__ import annotations
 
 import logging
+import threading
 
 import numpy as np
 import pandas as pd
@@ -31,6 +32,11 @@ from pyspark.sql import types as T
 from ..tokenizer import tokens_col
 
 _LOG = logging.getLogger(__name__)
+
+# guards the snapshot→localCheckpoint→snapshot window in
+# connected_components so concurrent driver threads attribute
+# persistent-RDD registrations to the right caller
+_CC_CKPT_LOCK = threading.Lock()
 
 # ---------------------------------------------------------------------------
 # shingles
@@ -414,23 +420,60 @@ def connected_components(
     Round count is recorded on ``connected_components.last_rounds``
     (and debug-logged) for the scale tests.
 
-    Lineage discipline: each round's edge set is ``localCheckpoint``ed
-    (eager). ``cache()`` alone is NOT enough for an iterative
+    Lineage discipline: each round's edge set is ``localCheckpoint``ed.
+    ``cache()`` alone is NOT enough for an iterative
     DataFrame algorithm — it truncates execution but the LOGICAL plan
     keeps nesting (≈4× nodes per star round), so analysis/
     canonicalization goes super-linear and deep chains stack-overflow
     Catalyst. Checkpointing materializes the round and cuts the plan
     to a leaf; on a cluster with dynamic executors use
     ``spark.checkpoint`` (reliable, HDFS-backed) instead.
+
+    Storage discipline: ``Dataset.unpersist()`` does NOT free a local
+    checkpoint (it goes through the cache manager; localCheckpoint
+    persists the internal RDD directly), so superseded rounds are
+    dropped by unpersisting the registered RDDs themselves, found by
+    diffing ``sc.getPersistentRDDs`` around the (non-eager, so
+    driver-only and cheap) checkpoint call under a module lock —
+    concurrent driver threads can't cross-attribute and kill each
+    other's blocks. The FINAL round's checkpoint stays persisted: the
+    returned labels DataFrame reads from it.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _persisted_ids() -> set:
+        out = set()
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            out.add(it.next()._1())
+        return out
+
+    def _drop_rdds(idset: set) -> None:
+        it = sc._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            t = it.next()
+            if t._1() in idset:
+                t._2().unpersist(False)
+
+    def _ckpt(df: DataFrame) -> tuple:
+        """localCheckpoint(df) plus the persistent-RDD ids it
+        registered. Non-eager: the persist registration happens
+        synchronously on the driver; the NEXT action over the result
+        (always `_sig` here, which touches every partition)
+        materializes the blocks."""
+        with _CC_CKPT_LOCK:
+            before = _persisted_ids()
+            ck = df.localCheckpoint(eager=False)
+            own = _persisted_ids() - before
+        return ck, own
+
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = (
+    edges, own = _ckpt(
         e.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def _sig(df: DataFrame) -> tuple:
@@ -445,14 +488,13 @@ def connected_components(
     sig = _sig(edges)
     rounds = 0
     for _ in range(max_iter):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(
-            eager=True
-        )
-        new_sig = _sig(new_edges)
+        new_edges, new_own = _ckpt(_small_star(_large_star(edges)))
+        new_sig = _sig(new_edges)  # materializes the new checkpoint
         # the superseded round's checkpoint is dead weight once the
-        # new one is materialized — drop it so long-lived sessions
-        # don't pin max_iter edge-set copies in executor storage
-        edges.unpersist()
+        # new one is materialized — drop its RDD blocks so long-lived
+        # sessions don't pin max_iter edge-set copies in storage
+        _drop_rdds(own)
+        own = new_own
         edges = new_edges
         rounds += 1
         if new_sig == sig:

@@ -237,6 +237,12 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 # Production swaps this kernel for libjpeg-turbo; the Spark-side
 # plumbing is identical.
 
+# Decode-side allocation cap: coefficient planes are sized from the
+# SOF header before any entropy data is read, so header dims bound
+# memory, not payload size. 64 MP ≈ 8K×8K — beyond any sane web
+# image; ~1.6 GB transient per 3-component decode at the cap.
+JPEG_MAX_PIXELS = 64_000_000
+
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10,
     17, 24, 32, 25, 18, 11, 4, 5,
@@ -473,6 +479,19 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if W == 0 or H == 0:
+                raise ValueError("corrupt JPEG: zero SOF dimension")
+            # the coefficient planes are allocated from these header-
+            # declared dims BEFORE any entropy data is read — an
+            # unchecked 65535x65535 header in a 200-byte payload would
+            # request ~17 GB/component and OOM-kill the Arrow worker
+            # instead of taking the ValueError/fallback route
+            if W * H > JPEG_MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {W}x{H} exceed JPEG_MAX_PIXELS="
+                    f"{JPEG_MAX_PIXELS} (corrupt header or raise the "
+                    "module constant)"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]

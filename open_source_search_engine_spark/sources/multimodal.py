@@ -302,9 +302,11 @@ def sample_frames(
                 got = None
                 if C.sniff(b) == "mp4":
                     try:
-                        got = _grid_samples(
-                            C.demux_mp4(b), every_ms, max_frames
-                        )
+                        smp = C.demux_mp4(b)
+                        # a zero-sample track is structurally valid
+                        # but has nothing to sample → stand-in path
+                        if smp:
+                            got = _grid_samples(smp, every_ms, max_frames)
                     except ValueError:
                         got = None  # corrupt container → stand-in
                 if got is None:

@@ -326,3 +326,41 @@ def test_mp4_stsz_overrun_rejected():
     bad = enc[:entry0] + _struct.pack(">I", 1 << 24) + enc[entry0 + 4:]
     with _pytest.raises(ValueError):
         C.demux_mp4(bad)
+
+
+def test_jpeg_huge_header_dims_rejected_before_alloc():
+    """A tiny payload whose SOF declares 65535x65535 must take the
+    ValueError route, not allocate ~17 GB of coefficient planes and
+    OOM the worker (round-4 review fix: JPEG_MAX_PIXELS)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    enc = C.encode_jpeg(_gradient_rgb(16, 16))
+    sof = enc.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) H(2) W(2) — patch H and W
+    huge = (
+        enc[: sof + 5]
+        + _struct.pack(">HH", 65535, 65535)
+        + enc[sof + 9 :]
+    )
+    with _pytest.raises(ValueError, match="JPEG_MAX_PIXELS"):
+        C.decode_jpeg(huge)
+    zero = (
+        enc[: sof + 5] + _struct.pack(">HH", 0, 16) + enc[sof + 9 :]
+    )
+    with _pytest.raises(ValueError, match="zero SOF"):
+        C.decode_jpeg(zero)
+
+
+def test_mp4_zero_sample_track_demuxes_empty():
+    """A structurally valid MP4 whose stsz declares 0 samples demuxes
+    to [] (not a crash) — sample_frames then takes the stand-in path
+    (round-4 review fix)."""
+    import struct as _struct
+
+    enc = C.encode_mp4([b"aaaa"], 400)
+    si = enc.find(b"stsz")
+    cnt = si + 4 + 4 + 4  # tag + verflags + fixed-size field
+    patched = enc[:cnt] + _struct.pack(">I", 0) + enc[cnt + 4 :]
+    assert C.demux_mp4(patched) == []

@@ -111,6 +111,27 @@ def test_sample_frames_flatmap(spark, media):
             assert bytes(f["frame"]) == demuxed[mid][f["ts_ms"]]
 
 
+def test_sample_frames_zero_sample_mp4_takes_standin(spark):
+    """A structurally valid MP4 whose tables declare 0 samples must
+    not crash the mapInPandas batch (round-4 review fix): demux
+    returns [] and the row takes the byte-stride stand-in path."""
+    import struct as _struct
+
+    from open_source_search_engine_spark.sources import codecs as C
+
+    enc = C.encode_mp4([b"aaaa"], 400)
+    si = enc.find(b"stsz")
+    cnt = si + 4 + 4 + 4
+    patched = enc[:cnt] + _struct.pack(">I", 0) + enc[cnt + 4 :]
+    df = spark.createDataFrame(
+        [(7, "video", patched, "video/mp4", 64, 48, 3000)],
+        M.MEDIA_SCHEMA,
+    )
+    out = M.sample_frames(df, every_ms=1000, max_frames=4).collect()
+    assert len(out) == 3  # duration_ms // every_ms stand-in frames
+    assert all(r["media_id"] == 7 for r in out)
+
+
 # --- streaming -------------------------------------------------------------
 
 

@@ -291,6 +291,36 @@ def test_connected_components_chain_olog_rounds(spark):
     )
 
 
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """Superseded rounds' localCheckpoint blocks are actually freed.
+    Dataset.unpersist() is a NO-OP for local checkpoints (it goes
+    through the cache manager; localCheckpoint persists the internal
+    RDD directly), so the round-4 fix unpersists the registered RDDs
+    themselves — at most the FINAL round's checkpoint (which the
+    returned labels DataFrame reads from) may remain pinned."""
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    n = 128
+    ids = spark.createDataFrame([(i,) for i in range(n)], "docid long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    before = n_persistent()
+    out = P.connected_components(ids, pairs)
+    assert P.connected_components.last_rounds >= 3  # multi-round run
+    after = n_persistent()
+    assert after - before <= 1, (
+        f"{after - before} checkpointed edge sets still pinned after "
+        f"{P.connected_components.last_rounds} rounds — superseded "
+        "rounds must be unpersisted"
+    )
+    # and the surviving checkpoint serves the result correctly
+    got = {r["docid"]: r["cluster_id"] for r in out.collect()}
+    assert all(got[i] == 0 for i in range(n))
+
+
 def test_ivf_fixed_centroid_count(spark, emb):
     """The centroid sample is FIXED-SIZE (driver holds k·dim floats,
     not a corpus fraction)."""

@@ -278,6 +278,50 @@ def test_search_syn_groups(spark):
     assert scores[1] > scores[2] and scores[1] > scores[3]
 
 
+def test_search_syn_with_sortby(spark):
+    """syn:1 combined with sortby: must keep the synonym-EXPANDED
+    match set (round-3 silently matched unexpanded here; the round-4
+    fix routes the match set through bm25_groups_topk k=None) while
+    ranking by the sort key, with negation still exact."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join filter speed"),       # literal AND match
+            (2, "merge filter speed now"),  # synonym-of-join + filter
+            (3, "merge where speed and then some more text"),
+            (4, "join speed"),              # missing filter group
+            (5, "merge filter sluggish"),   # group match but negated
+        ],
+        "docid long, text string",
+    )
+    idx = build_index(docs)
+    meta = docs.select(
+        "docid", F.length("text").alias("n_chars")
+    )
+
+    out = S.search(idx, meta, "join filter syn:1 sortby:n_chars",
+                   k=10).collect()
+    # expanded match set, NOT the unexpanded {1}
+    assert {r["docid"] for r in out} == {1, 2, 3, 5}
+    svals = [r["sval"] for r in out]
+    assert svals == sorted(svals, reverse=True)
+
+    # negation stays exact under the syn+sortby branch
+    neg = S.search(idx, meta, "join filter syn:1 sortby:n_chars "
+                   "-sluggish", k=10).collect()
+    assert {r["docid"] for r in neg} == {1, 2, 3}
+
+    # plain sortby (no syn) still matches literally
+    plain = S.search(idx, meta, "join filter sortby:n_chars",
+                     k=10).collect()
+    assert {r["docid"] for r in plain} == {1}
+
+
 # --- D7: bigram-termlist phrase acceleration ------------------------------
 
 
