@@ -852,13 +852,16 @@ def encode_mp4(
     width: int = 64,
     height: int = 48,
     samples_per_chunk: int = 3,
+    sync_every: int = 0,
 ) -> bytes:
     """Minimal valid ISO-BMFF MP4: ftyp + mdat (concatenated frame
     payloads) + moov with one video trak whose stts/stsc/stsz/stco
     tables describe the frames exactly. Frame payloads are opaque
     bytes (tests use deterministic stand-ins for coded pictures —
     the container math is what's real). ``durations_ms`` is an int
-    (uniform) or a per-frame list."""
+    (uniform) or a per-frame list. ``sync_every`` > 0 emits an stss
+    box marking samples 1, 1+k, … as sync samples (keyframes); 0
+    omits stss (ISO semantics: every sample is sync)."""
     n = len(frames)
     if n == 0:
         raise ValueError("encode_mp4 needs at least one frame")
@@ -926,7 +929,16 @@ def encode_mp4(
         struct.pack(">Hh", 0x0018, -1),
     )
     stsd = _fbox(b"stsd", 0, 0, struct.pack(">I", 1), entry)
-    stbl = _box(b"stbl", stsd, stts, stsc, stsz, stco)
+    stbl_children = [stsd, stts, stsc, stsz, stco]
+    if sync_every > 0:
+        syncs = list(range(1, n + 1, sync_every))
+        stbl_children.append(
+            _fbox(
+                b"stss", 0, 0, struct.pack(">I", len(syncs)),
+                *[struct.pack(">I", s_) for s_ in syncs],
+            )
+        )
+    stbl = _box(b"stbl", *stbl_children)
     dinf = _box(
         b"dinf",
         _fbox(b"dref", 0, 0, struct.pack(">I", 1), _fbox(b"url ", 0, 1)),
@@ -1004,11 +1016,14 @@ def _mp4_table(buf: bytes, s: int, e: int, tag: str) -> list:
     return [vals[i * per:(i + 1) * per] for i in range(n)]
 
 
-def demux_mp4(payload: bytes) -> list:
+def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
     """MP4 bytes → [(ts_ms, sample_bytes)] for the first video trak
     (first trak if none is tagged 'vide'), timestamps from stts in
-    mdhd-timescale units converted to ms. Raises ValueError on
-    non-MP4 or corrupt/truncated structures."""
+    mdhd-timescale units converted to ms; chunk offsets from stco or
+    co64 (64-bit — what >4 GB captures ship). ``keyframes_only``
+    restricts to the stss sync-sample set (absent stss = every sample
+    is sync, per ISO 14496-12). Raises ValueError on non-MP4 or
+    corrupt/truncated structures."""
     buf = bytes(payload)
     if sniff(buf) != "mp4":
         raise ValueError("not an MP4 (no ftyp)")
@@ -1048,7 +1063,8 @@ def demux_mp4(payload: bytes) -> list:
     stsc = _mp4_child(buf, *stbl, b"stsc")
     stsz = _mp4_child(buf, *stbl, b"stsz")
     stco = _mp4_child(buf, *stbl, b"stco")
-    if not (stts and stsc and stsz and stco):
+    co64 = _mp4_child(buf, *stbl, b"co64")
+    if not (stts and stsc and stsz and (stco or co64)):
         raise ValueError("corrupt MP4: incomplete sample tables")
 
     s, e = stsz
@@ -1068,7 +1084,17 @@ def demux_mp4(payload: bytes) -> list:
     if len(deltas) < n:
         raise ValueError("corrupt MP4: stts covers fewer samples "
                          "than stsz")
-    offsets = [o for (o,) in _mp4_table(buf, *stco, "stco")]
+    if co64:
+        # 64-bit chunk offsets — what real >4 GB captures ship
+        s, e = co64
+        if e - s < 8:
+            raise ValueError("corrupt MP4: truncated co64")
+        (nc,) = struct.unpack(">I", buf[s + 4:s + 8])
+        if s + 8 + 8 * nc > e:
+            raise ValueError("corrupt MP4: co64 shorter than its count")
+        offsets = list(struct.unpack(f">{nc}Q", buf[s + 8:s + 8 + 8 * nc]))
+    else:
+        offsets = [o for (o,) in _mp4_table(buf, *stco, "stco")]
     runs = _mp4_table(buf, *stsc, "stsc")
     if not runs or runs[0][0] != 1:
         raise ValueError("corrupt MP4: stsc must start at chunk 1")
@@ -1099,6 +1125,21 @@ def demux_mp4(payload: bytes) -> list:
     if si < n:
         raise ValueError("corrupt MP4: chunks cover fewer samples "
                          "than stsz declares")
+    if keyframes_only:
+        stss = _mp4_child(buf, *stbl, b"stss")
+        if stss is not None:
+            s, e = stss
+            if e - s < 8:
+                raise ValueError("corrupt MP4: truncated stss")
+            (nk,) = struct.unpack(">I", buf[s + 4:s + 8])
+            if s + 8 + 4 * nk > e:
+                raise ValueError(
+                    "corrupt MP4: stss shorter than its count"
+                )
+            keep = struct.unpack(f">{nk}I", buf[s + 8:s + 8 + 4 * nk])
+            samples = [
+                samples[k - 1] for k in keep if 1 <= k <= len(samples)
+            ]
     return samples
 
 

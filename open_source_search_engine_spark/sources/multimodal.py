@@ -302,7 +302,11 @@ def sample_frames(
                 got = None
                 if C.sniff(b) == "mp4":
                     try:
-                        smp = C.demux_mp4(b)
+                        # seek on SYNC samples (stss) like a real
+                        # sampler — a grid target between keyframes
+                        # lands on the preceding decodable frame; no
+                        # stss means every sample is sync (ISO)
+                        smp = C.demux_mp4(b, keyframes_only=True)
                         # a zero-sample track is structurally valid
                         # but has nothing to sample → stand-in path
                         if smp:
@@ -387,7 +391,11 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 )
                 for fi in range(n_frames)
             ]
-            payload = C.encode_mp4(frames, frame_ms)
+            # every other video marks keyframes (stss, every 3rd
+            # sample) so keyframe-seek sampling is exercised too
+            payload = C.encode_mp4(
+                frames, frame_ms, sync_every=3 if i % 2 else 0
+            )
             mime, wd, ht = "video/mp4", 64, 48
             dur = n_frames * frame_ms
         rows.append((i, kind, payload, mime, wd, ht, dur))

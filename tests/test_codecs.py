@@ -364,3 +364,54 @@ def test_mp4_zero_sample_track_demuxes_empty():
     cnt = si + 4 + 4 + 4  # tag + verflags + fixed-size field
     patched = enc[:cnt] + _struct.pack(">I", 0) + enc[cnt + 4 :]
     assert C.demux_mp4(patched) == []
+
+
+def test_mp4_co64_and_stss_keyframes():
+    """64-bit chunk offsets (co64) demux identically to stco, and
+    keyframes_only restricts to the stss sync set — a grid sampler
+    then seeks keyframes like a real video pipeline. Absent stss,
+    every sample is sync (ISO 14496-12)."""
+    import struct as _struct
+
+    frames = [bytes([i] * (8 + i)) for i in range(9)]
+    enc = C.encode_mp4(frames, 400, sync_every=3)
+    allsmp = C.demux_mp4(enc)
+    assert [b for _, b in allsmp] == frames
+    keys = C.demux_mp4(enc, keyframes_only=True)
+    assert [b for _, b in keys] == [frames[0], frames[3], frames[6]]
+    assert [t for t, _ in keys] == [0, 1200, 2400]
+    # no stss → keyframes_only returns everything
+    enc_nosync = C.encode_mp4(frames, 400)
+    assert C.demux_mp4(enc_nosync, keyframes_only=True) == \
+        C.demux_mp4(enc_nosync)
+
+    # rewrite stco as co64 (same offsets, 64-bit) and re-demux:
+    # identical samples. The box sizes change, so rebuild the moov
+    # by patching the stco box bytes in place.
+    si = enc.find(b"stco")
+    box_start = si - 4
+    (box_len,) = _struct.unpack(">I", enc[box_start:si])
+    (nch,) = _struct.unpack(
+        ">I", enc[si + 8 : si + 12]
+    )
+    offs = _struct.unpack(
+        f">{nch}I", enc[si + 12 : si + 12 + 4 * nch]
+    )
+    co64 = (
+        _struct.pack(">I", 16 + 8 * nch)
+        + b"co64"
+        + b"\x00\x00\x00\x00"
+        + _struct.pack(">I", nch)
+        + b"".join(_struct.pack(">Q", o) for o in offs)
+    )
+    old_box = enc[box_start : box_start + box_len]
+    grown = len(co64) - len(old_box)
+    out = bytearray(enc.replace(old_box, co64))
+    # fix enclosing box sizes (stbl/minf/mdia/trak/moov grew)
+    for tag in (b"stbl", b"minf", b"mdia", b"trak", b"moov"):
+        ti = bytes(out).find(tag)
+        (osz,) = _struct.unpack(">I", out[ti - 4 : ti])
+        out[ti - 4 : ti] = _struct.pack(">I", osz + grown)
+    got = C.demux_mp4(bytes(out))
+    assert [b for _, b in got] == frames
+    assert [t for t, _ in got] == [t for t, _ in allsmp]
