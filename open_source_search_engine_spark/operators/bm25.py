@@ -51,12 +51,15 @@ def bm25_topk(
     neg_terms: list[str] | None = None,
     round_to: int | None = 4,
     restrict: DataFrame | None = None,
+    neg_docids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 (docid, score). mode='and' requires all terms
     (D4: intersection); mode='or' unions (D5); neg_terms anti-join
     (D6: negative termlists); ``restrict`` semi-joins candidates to a
     (docid) DataFrame (phrase / field constraints) BEFORE the top-k
-    cut, so constrained queries still rank over all matches.
+    cut, so constrained queries still rank over all matches;
+    ``neg_docids`` anti-joins a (docid) DataFrame (negated-phrase
+    exclusions — candidate-level, so no universe scan).
     ``k=None`` returns the full scored set unordered (callers that
     window/cluster before the final cut)."""
     terms = list(dict.fromkeys(terms))
@@ -69,6 +72,10 @@ def bm25_topk(
         agg = agg.filter(F.col("nmatch") == len(terms))
     if restrict is not None:
         agg = agg.join(restrict.select("docid").distinct(), "docid")
+    if neg_docids is not None:
+        agg = agg.join(
+            neg_docids.select("docid").distinct(), "docid", "left_anti"
+        )
     if neg_terms:
         neg = (
             index.postings.join(
@@ -142,7 +149,7 @@ allowed AS ({restrict_cte})"""
     return f"""
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM {doc_table}, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM {doc_table}, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 postings AS (

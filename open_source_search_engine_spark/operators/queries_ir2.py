@@ -276,7 +276,7 @@ def _syn_values(base_terms: list[str]) -> str:
 SYNONYM_SQL = f"""
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 postings AS (
@@ -351,6 +351,7 @@ def bm25_groups_topk(
     restrict=None,
     neg_terms: list[str] | None = None,
     round_to: int = 4,
+    neg_docids=None,
 ):
     """AND/OR of synonym GROUPS (ref: QueryTerm::m_synonymOf +
     Query.cpp requiredness — a synonym termlist satisfies its base
@@ -390,6 +391,11 @@ def bm25_groups_topk(
         agg = agg.filter(F.col("ngroups") == len(groups))
     if restrict is not None:
         agg = agg.join(restrict.select("docid").distinct(), "docid")
+    if neg_docids is not None:
+        # negated-phrase exclusions (docid-level, candidate anti-join)
+        agg = agg.join(
+            neg_docids.select("docid").distinct(), "docid", "left_anti"
+        )
     if neg_terms:
         # negation stays EXACT (the reference never expands negative
         # terms) and applies before the top-k cut, like bm25_topk
@@ -422,7 +428,7 @@ def syngroup_sql(base_terms: list[str], k: int = 10) -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 postings AS (

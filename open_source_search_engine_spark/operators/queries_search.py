@@ -172,7 +172,7 @@ def search_parsed_syn(spark, sf_dir):
 SITE_CLUSTER_SQL = f"""
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 postings AS (
@@ -228,7 +228,7 @@ def site_cluster_topk(spark, sf_dir):
 FACET_SQL = """
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 hits AS (SELECT DISTINCT docid FROM tok WHERE term = 'join')
@@ -293,7 +293,7 @@ def range_filter_topk(spark, sf_dir):
 SORTBY_SQL = """
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 hits AS (SELECT DISTINCT docid FROM tok WHERE term = 'join')
@@ -319,7 +319,7 @@ def sortby_topk(spark, sf_dir):
 SORTBY_FILTERED_SQL = """
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 hits AS (SELECT DISTINCT docid FROM tok WHERE term = 'join'),
@@ -402,7 +402,7 @@ def wiki_title_boosted(idx, terms: list[str], k: int = 10):
 WIKI_TITLE_SQL = f"""
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 postings AS (
@@ -483,7 +483,7 @@ _SNIP_TLIST = ", ".join(f"'{t}'" for t in SNIP_TERMS)
 SNIPPETS_SQL = f"""
 WITH tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 postings AS (

@@ -47,7 +47,7 @@ DRIVER_QUERY_CAP = 50
 TOK_CTE = """
 tok AS (
   SELECT doc_id AS docid, t.tokk AS term
-  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tokk)
+  FROM documents, LATERAL unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tokk)
   WHERE t.tokk <> ''
 ),
 postings AS (

@@ -34,7 +34,10 @@ from .index_build import InvertedIndex
 
 _QTOK_RE = re.compile(
     r"""
-    (?P<quote>"[^"]*")          # quoted phrase
+    (?P<negquote>-"[^"]*")      # negated quoted phrase (before term:
+                                # [^\s|]+ would otherwise eat -"a and
+                                # silently turn it into NOT a AND b)
+  | (?P<quote>"[^"]*")          # quoted phrase
   | (?P<or>\|)                  # OR separator
   | (?P<term>[^\s|]+)           # bare term / -term / field:term
     """,
@@ -46,13 +49,19 @@ _QTOK_RE = re.compile(
 class ParsedQuery:
     """required: AND terms; optional: OR terms; negated: NOT terms;
     phrases: quoted token sequences (also contribute their terms to
-    required); fields: {field: value} constraints (site:, lang:,
-    minlen:, maxlen:, sortby:)."""
+    required); neg_phrases: ``-"a b"`` exclusions (the PHRASE is
+    excluded, not its words); opt_standalone: the optional words that
+    came from bare terms, not phrases — in OR mode the operands are
+    phrases + standalone words, so a doc matching a phrase word alone
+    matches no operand; fields: {field: value} constraints (site:,
+    lang:, minlen:, maxlen:, sortby:)."""
 
     required: list[str] = field(default_factory=list)
     optional: list[str] = field(default_factory=list)
     negated: list[str] = field(default_factory=list)
     phrases: list[list[str]] = field(default_factory=list)
+    neg_phrases: list[list[str]] = field(default_factory=list)
+    opt_standalone: list[str] = field(default_factory=list)
     fields: dict[str, str] = field(default_factory=dict)
 
     @property
@@ -78,6 +87,13 @@ def parse_query(q: str) -> ParsedQuery:
     for m in toks:
         kind = m.lastgroup
         if kind == "or":
+            continue
+        if kind == "negquote":
+            words = tokenize(m.group("negquote"))
+            if words:
+                # exclude the PHRASE (adjacent sequence), not its
+                # words — a doc using both words separately stays in
+                out.neg_phrases.append(words)
             continue
         if kind == "quote":
             words = tokenize(m.group("quote"))
@@ -111,7 +127,10 @@ def parse_query(q: str) -> ParsedQuery:
         else:
             out.required.extend(words)
     if has_or:
-        # in OR mode everything non-negated is optional
+        # in OR mode everything non-negated is optional for SCORING,
+        # but the match operands are phrases + standalone words only
+        # (opt_standalone) — phrase words alone satisfy no operand
+        out.opt_standalone = list(dict.fromkeys(out.optional))
         out.optional = list(dict.fromkeys(out.required + out.optional))
         out.required = []
     return out
@@ -136,6 +155,10 @@ def parse_bool(q: str):
 
     def take():
         nonlocal pos
+        if pos >= len(toks):
+            # trailing operator / dangling '(' — reject like every
+            # other malformed input, not with a raw IndexError
+            raise ValueError(f"unexpected end of query: {q!r}")
         t = toks[pos]
         pos += 1
         return t
@@ -168,7 +191,8 @@ def parse_bool(q: str):
         t = take()
         if t == "(":
             node = parse_or()
-            assert take() == ")", "unbalanced parens"
+            if take() != ")":
+                raise ValueError(f"unbalanced parens in query: {q!r}")
             return node
         words = tokenize(t)
         if not words:
@@ -421,8 +445,15 @@ def range_filter_topk(
         (F.col(num_col) >= lo) & (F.col(num_col) <= hi)
     ).select("docid", num_col)
     scored = bm25_topk(index, [term], k=k, restrict=meta)
-    return scored.join(meta, "docid").select(
-        "docid", "score", F.col(num_col).cast("long").alias("nval")
+    # re-apply the relevance order AFTER the meta join: a hash join
+    # re-plans without any ordering guarantee, so the docstring's
+    # 'relevance order' contract would otherwise be partition-luck
+    return (
+        scored.join(meta, "docid")
+        .select(
+            "docid", "score", F.col(num_col).cast("long").alias("nval")
+        )
+        .orderBy(F.desc("score"), F.asc("docid"))
     )
 
 
@@ -580,14 +611,45 @@ def search(
         # — round-1 behavior, restored): the restrict set is ordered
         # directly. Everything else needs at least one scoring term.
         raise ValueError(f"no searchable terms in query: {qtext!r}")
-    restrict = None
-    for words in pq.phrases:
-        hits = (
+    def _phrase_hits(words):
+        return (
             phrase_docids_bigram(index, bigrams, words)
             if bigrams is not None and len(words) > 1
             else phrase_docids(index, words)
         )
-        restrict = hits if restrict is None else restrict.join(hits, "docid")
+
+    restrict = None
+    if pq.phrases and pq.mode == "or":
+        # OR operands are phrases + STANDALONE words: '"a b" | c'
+        # matches phrase-docs ∪ c-docs. A doc holding only 'a' matches
+        # no operand; a doc holding only 'c' must not be dropped by a
+        # phrase semi-join (round-4 review fix — the phrase restrict
+        # used to apply unconditionally, making OR mean 'phrase AND
+        # any term').
+        allowed = None
+        for words in pq.phrases:
+            h = _phrase_hits(words).select("docid")
+            allowed = h if allowed is None else allowed.unionByName(h)
+        if pq.opt_standalone:
+            wh = (
+                index.postings.filter(
+                    F.col("term").isin(list(pq.opt_standalone))
+                ).select("docid")
+            )
+            allowed = allowed.unionByName(wh)
+        restrict = allowed.distinct()
+    else:
+        for words in pq.phrases:
+            hits = _phrase_hits(words)
+            restrict = (
+                hits if restrict is None else restrict.join(hits, "docid")
+            )
+    neg_docids = None
+    for words in pq.neg_phrases:
+        h = _phrase_hits(words).select("docid")
+        neg_docids = (
+            h if neg_docids is None else neg_docids.unionByName(h)
+        )
     meta_filters = []
     if "lang" in pq.fields:
         meta_filters.append(F.col("lang") == pq.fields["lang"])
@@ -626,6 +688,7 @@ def search(
                     mode=pq.mode,
                     restrict=restrict,
                     neg_terms=pq.negated or None,
+                    neg_docids=neg_docids,
                 ).select("docid")
             else:
                 matched = bm25_topk(
@@ -635,6 +698,7 @@ def search(
                     mode=pq.mode,
                     neg_terms=pq.negated or None,
                     restrict=restrict,
+                    neg_docids=neg_docids,
                 ).select("docid")
         elif restrict is not None:
             matched = restrict.select("docid").distinct()
@@ -645,6 +709,8 @@ def search(
                     .distinct()
                 )
                 matched = matched.join(bad, "docid", "left_anti")
+            if neg_docids is not None:
+                matched = matched.join(neg_docids, "docid", "left_anti")
         else:
             raise ValueError(
                 f"sortby query needs terms or constraints: {qtext!r}"
@@ -671,6 +737,7 @@ def search(
             mode=pq.mode,
             restrict=restrict,
             neg_terms=pq.negated or None,
+            neg_docids=neg_docids,
         )
     return bm25_topk(
         index,
@@ -679,4 +746,5 @@ def search(
         mode=pq.mode,
         neg_terms=pq.negated or None,
         restrict=restrict,
+        neg_docids=neg_docids,
     )

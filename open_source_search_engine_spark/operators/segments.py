@@ -141,7 +141,13 @@ def _append_manifest_row(manifest_dir: str, **vals) -> None:
         }
     )
     final = os.path.join(manifest_dir, f"{vals['segment_id']}.parquet")
-    tmp = final + ".tmp"
+    # dot-prefixed temp: Spark's parquet reader skips files starting
+    # with '.' or '_' but NOT a '.tmp' extension — a crash between
+    # write and rename must not leave a partial file that corrupts
+    # every subsequent manifest read (resume/globals/committed)
+    tmp = os.path.join(
+        manifest_dir, f".{vals['segment_id']}.parquet.tmp"
+    )
     pq.write_table(table, tmp)
     os.replace(tmp, final)
 
@@ -301,7 +307,39 @@ class SegmentStore:
         return spark.read.parquet(self.manifest_path)
 
     def packed(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.root, "postings_packed"))
+        """Packed postings of COMMITTED segments only.
+
+        A crash between a segment's parquet write and its manifest
+        commit leaves a complete-looking ``segment=k`` dir; reading
+        the table wholesale would score those docs against
+        ``globals_``/``term_stats`` that exclude them (idf/avgdl
+        skew, oracle divergence) until a rebuild. Committed dirs come
+        from the manifest (batch rows name dir ``part_lo``, stream
+        rows name ``segment_id``); dirs the manifest names but that
+        don't exist (e.g. a compacted store carrying the source
+        manifest) are skipped. Manifest-less stores read wholesale."""
+        root = os.path.join(self.root, "postings_packed")
+        if not os.path.exists(self.manifest_path):
+            return spark.read.parquet(root)
+        rows = (
+            self.manifest(spark)
+            .filter(F.col("status") == "committed")
+            .select("segment_id", "part_lo")
+            .collect()
+        )
+        dirs = set()
+        for r in rows:
+            name = (
+                str(int(r["part_lo"]))
+                if r["segment_id"].startswith("seg-")
+                else r["segment_id"]
+            )
+            d = self.segment_dir(name)
+            if os.path.exists(d):
+                dirs.add(d)
+        if not dirs:
+            return spark.read.parquet(root)
+        return spark.read.option("basePath", root).parquet(*sorted(dirs))
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.term_stats_path)
@@ -524,15 +562,17 @@ def save_bucketed(
 
 
 def compact_segments(
-    spark: SparkSession, store: SegmentStore, out_root: str, n_buckets: int = 8
+    spark: SparkSession, store: SegmentStore, out_root: str
 ) -> SegmentStore:
     """A9 compaction: k-way merge of per-segment blocks into one block
     per (termid, bucket) — the RdbMerge analogue. Docids are disjoint
     across segments (doc-partitioned), so the merge is a decode +
     resort + repack inside each (termid, bucket); blockmax metadata
-    is recomputed exactly. Grouped COARSELY on (pmod(termid, 64),
-    bucket) like ``pack_postings`` — per-block Arrow overhead would
-    otherwise dominate on a real vocabulary's block count."""
+    is recomputed exactly, and the store's BUCKET LAYOUT is preserved
+    (re-bucketing would need a full decode-reshuffle-repack — rebuild
+    instead, A12). Grouped COARSELY on (pmod(termid, 64), bucket) like
+    ``pack_postings`` — per-block Arrow overhead would otherwise
+    dominate on a real vocabulary's block count."""
     packed = store.packed(spark)
     has_pos = "positions" in packed.columns
     if has_pos and "divs" not in packed.columns:

@@ -58,6 +58,74 @@ _K1P1 = K1 + 1.0
 _K1_1MB = K1 * (1.0 - B)
 _K1B = K1 * B
 
+# one grid ulp of the 4-decimal score rounding used by every top-k
+# path (round_to=4); shared by all three bucket scorers so the tie
+# rule cannot drift between them
+_TIE_GRID_EPS = 1e-4
+
+
+def _scatter_scores(docid_parts: list, score_parts: list):
+    """Concatenate per-block (docids, partial-score) arrays and
+    scatter-add into (uniq docids, inverse index, summed scores) —
+    the shared accumulation step of all three bucket scorers."""
+    all_docids = np.concatenate(docid_parts)
+    uniq, inv = np.unique(all_docids, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, np.concatenate(score_parts))
+    return uniq, inv, scores
+
+
+def _topk_truncate(uniq: np.ndarray, scores: np.ndarray, k: int):
+    """Tie-INCLUSIVE per-bucket top-k keep: retain everything within
+    one rounding-grid ulp of the kth score. A raw argpartition could
+    drop a doc that ties at the 4-decimal grid with a smaller docid,
+    which the global orderBy(round(score), docid) tie-break must see.
+    Shared by all three scorers so truncation semantics can't drift."""
+    if uniq.size <= k:
+        return uniq, scores
+    kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+    keep = scores >= round(float(kth), 4) - _TIE_GRID_EPS
+    return uniq[keep], scores[keep]
+
+
+def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
+    """Per-bucket WAND upper bound (JVM-side): for each (bucket,
+    termid) the max block ``idf · tfnorm_ub``, summed over terms —
+    THE bound both the disk-store prune semi-join and ``prune_stats``
+    apply. One definition on purpose: a K1/B or bound change applied
+    to one copy but not the other would make the diagnostic report
+    pruning the query path doesn't do (or worse, vice versa).
+    ``with_bytes`` additionally carries the blob byte sums the
+    diagnostic reports. Returns (bucket, ub, nterms[, nb])."""
+    idf_map = F.create_map(
+        *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
+    )
+    bm_tf = F.col("blockmax_tf").cast("double")
+    bm_dl = F.col("blockmin_dl").cast("double")
+    tfnorm_ub = (bm_tf * _K1P1) / (
+        bm_tf + _K1_1MB + _K1B * bm_dl * F.col("inv_avgdl")
+    )
+    first = [F.max(idf_map[F.col("termid")] * tfnorm_ub).alias("t_ub")]
+    second = [
+        F.sum("t_ub").alias("ub"),
+        F.countDistinct("termid").alias("nterms"),
+    ]
+    if with_bytes:
+        nbytes = (
+            F.octet_length("docids")
+            + F.octet_length("tfs")
+            + F.octet_length("dls")
+        )
+        first.append(F.sum(nbytes).alias("nb"))
+        second.append(F.sum("nb").alias("nb"))
+    return (
+        blocks.filter(F.col("termid").isin(list(idf)))
+        .groupBy("bucket", "termid")
+        .agg(*first)
+        .groupBy("bucket")
+        .agg(*second)
+    )
+
 
 def _make_bucket_scorer(
     idf_by_termid: dict[int, float],
@@ -122,12 +190,8 @@ def _make_bucket_scorer(
             return pd.DataFrame({"docid": [], "score": []}).astype(
                 {"docid": np.int64, "score": np.float64}
             )
-        all_docids = np.concatenate(docid_parts)
-        all_scores = np.concatenate(score_parts)
         all_req = np.concatenate(req_parts)
-        uniq, inv = np.unique(all_docids, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, all_scores)
+        uniq, inv, scores = _scatter_scores(docid_parts, score_parts)
         if n_required:
             reqcnt = np.zeros(uniq.size, dtype=np.int64)
             np.add.at(reqcnt, inv, all_req)
@@ -137,15 +201,7 @@ def _make_bucket_scorer(
             bad = np.unique(np.concatenate(neg_docids))
             keep = ~np.isin(uniq, bad)
             uniq, scores = uniq[keep], scores[keep]
-        if uniq.size > k:
-            # tie-inclusive keep (same guard as _make_field_scorer):
-            # a raw-score argpartition could drop a doc that ties at
-            # the 4-decimal rounding grid with a smaller docid, and
-            # the global orderBy(round(score), docid) tie-break never
-            # sees it — keep everything within one grid ulp of kth.
-            kth = np.partition(scores, uniq.size - k)[uniq.size - k]
-            keep = scores >= round(float(kth), 4) - 1e-4
-            uniq, scores = uniq[keep], scores[keep]
+        uniq, scores = _topk_truncate(uniq, scores, k)
         return pd.DataFrame({"docid": uniq, "score": scores})
 
     return score_bucket
@@ -350,12 +406,8 @@ def _make_pos_scorer(
                 )
         if not docid_parts:
             return empty
-        all_docids = np.concatenate(docid_parts)
-        all_scores = np.concatenate(score_parts)
         all_req = np.concatenate(req_parts)
-        uniq, inv = np.unique(all_docids, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, all_scores)
+        uniq, inv, scores = _scatter_scores(docid_parts, score_parts)
         if n_required:
             reqcnt = np.zeros(uniq.size, dtype=np.int64)
             np.add.at(reqcnt, inv, all_req)
@@ -388,11 +440,7 @@ def _make_pos_scorer(
                 scores = scores + np.where(
                     boosted, prox_w / np.maximum(best, 1), 0.0
                 )
-        if uniq.size > k:
-            # tie-inclusive keep — see _make_bucket_scorer
-            kth = np.partition(scores, uniq.size - k)[uniq.size - k]
-            keep = scores >= round(float(kth), 4) - 1e-4
-            uniq, scores = uniq[keep], scores[keep]
+        uniq, scores = _topk_truncate(uniq, scores, k)
         return pd.DataFrame({"docid": uniq, "score": scores})
 
     return score_bucket
@@ -456,14 +504,8 @@ def _make_field_scorer(
             score_parts.append(part)
         if not docid_parts:
             return empty
-        all_docids = np.concatenate(docid_parts)
-        uniq, inv = np.unique(all_docids, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, np.concatenate(score_parts))
-        if uniq.size > k:
-            kth = np.partition(scores, uniq.size - k)[uniq.size - k]
-            keep = scores >= round(float(kth), 4) - 1e-4
-            uniq, scores = uniq[keep], scores[keep]
+        uniq, _inv, scores = _scatter_scores(docid_parts, score_parts)
+        uniq, scores = _topk_truncate(uniq, scores, k)
         return pd.DataFrame({"docid": uniq, "score": scores})
 
     return score_bucket
@@ -686,24 +728,8 @@ class PackedIndex:
         blocks, idf, cut = ctx["blocks"], ctx["idf"], ctx["cut"]
         if cut == float("-inf"):
             return blocks
-        idf_map = F.create_map(
-            *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
-        )
-        bm_tf = F.col("blockmax_tf").cast("double")
-        bm_dl = F.col("blockmin_dl").cast("double")
-        tfnorm_ub = (bm_tf * _K1P1) / (
-            bm_tf + _K1_1MB + _K1B * bm_dl * F.col("inv_avgdl")
-        )
-        surv = (
-            blocks.filter(F.col("termid").isin(list(idf)))
-            .groupBy("bucket", "termid")
-            .agg(F.max(idf_map[F.col("termid")] * tfnorm_ub).alias("t_ub"))
-            .groupBy("bucket")
-            .agg(
-                F.sum("t_ub").alias("ub"),
-                F.countDistinct("termid").alias("nterms"),
-            )
-            .filter(F.col("ub") >= F.lit(cut))
+        surv = _bucket_upper_bounds(blocks, idf).filter(
+            F.col("ub") >= F.lit(cut)
         )
         if ctx["required"]:
             surv = surv.filter(F.col("nterms") == len(ctx["required"]))
@@ -947,33 +973,10 @@ class PackedIndex:
         if ctx is None:
             return {"buckets": 0, "buckets_scored": 0,
                     "bytes_total": 0, "bytes_scored": 0, "cut": None}
-        idf_map = F.create_map(
-            *[x for t, v in ctx["idf"].items() for x in (F.lit(t), F.lit(v))]
-        )
-        bm_tf = F.col("blockmax_tf").cast("double")
-        bm_dl = F.col("blockmin_dl").cast("double")
-        tfnorm_ub = (bm_tf * _K1P1) / (
-            bm_tf + _K1_1MB + _K1B * bm_dl * F.col("inv_avgdl")
-        )
-        pos = ctx["blocks"].filter(F.col("termid").isin(list(ctx["idf"])))
-        nbytes = (
-            F.octet_length("docids")
-            + F.octet_length("tfs")
-            + F.octet_length("dls")
-        )
-        per_bucket = (
-            pos.groupBy("bucket", "termid")
-            .agg(
-                F.max(idf_map[F.col("termid")] * tfnorm_ub).alias("term_ub"),
-                F.sum(nbytes).alias("nb"),
-                F.count(F.lit(1)).alias("nterms_rows"),
-            )
-            .groupBy("bucket")
-            .agg(
-                F.sum("term_ub").alias("ub"),
-                F.sum("nb").alias("nb"),
-                F.countDistinct("termid").alias("nterms"),
-            )
+        # the SAME bound aggregate the query path's prune semi-join
+        # uses — shared so the diagnostic can't drift from it
+        per_bucket = _bucket_upper_bounds(
+            ctx["blocks"], ctx["idf"], with_bytes=True
         )
         need = len(ctx["required"]) or None
         rows = per_bucket.collect()

@@ -278,6 +278,72 @@ def test_search_syn_groups(spark):
     assert scores[1] > scores[2] and scores[1] > scores[3]
 
 
+def test_parse_negated_phrase():
+    """-"a b" excludes the PHRASE, not its words (round-4 review fix:
+    the term regex used to eat -"a and silently parse NOT a AND b)."""
+    pq = S.parse_query('-"alpha beta" gamma')
+    assert pq.neg_phrases == [["alpha", "beta"]]
+    assert pq.required == ["gamma"]
+    assert pq.negated == []  # the words are NOT negated individually
+
+
+def test_search_negated_phrase(spark):
+    """Docs using the phrase words SEPARATELY survive a -"a b"
+    exclusion; only adjacent-sequence docs are dropped."""
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),   # has the phrase -> excluded
+            (2, "beta alpha gamma"),   # words separate -> stays
+            (3, "gamma delta"),        # no phrase words -> stays
+            (4, "alpha delta"),        # no gamma -> not a candidate
+        ],
+        "docid long, text string",
+    )
+    idx = build_index(docs, with_positions=True)
+    meta = docs.select("docid")
+    got = {r["docid"] for r in
+           S.search(idx, meta, 'gamma -"alpha beta"', k=10).collect()}
+    assert got == {2, 3}
+
+
+def test_search_or_with_phrase_operands(spark):
+    """'"a b" | c' matches phrase-docs UNION c-docs (round-4 review
+    fix: the phrase restrict used to apply unconditionally, silently
+    turning OR into 'phrase AND any-term'); a doc holding only a
+    phrase WORD matches no operand."""
+    from open_source_search_engine_spark.operators.index_build import (
+        build_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),  # phrase operand
+            (2, "beta alpha gamma"),  # words separate: NO operand
+            (3, "gamma delta"),       # delta operand
+            (4, "alpha delta"),       # delta operand (alpha alone no)
+            (5, "gamma epsilon"),     # neither
+        ],
+        "docid long, text string",
+    )
+    idx = build_index(docs, with_positions=True)
+    meta = docs.select("docid")
+    got = {r["docid"] for r in
+           S.search(idx, meta, '"alpha beta" | delta', k=10).collect()}
+    assert got == {1, 3, 4}
+
+
+def test_parse_bool_malformed_raises_valueerror():
+    """Trailing operators and dangling parens reject with ValueError
+    like every other malformed input — not a raw IndexError."""
+    for bad in ("a AND", "a OR", "(a", "a AND (b OR"):
+        with pytest.raises(ValueError):
+            S.parse_bool(bad)
+
+
 def test_search_syn_with_sortby(spark):
     """syn:1 combined with sortby: must keep the synonym-EXPANDED
     match set (round-3 silently matched unexpanded here; the round-4

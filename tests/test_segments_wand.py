@@ -96,6 +96,34 @@ def test_resume_after_injected_failure(spark, tmp_path_factory):
     assert _exploded(spark, st) == expected
 
 
+def test_packed_excludes_uncommitted_segment(spark, tmp_path_factory):
+    """A segment dir whose parquet write completed but whose manifest
+    commit didn't (crash window) must NOT be read: its docs would be
+    scored with globals/term_stats that exclude them (round-4 review
+    fix). Simulated by cloning a committed dir under an id the
+    manifest never committed."""
+    import os
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("idx_uncommitted"))
+    st = build_segments(
+        spark, _docs(spark), SegmentStore(root), n_segments=2, n_buckets=8
+    )
+    before = _exploded(spark, st)
+    shutil.copytree(st.segment_dir(0), st.segment_dir(99))
+    assert _exploded(spark, st) == before  # clone invisible
+    # a crashed MANIFEST write (partial temp file) must not poison
+    # manifest reads either: the temp name is dot-prefixed, which
+    # Spark's parquet reader skips
+    with open(
+        os.path.join(st.manifest_path, ".seg-00099.parquet.tmp"), "wb"
+    ) as fh:
+        fh.write(b"PAR1 garbage truncated")
+    assert st.committed_segments(spark) == {0, 1}
+    n, avgdl = st.globals_(spark)
+    assert n == 500 and avgdl > 0
+
+
 WAND_CASES = [
     (["join"], "and", None),
     (["join", "filter"], "and", None),
@@ -302,7 +330,7 @@ def test_wand_density_matches_relational_formula(spark, pos_store):
 
 def test_compaction_preserves_positions(spark, pos_store, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("idx_pos_compact"))
-    cstore = compact_segments(spark, pos_store, out, n_buckets=8)
+    cstore = compact_segments(spark, pos_store, out)
     pk = cstore.packed(spark)
     assert "positions" in pk.columns
     assert (
@@ -324,7 +352,7 @@ def test_compaction_preserves_positions(spark, pos_store, tmp_path_factory):
 
 def test_wand_after_compaction(spark, store, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("idx_compact"))
-    cstore = compact_segments(spark, store, out, n_buckets=8)
+    cstore = compact_segments(spark, store, out)
     # one block per (termid, bucket) after compaction
     pk = cstore.packed(spark)
     assert (
