@@ -110,13 +110,9 @@ def inlink_counts_web(links: DataFrame) -> DataFrame:
 
 def site_rank_web(links: DataFrame) -> DataFrame:
     """(dst_host, site_rank): log-bucketed 0..15 rank from the host's
-    distinct-linker count (ref: getSiteRank)."""
-    return inlink_counts_web(links).select(
-        "dst_host",
-        F.least(
-            F.lit(15), F.floor(F.log2(1 + F.col("n_linker_hosts")))
-        ).cast("int").alias("site_rank"),
-    )
+    distinct-linker count (ref: getSiteRank). Derived from
+    ``site_inlink_rank`` so the rank formula exists exactly once."""
+    return site_inlink_rank(links).select("dst_host", "site_rank")
 
 
 def site_inlink_rank(links: DataFrame) -> DataFrame:
@@ -559,11 +555,14 @@ def crawl_frontier(
     """
     edges = links.select(
         F.col("src_url").alias("src"), F.col("dst_url").alias("dst")
-    ).distinct()
+    ).distinct().cache()
     visited = seeds.select(
         F.col("url").cast("string").alias("url"), F.lit(0).alias("depth")
     ).distinct().cache()
-    caches = [visited]
+    # cache edges too: every wave joins it, and via spider_cycle the
+    # uncached plan re-ran the whole robots/redirect gating join chain
+    # per wave (max_depth-1 redundant distinct shuffles per call)
+    caches = [visited, edges]
     frontier = visited
     for d in range(1, max_depth + 1):
         nxt = (

@@ -391,9 +391,13 @@ WITH toks AS (
   FROM documents
 ),
 per_doc AS (
+  -- only docs with >=1 token: the Spark side derives docs from
+  -- doc_stats (postings-bearing docs), and a token-less doc has no
+  -- posting row; counting it here would diverge
   SELECT docid, doc_id_seg, len(t) AS dl,
          len(list_distinct(t)) AS n_terms
   FROM (SELECT docid, docid % 3 AS doc_id_seg, t FROM toks)
+  WHERE len(t) > 0
 )
 SELECT concat('seg-', lpad(CAST(doc_id_seg AS VARCHAR), 5, '0'))
          AS segment_id,

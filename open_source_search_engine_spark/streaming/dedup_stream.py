@@ -31,10 +31,35 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, root: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _ensure_dir(spark: SparkSession, root: str) -> None:
+    fs, path = _hadoop_fs(spark, root)
+    fs.mkdirs(path)
+
+
+def _epoch_dirs(spark: SparkSession, root: str, exclude: str) -> list:
+    """Epoch subdirs of a store via the Hadoop FS API — works on any
+    Spark filesystem (local, HDFS, S3A). A driver-local os.listdir
+    would silently break the cross-batch gate the moment the store
+    moves off the driver's disk (round-4 review fix)."""
+    fs, path = _hadoop_fs(spark, root)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("epoch=") and name != exclude:
+            out.append(st.getPath().toString())
+    return out
 
 
 def _hashed(batch: DataFrame) -> DataFrame:
@@ -63,7 +88,7 @@ def start_dedup_stream(
     unique survivors land in ``out_dir`` (epoch-keyed parquet), the
     hash store accumulates under ``seen_dir``. Returns the
     StreamingQuery (availableNow trigger; stop() when drained)."""
-    os.makedirs(seen_dir, exist_ok=True)
+    _ensure_dir(spark, seen_dir)
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -78,21 +103,17 @@ def start_dedup_stream(
             .drop("rn")
         )
         # cross-batch: drop hashes any EARLIER epoch admitted
-        seen_files = [
-            os.path.join(seen_dir, d)
-            for d in os.listdir(seen_dir)
-            if d.startswith("epoch=") and d != f"epoch={epoch_id:06d}"
-        ]
+        seen_files = _epoch_dirs(spark, seen_dir, f"epoch={epoch_id:06d}")
         if seen_files:
             seen = spark.read.parquet(*seen_files).select("h")
             firsts = firsts.join(seen, "h", "left_anti")
         firsts = firsts.cache()
         # epoch-keyed overwrite on both writes → replay-idempotent
         firsts.drop("h").write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={epoch_id:06d}")
+            out_dir + f"/epoch={epoch_id:06d}"
         )
         firsts.select("h").write.mode("overwrite").parquet(
-            os.path.join(seen_dir, f"epoch={epoch_id:06d}")
+            seen_dir + f"/epoch={epoch_id:06d}"
         )
         firsts.unpersist()
 
@@ -122,9 +143,16 @@ def start_neardup_stream(
     against a persistent signature store. Policy (pinned): a document
     within Hamming ``max_hamming`` of a smaller-docid doc in its own
     batch, or of ANY signature an earlier epoch admitted, is dropped
-    (first content in wins — same precedence as the exact gate; a
-    transitive chain collapses toward its smallest member, the batch
-    ``dedup_clusters`` canonical-min rule).
+    (first content in wins — same precedence as the exact gate).
+    Within a batch a transitive chain collapses toward its smallest
+    member (the batch ``dedup_clusters`` canonical-min rule); ACROSS
+    epochs only ADMITTED docs' signatures are stored, so a chain
+    A—B—C arriving over separate epochs keeps C when its only link
+    into the component was the dropped B — streaming first-wins
+    diverges from a batch re-cluster there by design (dropped docs'
+    signatures would make the store grow with rejections, not with
+    admitted content). Zero-token docs carry no signature and pass
+    through untouched.
 
     Why this state shape: the store holds (docid, simhash) — 8-byte
     fingerprints, never text or shingles — so the cross-batch check
@@ -138,7 +166,7 @@ def start_neardup_stream(
         simhash_col_docs,
     )
 
-    os.makedirs(seen_dir, exist_ok=True)
+    _ensure_dir(spark, seen_dir)
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -152,11 +180,7 @@ def start_neardup_stream(
             .distinct()
         )
         keep = sh.join(losers, "docid", "left_anti")
-        seen_files = [
-            os.path.join(seen_dir, d)
-            for d in os.listdir(seen_dir)
-            if d.startswith("epoch=") and d != f"epoch={epoch_id:06d}"
-        ]
+        seen_files = _epoch_dirs(spark, seen_dir, f"epoch={epoch_id:06d}")
         if seen_files:
             seen = spark.read.parquet(*seen_files).select(
                 "docid", "simhash"
@@ -177,11 +201,21 @@ def start_neardup_stream(
             )
             keep = keep.join(hits, "docid", "left_anti")
         keep = keep.cache()
-        batch.join(keep.select("docid"), "docid", "left_semi").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"epoch={epoch_id:06d}"))
+        # zero-token docs (NULL/empty/punctuation-only text) carry no
+        # SimHash row at all — they near-duplicate nothing, so they
+        # PASS this gate rather than silently vanishing (round-4
+        # review fix; the EXACT gate is where empty-text dedup policy
+        # lives). They contribute no signatures to the store.
+        admitted = batch.join(
+            keep.select("docid"), "docid", "left_semi"
+        ).unionByName(
+            batch.join(sh.select("docid"), "docid", "left_anti")
+        )
+        admitted.write.mode("overwrite").parquet(
+            out_dir + f"/epoch={epoch_id:06d}"
+        )
         keep.select("docid", "simhash").write.mode("overwrite").parquet(
-            os.path.join(seen_dir, f"epoch={epoch_id:06d}")
+            seen_dir + f"/epoch={epoch_id:06d}"
         )
         keep.unpersist()
         sh.unpersist()

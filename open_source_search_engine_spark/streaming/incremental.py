@@ -97,7 +97,10 @@ def start_incremental_index(
             status="committed",
             rows=-1,
             docs=int(stats["docs"]),
-            sum_doclen=int(stats["s"]),
+            # sum over an EMPTY doc_stats is NULL (a non-empty batch
+            # of token-less docs produces zero postings) — a zero row
+            # beats a TypeError that kills the StreamingQuery
+            sum_doclen=int(stats["s"] or 0),
             wall_ms=int((_time.time() - t0) * 1000),
         )
 

@@ -105,13 +105,17 @@ def start_throttled_stream(
         tokens, last_ts = (
             state.get if state.exists else (burst, 0.0)
         )
-        allowed = throttled = 0
+        # a key's micro-batch arrives as MULTIPLE Arrow chunks when it
+        # exceeds arrow.maxRecordsPerBatch, in arbitrary order — sort
+        # the WHOLE group once (like throttle_batch) or later-chunk
+        # events with earlier timestamps see no refill and the counts
+        # become chunking-dependent (round-4 review fix)
+        ts_all: list = []
         for pdf in pdfs:
-            a, t, tokens, last_ts = _token_bucket(
-                sorted(pdf["ts_sec"].tolist()), tokens, last_ts, rate, burst
-            )
-            allowed += a
-            throttled += t
+            ts_all.extend(pdf["ts_sec"].tolist())
+        allowed, throttled, tokens, last_ts = _token_bucket(
+            sorted(ts_all), tokens, last_ts, rate, burst
+        )
         state.update((float(tokens), float(last_ts)))
         yield pd.DataFrame(
             {

@@ -463,3 +463,114 @@ def test_streaming_neardup_cross_batch(spark, tmp_path):
     q.awaitTermination(180)
     got2 = {r["docid"] for r in deduped_output(spark, out_dir).collect()}
     assert got2 == {2, 6, 11}
+
+    # zero-token docs (NULL / empty / punctuation-only) carry no
+    # SimHash row; they must PASS the near-dup gate, not silently
+    # vanish (round-4 review fix)
+    drop("b3", [(20, None), (21, ""), (22, "!!! ???")])
+    q = start_neardup_stream(spark, in_dir, out_dir, seen_dir, ck)
+    q.awaitTermination(180)
+    got3 = {r["docid"] for r in deduped_output(spark, out_dir).collect()}
+    assert got3 == {2, 6, 11, 20, 21, 22}
+
+
+def test_incremental_index_tokenless_batch_commits_zero_row(
+    spark, tmp_path
+):
+    """A non-empty micro-batch holding only token-less docs (empty /
+    punctuation text) used to kill the StreamingQuery with
+    int(None) — it must commit a zero-mass manifest row instead
+    (round-4 review fix)."""
+    import glob
+    import os as _os
+    import shutil
+
+    from open_source_search_engine_spark.operators.segments import (
+        SegmentStore,
+    )
+    from open_source_search_engine_spark.streaming.incremental import (
+        start_incremental_index,
+    )
+
+    in_dir = str(tmp_path / "in")
+    root = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    _os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(1, ""), (2, "!!!")], "docid long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    src = glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    shutil.copy(src, _os.path.join(in_dir, "b1.parquet"))
+
+    q = start_incremental_index(spark, in_dir, SegmentStore(root), ck)
+    q.awaitTermination(120)
+    assert q.exception() is None, q.exception()
+    st = SegmentStore(root)
+    rows = st.manifest(spark).collect()
+    assert len(rows) == 1
+    assert rows[0]["docs"] == 0 and rows[0]["sum_doclen"] == 0
+
+
+def test_throttle_streaming_multichunk_group(spark, tmp_path):
+    """A key whose micro-batch spans several Arrow chunks must sort
+    the WHOLE group before the token bucket runs — chunk-local sorts
+    make the counts chunking-dependent (round-4 review fix). Forced
+    by dropping arrow.maxRecordsPerBatch below the group size."""
+    import os as _os
+
+    from open_source_search_engine_spark.streaming.throttle import (
+        start_throttled_stream,
+        throttle_batch,
+    )
+
+    from pyspark.sql import functions as F
+
+    n = 40
+    rows = [
+        # descending timestamps so any chunk split breaks a naive
+        # chunk-local bucket (later chunks hold earlier events)
+        ("k", float(1_700_000_000 + (n - i) * 3)) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_d double")
+    df = df.select(
+        "event_type", F.col("ts_d").cast("timestamp").alias("ts")
+    )
+    stage = str(tmp_path / "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    in_dir = str(tmp_path / "in")
+    _os.makedirs(in_dir)
+    import glob
+    import shutil
+
+    shutil.copy(
+        glob.glob(stage + "/part-*.parquet")[0],
+        _os.path.join(in_dir, "b1.parquet"),
+    )
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "7")  # 40 events -> 6 chunks
+    try:
+        schema = spark.read.parquet(stage).schema
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = start_throttled_stream(
+            stream, rate=0.1, queryName="thr_chunked",
+            checkpoint_dir=str(tmp_path / "ck"),
+        )
+        q.awaitTermination(120)
+        got = {
+            r["key"]: (r["n_allowed"], r["n_throttled"])
+            for r in spark.sql("SELECT * FROM thr_chunked").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old)
+    want = {
+        r["key"]: (r["n_allowed"], r["n_throttled"])
+        for r in throttle_batch(
+            spark.read.parquet(stage), rate=0.1
+        ).collect()
+    }
+    assert got == want and got["k"][1] > 0
