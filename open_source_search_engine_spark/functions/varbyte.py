@@ -48,10 +48,18 @@ def varbyte_encode(values: np.ndarray) -> bytes:
 
 
 def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
-    """varbyte stream → uint64 array."""
+    """varbyte stream → uint64 array. Raises ValueError on a stream
+    whose final byte still has the continuation bit set (truncated
+    write / disk corruption) — otherwise the shape math below dies in
+    an opaque numpy IndexError/broadcast error deep in the read path."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if b[-1] & 0x80:
+        raise ValueError(
+            "corrupt varbyte stream: last byte has the continuation "
+            "bit set (truncated value)"
+        )
     is_last = (b & 0x80) == 0
     ends = np.nonzero(is_last)[0]
     n = ends.size

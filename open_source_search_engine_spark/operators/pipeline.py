@@ -922,9 +922,27 @@ IVF_MIX = 2654435761  # Knuth multiplicative-hash constant
 IVF_MIX_MOD = 1 << 32
 
 
+def _mix_key_col():
+    """(vec_id · IVF_MIX) mod 2^32 WITHOUT int64 overflow: a straight
+    multiply wraps (or throws under ANSI mode) for vec_id ≥ 2^63/IVF_MIX
+    ≈ 3.5e9 — inside the module's stated 10^9-10^12 scale — and a
+    wrapped-negative key would sort before every legitimate key,
+    silently changing the centroid sample vs the exact-arithmetic
+    Python/SQL replicas. Split vec_id into 16-bit limbs: intermediates
+    stay < 2^48 (round-4 review fix)."""
+    vid32 = F.col("vec_id") % F.lit(IVF_MIX_MOD)
+    lo = vid32.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(vid32, 16)
+    t1 = (lo * F.lit(IVF_MIX)) % F.lit(IVF_MIX_MOD)
+    t2 = (((hi * F.lit(IVF_MIX)) % F.lit(IVF_MIX_MOD)) * F.lit(1 << 16)) % (
+        F.lit(IVF_MIX_MOD)
+    )
+    return (t1 + t2) % F.lit(IVF_MIX_MOD)
+
+
 def ivf_centroid_sample(emb: DataFrame, n_centroids: int) -> DataFrame:
     """(cid, cvec): the fixed-size deterministic centroid sample."""
-    key = (F.col("vec_id") * F.lit(IVF_MIX)) % F.lit(IVF_MIX_MOD)
+    key = _mix_key_col()
     return (
         emb.orderBy(key.asc(), F.col("vec_id").asc())
         .limit(n_centroids)
@@ -942,7 +960,10 @@ def _centroid_matrix(emb: DataFrame, n_centroids: int):
     )
     cids = np.array([c[0] for c in crows])
     cmat = np.array([c[1] for c in crows], dtype=np.float64)
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms = np.maximum(
+        np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
+    )
+    cnorm = cmat / norms
     return cids, cnorm
 
 
@@ -950,7 +971,12 @@ def _assign_udf(cids: np.ndarray, cnorm: np.ndarray):
     @F.pandas_udf(T.LongType())
     def assign_udf(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        # norm floored (matches _unit_col): zero vectors score 0.0
+        # everywhere and the first-max tie-break assigns the smallest
+        # cid deterministically, not NaN-argmax
+        m = m / np.maximum(
+            np.linalg.norm(m, axis=1, keepdims=True), 1e-30
+        )
         sims = m @ cnorm.T
         # ties broken by smallest centroid id (cids sorted ascending,
         # argmax returns the first max) — pinned, mirrored in SQL
@@ -961,7 +987,7 @@ def _assign_udf(cids: np.ndarray, cnorm: np.ndarray):
 
 def _probe_set(cids, cnorm, query_vec, n_probe) -> list[int]:
     q = np.asarray(query_vec, dtype=np.float64)
-    qsims = (q / np.linalg.norm(q)) @ cnorm.T
+    qsims = (q / max(np.linalg.norm(q), 1e-30)) @ cnorm.T
     order = np.lexsort((cids, -qsims))
     return [int(cids[i]) for i in order[:n_probe]]
 
@@ -1061,7 +1087,7 @@ def ann_ivf_sql(
 WITH q AS (SELECT {query_vec_sql} AS qe),
 cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  ORDER BY (vec_id * {IVF_MIX}) % {IVF_MIX_MOD} ASC, vec_id ASC
+  ORDER BY (CAST(vec_id AS HUGEINT) * {IVF_MIX}) % {IVF_MIX_MOD} ASC, vec_id ASC
   LIMIT {n_centroids}
 ),
 assigned AS (
@@ -1099,11 +1125,15 @@ IVF_KM_DOT_ROUND = 9  # assignment dots rounded: boundary-flip guard
 
 def _unit_col(col: str = "embedding"):
     """array<double> unit-normalized embedding — pure elementwise
-    arithmetic, bit-identical across engines."""
+    arithmetic, bit-identical across engines. The norm is floored at
+    1e-30 (mirrored in the SQL oracle's unit template): an all-zero
+    embedding then yields an all-zero unit row → every dot is 0.0 →
+    the smallest-cid tie-break assigns it deterministically on BOTH
+    engines, instead of NaN/NULL with engine-specific ordering."""
     return F.expr(
         f"transform({col}, x -> CAST(x AS DOUBLE) / "
-        f"sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
-        f"(s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f"greatest(sqrt(aggregate({col}, CAST(0.0 AS DOUBLE), "
+        f"(s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 1e-30))"
     )
 
 
@@ -1152,7 +1182,10 @@ def kmeans_centroids(
     )
     cmat = np.array([c[2] for c in init], dtype=np.float64)
     cmat = np.round(
-        cmat / np.linalg.norm(cmat, axis=1, keepdims=True), IVF_KM_ROUND
+        cmat / np.maximum(
+            np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30
+        ),
+        IVF_KM_ROUND
     )
     units = emb.select("vec_id", _unit_col().alias("u"))
     for _ in range(iters):
@@ -1190,7 +1223,9 @@ def ann_ivf_kmeans(
     the PARTITIONED BY cid write applies unchanged."""
     cmat = kmeans_centroids(emb, n_centroids, iters)
     q = np.asarray(query_vec, dtype=np.float64)
-    qsims = np.round((q / np.linalg.norm(q)) @ cmat.T, IVF_KM_DOT_ROUND)
+    qsims = np.round(
+        (q / max(np.linalg.norm(q), 1e-30)) @ cmat.T, IVF_KM_DOT_ROUND
+    )
     probe = [int(c) for c in np.lexsort((np.arange(len(cmat)), -qsims))[
         :n_probe
     ]]
@@ -1222,9 +1257,11 @@ def ann_ivf_kmeans_sql(
     'iterative algorithm is not SQL-expressible' caveat does not
     apply."""
     unit = (
+        # norm floored at 1e-30, matching _unit_col: zero vectors
+        # assign deterministically on both engines
         "list_transform({e}, x -> CAST(x AS DOUBLE) / "
-        "sqrt(list_sum(list_transform({e}, "
-        "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"
+        "greatest(sqrt(list_sum(list_transform({e}, "
+        "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 1e-30))"
     )
     dot = (
         "round(list_sum(list_transform(range(1, len({a}) + 1), "
@@ -1234,12 +1271,12 @@ def ann_ivf_kmeans_sql(
 units AS (SELECT vec_id, {unit.format(e="embedding")} AS u FROM embeddings),
 cent0 AS (
   SELECT row_number() OVER (
-           ORDER BY (vec_id * {IVF_MIX}) % {IVF_MIX_MOD} ASC, vec_id ASC
+           ORDER BY (CAST(vec_id AS HUGEINT) * {IVF_MIX}) % {IVF_MIX_MOD} ASC, vec_id ASC
          ) - 1 AS cid,
          list_transform({unit.format(e="embedding")},
                         x -> round(x, {IVF_KM_ROUND})) AS cv
   FROM embeddings
-  ORDER BY (vec_id * {IVF_MIX}) % {IVF_MIX_MOD} ASC, vec_id ASC
+  ORDER BY (CAST(vec_id AS HUGEINT) * {IVF_MIX}) % {IVF_MIX_MOD} ASC, vec_id ASC
   LIMIT {n_centroids}
 )"""]
     prev = "cent0"
@@ -1777,12 +1814,14 @@ def boilerplate_stats(
 
 
 def section_boilerplate_sql(block: int = 16, min_docs: int = 3) -> str:
-    """DuckDB replay of ``boilerplate_stats`` (same tokenization as
-    TOK_CTE: whitespace split + empty filter)."""
+    """DuckDB replay of ``boilerplate_stats`` — same tokenization as
+    the Spark side's ``tokens_col`` (the pinned [a-z0-9]+ regexp;
+    round-4 review fix: a whitespace split here matched only by
+    accident of the fixture's punctuation-free text)."""
     return f"""
 WITH arr AS (
   SELECT doc_id AS docid, source AS site,
-         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
   FROM documents
 ), secs AS (
   SELECT docid, site,

@@ -80,7 +80,21 @@ def parse_robots(robots: DataFrame) -> DataFrame:
         blocked.filter(~F.col("is_ua"))
         .withColumn("directive", F.lower(rule))
         .withColumn("prefix", prefix)
-        .filter((F.col("directive") != "") & (F.col("prefix") != ""))
+        .filter(F.col("directive") != "")
+        # empty rule value: 'Disallow:' means NO restriction (RFC 9309
+        # §2.2.2 — an empty pattern matches nothing to disallow), and
+        # the group still EXISTS for specific-group replacement. Keep
+        # the row as a weakest-possible allow-everything rule (prefix
+        # '', rule_len 0, loses every tie) instead of dropping it —
+        # dropping made the group invisible to has_specific, so '*'
+        # wrongly applied to an agent with an all-allowing own group
+        # (round-4 review fix).
+        .withColumn(
+            "directive",
+            F.when(F.col("prefix") == "", F.lit("allow")).otherwise(
+                F.col("directive")
+            ),
+        )
         .select("host", "block", "directive", "prefix")
     )
     return rules.join(agents, ["host", "block"]).select(
@@ -98,6 +112,9 @@ def robots_allowed(
     """urls(url) × rules → (url, allowed). ``agent`` is the crawler's
     user-agent token (lowercased for matching)."""
     agent = agent.lower()
+    # one verdict per DISTINCT url — the oracle's SELECT DISTINCT and
+    # this side must pin the same contract for duplicate inputs
+    urls = urls.select("url").distinct()
     u = urls.select(
         "url",
         F.regexp_extract("url", HOST_RE, 1).alias("host"),
@@ -185,15 +202,21 @@ agents AS (
   FROM blocked WHERE is_ua
 ),
 rules AS (
+  -- empty rule value ('Disallow:') = allow-everything no-op row, kept
+  -- so the group stays visible to has_specific (same as the Spark
+  -- side)
   SELECT b.host, a.ua,
-         lower(regexp_extract(b.line, '(?i)^(allow|disallow):\\s*(\\S*)', 1))
+         CASE WHEN regexp_extract(b.line,
+                     '(?i)^(allow|disallow):\\s*(\\S*)', 2) = ''
+              THEN 'allow'
+              ELSE lower(regexp_extract(b.line,
+                     '(?i)^(allow|disallow):\\s*(\\S*)', 1)) END
            AS directive,
          regexp_extract(b.line, '(?i)^(allow|disallow):\\s*(\\S*)', 2)
            AS prefix
   FROM blocked b JOIN agents a ON b.host = a.host AND b.block = a.block
   WHERE NOT b.is_ua
     AND regexp_extract(b.line, '(?i)^(allow|disallow):\\s*(\\S*)', 1) <> ''
-    AND regexp_extract(b.line, '(?i)^(allow|disallow):\\s*(\\S*)', 2) <> ''
 ),
 r2 AS (
   SELECT *, CASE WHEN ua = '{agent}' THEN 1 ELSE 0 END AS is_specific

@@ -28,8 +28,12 @@ def test_robots_semantics(spark):
         "host string, robots_txt string",
     )
     rules = R.parse_robots(robots)
-    # empty-value Disallow is a no-op: h2 contributes no rules
-    assert rules.filter("host = 'h2.com'").count() == 0
+    # empty-value Disallow is an allow-everything NO-OP that still
+    # marks the group as present (round-4 review fix): h2 contributes
+    # exactly one weakest-possible allow marker row
+    h2 = rules.filter("host = 'h2.com'").collect()
+    assert len(h2) == 1
+    assert h2[0]["directive"] == "allow" and h2[0]["prefix"] == ""
 
     urls = spark.createDataFrame(
         [
@@ -175,3 +179,32 @@ def test_spider_cycle_gates_and_redirect_content(spark):
         "c": (1, False),  # discovered but 404
         "x": (2, True),   # reached THROUGH a via t's content links
     }
+
+
+def test_robots_empty_specific_group_replaces_star(spark):
+    """A specific-agent group whose only rule is an empty Disallow
+    (i.e. 'this bot may crawl everything') must REPLACE the '*'
+    group — before the round-4 fix the empty rule was dropped, the
+    group became invisible, and '*' Disallow:/ wrongly blocked the
+    whitelisted bot. Duplicate input urls also collapse to one
+    verdict row (matching the oracle's SELECT DISTINCT)."""
+    txt = "\n".join(
+        [
+            "User-agent: mybot",
+            "Disallow:",
+            "",
+            "User-agent: *",
+            "Disallow: /",
+        ]
+    )
+    robots = spark.createDataFrame(
+        [("w.com", txt)], "host string, robots_txt string"
+    )
+    rules = R.parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://w.com/page",), ("https://w.com/page",)], "url string"
+    )
+    mine = R.robots_allowed(urls, rules, "mybot").collect()
+    assert len(mine) == 1 and mine[0]["allowed"] is True
+    other = R.robots_allowed(urls, rules, "otherbot").collect()
+    assert len(other) == 1 and other[0]["allowed"] is False

@@ -103,3 +103,14 @@ def test_grouped_encode_matches_per_group(groups):
     got_d = pack_docids_grouped(flat_sorted, starts, ends)
     want_d = [pack_docids(g) for g in sorted_groups]
     assert got_d == want_d
+
+
+def test_decode_truncated_stream_raises_valueerror():
+    """A stream whose final byte has the continuation bit set
+    (truncated write, disk corruption) raises a clear ValueError, not
+    an opaque numpy IndexError/broadcast error (round-4 review fix)."""
+    import pytest
+
+    for bad in (b"\x80\x81", b"\x05\x80", b"\x80"):
+        with pytest.raises(ValueError, match="corrupt varbyte"):
+            varbyte_decode(bad)
