@@ -22,29 +22,18 @@ _MASK7 = np.uint64(0x7F)
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:
-    """uint64 array → varbyte stream (7 data bits/byte, MSB = continue)."""
+    """uint64 array → varbyte stream (7 data bits/byte, MSB = continue).
+
+    Thin wrapper over the grouped kernel (one group spanning the whole
+    array) so the bit-twiddling lives in exactly one place — round-4
+    review fix: two copies of the scatter-encode loop meant every
+    robustness fix had to be applied twice or the variants drift."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = np.ones(v.size, dtype=np.int64)
-    tmp = v >> _SEVEN
-    while tmp.any():
-        nbytes += tmp > 0
-        tmp >>= _SEVEN
-    ends = np.cumsum(nbytes)
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    idx = ends - nbytes
-    rem = v.copy()
-    active = np.ones(v.size, dtype=bool)
-    while active.any():
-        byte = (rem & _MASK7).astype(np.uint8)
-        rem >>= _SEVEN
-        cont = rem > 0
-        sel = active
-        out[idx[sel]] = byte[sel] | (cont[sel].astype(np.uint8) << 7)
-        idx = idx + 1
-        active = active & cont
-    return out.tobytes()
+    return varbyte_encode_grouped(
+        v, np.array([0], dtype=np.int64), np.array([v.size], dtype=np.int64)
+    )[0]
 
 
 def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
@@ -67,6 +56,16 @@ def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     lens = ends - starts + 1
+    # a uint64 never needs more than ⌈64/7⌉ = 10 varbyte bytes; a
+    # longer run means a flipped continuation bit merged two values —
+    # without this check the shift below reaches ≥ 64 bits, which is
+    # C-undefined and decodes to silently wrong docids (round-4 review
+    # fix: only end-truncation was detected before)
+    if int(lens.max()) > 10:
+        raise ValueError(
+            "corrupt varbyte stream: value longer than 10 bytes "
+            "(flipped continuation bit)"
+        )
     pos_in_val = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lens)
     contribs = (b & 0x7F).astype(np.uint64) << (pos_in_val.astype(np.uint64) * _SEVEN)
     vid = np.repeat(np.arange(n, dtype=np.int64), lens)

@@ -34,7 +34,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-HOST_RE = "^https?://([^/]+)"
+# scheme and host are case-insensitive per RFC 3986 — the (?i) plus a
+# lower() on the captured host keep 'HTTP://Host.com/x' from bypassing
+# the rules join (round-4 review fix)
+HOST_RE = "(?i)^https?://([^/]+)"
+# robots.txt line separator: real-world files are frequently CRLF; a
+# plain '\n' split leaves '\r' on every line, which Java's '.' (in the
+# comment-strip regex) does NOT match but DuckDB's RE2 '.' DOES —
+# comment-only CRLF lines then survive on one engine and not the
+# other, changing user-agent block stacking (round-4 review fix).
+LINE_SEP_RE = "\r\n|\r|\n"
 
 
 def parse_robots(robots: DataFrame) -> DataFrame:
@@ -46,8 +55,8 @@ def parse_robots(robots: DataFrame) -> DataFrame:
     equi-join on the block id)."""
     lines = (
         robots.select(
-            "host",
-            F.posexplode(F.split("robots_txt", "\n")).alias(
+            F.lower("host").alias("host"),
+            F.posexplode(F.split("robots_txt", LINE_SEP_RE)).alias(
                 "line_no", "raw"
             ),
         )
@@ -115,10 +124,14 @@ def robots_allowed(
     # one verdict per DISTINCT url — the oracle's SELECT DISTINCT and
     # this side must pin the same contract for duplicate inputs
     urls = urls.select("url").distinct()
+    path0 = F.regexp_replace("url", HOST_RE, "")
     u = urls.select(
         "url",
-        F.regexp_extract("url", HOST_RE, 1).alias("host"),
-        F.regexp_replace("url", HOST_RE, "").alias("path"),
+        F.lower(F.regexp_extract("url", HOST_RE, 1)).alias("host"),
+        # a bare-host url ('http://h.com') is a fetch of '/' — with
+        # path '' no prefix rule matched, so even 'Disallow: /' hosts
+        # admitted their root page (round-4 review fix)
+        F.when(path0 == "", F.lit("/")).otherwise(path0).alias("path"),
     )
     r = rules.filter(F.col("ua").isin(agent, "*")).withColumn(
         "is_specific", (F.col("ua") == agent).cast("int")
@@ -167,8 +180,14 @@ def robots_oracle_sql(
     agent = agent.lower()
     return f"""
 WITH raw0 AS (
+  -- CRLF/CR/LF all split (matching the Spark side's LINE_SEP_RE) and
+  -- host lowercased (round-4 review fix)
   SELECT host, unnest(ls) AS line0, generate_subscripts(ls, 1) AS line_no
-  FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls
+  FROM (SELECT lower(host) AS host,
+               regexp_split_to_array(robots_txt,
+                                     chr(13) || chr(10) ||
+                                     '|' || chr(13) || '|' || chr(10))
+                 AS ls
         FROM read_parquet('{robots_parquet}'))
 ),
 raw AS (
@@ -228,9 +247,13 @@ applicable AS (
   WHERE r2.is_specific = hf.has_specific
 ),
 u AS (
+  -- (?i) scheme/host + lowercased host + bare-host url treated as a
+  -- fetch of '/', all matching the Spark side (round-4 review fix)
   SELECT url,
-         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
-         regexp_replace(url, '^https?://[^/]+', '') AS path
+         lower(regexp_extract(url, '(?i)^https?://([^/]+)', 1)) AS host,
+         coalesce(nullif(
+           regexp_replace(url, '(?i)^https?://[^/]+', ''), ''), '/')
+           AS path
   FROM (SELECT DISTINCT url FROM read_parquet('{web_parquet}'))
 ),
 cand AS (

@@ -1072,15 +1072,32 @@ def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
         raise ValueError("corrupt MP4: truncated stsz")
     fixed, n = struct.unpack(">II", buf[s + 4:s + 12])
     if fixed:
+        # exact bound BEFORE materializing: n fixed-size samples must
+        # fit in the file, so a corrupt header (n=0xFFFFFFFF) raises
+        # instead of allocating a multi-GB list and OOM-killing the
+        # Arrow worker — multimodal.py catches only ValueError here
+        # (round-4 review fix)
+        if n * fixed > len(buf):
+            raise ValueError(
+                "corrupt MP4: stsz declares more sample bytes than "
+                "the file holds"
+            )
         sizes = [fixed] * n
     else:
         if s + 12 + 4 * n > e:
             raise ValueError("corrupt MP4: stsz shorter than its count")
         sizes = list(struct.unpack(f">{n}I", buf[s + 12:s + 12 + 4 * n]))
 
+    # n is now bounded by the file size (both stsz branches above), so
+    # clipping each stts run at the n samples we actually need bounds
+    # the expansion too — a corrupt run count (cnt=0xFFFFFFFF) would
+    # otherwise demand a ~34 GB list (round-4 review fix)
     deltas = []
     for cnt, d in _mp4_table(buf, *stts, "stts"):
-        deltas.extend([d] * cnt)
+        remaining = n - len(deltas)
+        if remaining <= 0:
+            break
+        deltas.extend([d] * min(cnt, remaining))
     if len(deltas) < n:
         raise ValueError("corrupt MP4: stts covers fewer samples "
                          "than stsz")
@@ -1098,15 +1115,19 @@ def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
     runs = _mp4_table(buf, *stsc, "stsc")
     if not runs or runs[0][0] != 1:
         raise ValueError("corrupt MP4: stsc must start at chunk 1")
+    if any(runs[i][0] >= runs[i + 1][0] for i in range(len(runs) - 1)):
+        # the spec requires strictly increasing first_chunk; the
+        # cursor walk below depends on it
+        raise ValueError("corrupt MP4: stsc first_chunk not increasing")
 
-    samples, ts, si = [], 0, 0
+    # single merged walk over the sorted runs — rescanning the run
+    # list per chunk was O(chunks × runs), quadratic for muxes with
+    # one run per chunk (round-4 review fix)
+    samples, ts, si, ri = [], 0, 0, 0
     for ci, chunk_off in enumerate(offsets, start=1):
-        spc = 0
-        for first, cnt, _desc in runs:
-            if first <= ci:
-                spc = cnt
-            else:
-                break
+        while ri + 1 < len(runs) and runs[ri + 1][0] <= ci:
+            ri += 1
+        spc = runs[ri][1]
         pos = chunk_off
         for _ in range(spc):
             if si >= n:

@@ -114,3 +114,15 @@ def test_decode_truncated_stream_raises_valueerror():
     for bad in (b"\x80\x81", b"\x05\x80", b"\x80"):
         with pytest.raises(ValueError, match="corrupt varbyte"):
             varbyte_decode(bad)
+
+
+def test_decode_overlong_value_raises_valueerror():
+    """A value spanning >10 bytes (a flipped continuation bit merging
+    two values) raises instead of shifting >=64 bits — C-undefined —
+    and decoding silently wrong docids (round-4 review fix). The
+    legitimate maximum, uint64-max at exactly 10 bytes, still
+    round-trips."""
+    with pytest.raises(ValueError, match="longer than 10"):
+        varbyte_decode(bytes([0x81] * 11 + [0x01]))
+    v = np.array([2**64 - 1, 0, 1], dtype=np.uint64)
+    assert varbyte_decode(varbyte_encode(v)).tolist() == v.tolist()
