@@ -415,3 +415,61 @@ def test_mp4_co64_and_stss_keyframes():
     got = C.demux_mp4(bytes(out))
     assert [b for _, b in got] == frames
     assert [t for t, _ in got] == [t for t, _ in allsmp]
+
+
+def test_mp4_fixed_stsz_overflow_rejected_before_alloc():
+    """A fixed-size stsz whose count x size is far beyond the file
+    must raise BEFORE materializing [fixed] * n — a corrupt header
+    (n = 2^30) would otherwise allocate a multi-GB list and OOM the
+    Arrow worker (round-4 review fix)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    enc = C.encode_mp4([b"a" * 8, b"b" * 8, b"c" * 8], 400)
+    si = enc.find(b"stsz")
+    fixed_at = si + 4 + 4  # tag + verflags → (fixed, count)
+    bad = (
+        enc[:fixed_at]
+        + _struct.pack(">II", 1 << 30, 1 << 30)
+        + enc[fixed_at + 8 :]
+    )
+    with _pytest.raises(ValueError, match="more sample bytes"):
+        C.demux_mp4(bad)
+
+
+def test_mp4_huge_stts_run_clipped_not_allocated():
+    """An stts run count of 0xFFFFFFFF is clipped at the n samples
+    stsz declares (not expanded into a ~34 GB delta list): the demux
+    succeeds and is identical to the unpatched container (round-4
+    review fix)."""
+    import struct as _struct
+
+    enc = C.encode_mp4([b"a" * 8, b"b" * 8, b"c" * 8], 400)
+    ti = enc.find(b"stts")
+    run0_cnt = ti + 4 + 4 + 4  # tag + verflags + entry_count → cnt
+    patched = (
+        enc[:run0_cnt]
+        + _struct.pack(">I", 0xFFFFFFFF)
+        + enc[run0_cnt + 4 :]
+    )
+    assert C.demux_mp4(patched) == C.demux_mp4(enc)
+
+
+def test_mp4_nonincreasing_stsc_rejected():
+    """stsc first_chunk must be strictly increasing (ISO spec); the
+    merged cursor walk depends on it, so a corrupt table raises
+    instead of mis-slicing samples (round-4 review fix)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    # 5 frames, 2 per chunk → chunks [2,2,1] → stsc runs (1,2),(3,1)
+    enc = C.encode_mp4([b"x" * 4] * 5, 400, samples_per_chunk=2)
+    ci = enc.find(b"stsc")
+    entry1_fc = ci + 4 + 4 + 4 + 12  # second entry's first_chunk
+    bad = (
+        enc[:entry1_fc] + _struct.pack(">I", 1) + enc[entry1_fc + 4 :]
+    )
+    with _pytest.raises(ValueError, match="first_chunk not increasing"):
+        C.demux_mp4(bad)

@@ -208,3 +208,38 @@ def test_robots_empty_specific_group_replaces_star(spark):
     assert len(mine) == 1 and mine[0]["allowed"] is True
     other = R.robots_allowed(urls, rules, "otherbot").collect()
     assert len(other) == 1 and other[0]["allowed"] is False
+
+
+def test_robots_crlf_case_and_bare_host(spark):
+    """Round-4 review fixes pinned on fixtures: CRLF robots.txt lines
+    parse (comment-only CRLF lines don't change group stacking),
+    scheme/host matching is case-insensitive, and a bare-host URL is
+    a fetch of '/' so 'Disallow: /' blocks the root page."""
+    txt = "User-Agent: *\r\n# comment\r\nDisallow: /\r\n"
+    robots = spark.createDataFrame(
+        [("Host.COM", txt)], "host string, robots_txt string"
+    )
+    rules = R.parse_robots(robots)
+    rows = rules.collect()
+    # exactly one rule row: the CRLF comment line vanished, the
+    # Disallow parsed with a clean '/' prefix (no trailing \r)
+    assert len(rows) == 1
+    assert rows[0]["host"] == "host.com"
+    assert rows[0]["directive"] == "disallow"
+    assert rows[0]["prefix"] == "/"
+
+    urls = spark.createDataFrame(
+        [
+            ("HTTP://HOST.com",),        # bare host, shouty scheme+host
+            ("https://host.com/x",),     # normal path
+            ("https://other.com",),      # no rules → allowed
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in R.robots_allowed(urls, rules, "gigabot").collect()
+    }
+    assert got["HTTP://HOST.com"] is False
+    assert got["https://host.com/x"] is False
+    assert got["https://other.com"] is True
