@@ -35,7 +35,21 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type → samples/pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # PNG color type → samples/pixel
+# PNG spec §2.3: bit depths allowed per color type
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step) — PNG
+# spec §8.2; each pass is an independently-filtered sub-image
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def sniff(payload: bytes) -> str:
@@ -57,39 +71,19 @@ def sniff(payload: bytes) -> str:
 # --- PNG -------------------------------------------------------------------
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → uint8 array (h, w, channels). Supports bit depth 8,
-    color types 0/2/4/6, no interlace — the shapes a training corpus
-    normalizes to anyway."""
-    if payload[:8] != PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, idat = 8, []
-    w = h = ch = None
-    while pos < len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # len + type + data + crc
-        if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or inter != 0 or color not in _CHANNELS:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth}, color={color}, "
-                    f"interlace={inter})"
-                )
-            ch = _CHANNELS[color]
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int, bpp: int):
+    """Reverse the five per-scanline PNG filters over one (sub-)image
+    of ``h`` scanlines × ``stride`` filtered bytes starting at byte
+    ``off`` of the decompressed stream. Returns (rows, next_off) where
+    rows is (h, stride) uint8. ``bpp`` is the filter's left-neighbor
+    step in BYTES (max(1, channels*depth/8) per spec §9)."""
+    need = off + h * (stride + 1)
+    if len(raw) < need:
+        raise ValueError("corrupt PNG: IDAT shorter than its scanlines")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
-        row_start = y * (stride + 1)
+        row_start = off + y * (stride + 1)
         ftype = raw[row_start]
         row = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=row_start + 1
@@ -101,14 +95,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
             cur = row
             for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0  # left
+                a = int(cur[x - bpp]) if x >= bpp else 0  # left
                 b = int(prev[x])  # up
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
                     pred = (a + b) >> 1
                 else:
-                    c = int(prev[x - ch]) if x >= ch else 0  # up-left
+                    c = int(prev[x - bpp]) if x >= bpp else 0  # up-left
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (
@@ -119,7 +113,106 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = cur
         prev = out[y]
-    return out.reshape(h, w, ch)
+    return out, need
+
+
+def _png_samples(rows: np.ndarray, n_samples: int, depth: int):
+    """(h, stride) filtered-byte rows → (h, n_samples) RAW sample
+    values (palette indices stay indices; no 8-bit scaling here).
+    depth 16 keeps the most significant byte — the standard 8-bit
+    reduction (spec §2.1: MSB first)."""
+    if depth == 8:
+        return rows[:, :n_samples]
+    if depth == 16:
+        return rows[:, : 2 * n_samples : 2]
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, matching the spec
+    vals = bits.reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2).astype(np.uint8)[:, :n_samples]
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (h, w, channels). The full static-PNG
+    matrix a web crawl actually serves: color types 0/2/3/4/6, bit
+    depths 1/2/4/8/16 (16 reduced to 8 via the MSB), Adam7 interlace,
+    palette via PLTE with optional tRNS alpha. Sub-8-bit grayscale
+    scales by bit replication (spec §12.5); palette output is RGB, or
+    RGBA when tRNS is present."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = ch = depth = color = inter = None
+    plte = trns = None
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (
+                color not in _CHANNELS
+                or depth not in _PNG_DEPTHS[color]
+                or inter not in (0, 1)
+            ):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color}, "
+                    f"interlace={inter})"
+                )
+            ch = _CHANNELS[color]
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("corrupt PNG: PLTE not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("corrupt PNG: no IHDR")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG: IDAT inflate failed ({e})") from e
+    bpp = max(1, (ch * depth) // 8)
+
+    def stride_of(width: int) -> int:
+        return (width * ch * depth + 7) // 8
+
+    if inter == 0:
+        rows, _ = _png_unfilter(raw, 0, h, stride_of(w), bpp)
+        img = _png_samples(rows, w * ch, depth).reshape(h, w, ch)
+    else:  # Adam7: 7 independently-filtered sub-images
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size
+            rows, off = _png_unfilter(raw, off, ph, stride_of(pw), bpp)
+            sub = _png_samples(rows, pw * ch, depth).reshape(ph, pw, ch)
+            img[y0::dy, x0::dx] = sub
+
+    if color == 3:
+        if plte is None:
+            raise ValueError("corrupt PNG: palette image without PLTE")
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("corrupt PNG: palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+        alpha[: trns.size] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if depth < 8:  # grayscale sub-8-bit: scale by bit replication
+        return img * np.uint8(255 // ((1 << depth) - 1))
+    return img
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -144,6 +237,78 @@ def encode_png(arr: np.ndarray) -> bytes:
         + _chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def _png_pack_rows(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, n_samples) raw sample values → (h, stride) scanline bytes
+    at ``depth`` bits per sample (MSB-first packing, spec §7.2)."""
+    if depth == 8:
+        return samples.astype(np.uint8)
+    if depth == 16:  # value in the MSB, 0 LSB (decoder keeps the MSB)
+        h, n = samples.shape
+        out = np.zeros((h, 2 * n), dtype=np.uint8)
+        out[:, 0::2] = samples
+        return out
+    h, n = samples.shape
+    bits = np.unpackbits(
+        samples.astype(np.uint8)[:, :, None], axis=2
+    )[:, :, 8 - depth :].reshape(h, n * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    return np.packbits(bits, axis=1)
+
+
+def encode_png_ex(
+    samples: np.ndarray,
+    color: int,
+    depth: int = 8,
+    palette: np.ndarray | None = None,
+    trns: np.ndarray | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Fixture-encoder dual of the full ``decode_png`` matrix:
+    ``samples`` is (h, w) for color types 0/3 or (h, w, ch) otherwise,
+    holding RAW sample values (palette indices for type 3; for
+    depth 16 the 8-bit value that lands in the MSB). Filter 0 on every
+    scanline — the decoder's filter coverage is pinned separately by
+    test_png_unfilters_all_filter_types."""
+    if color in (0, 3):
+        samples = samples.reshape(samples.shape[0], samples.shape[1], 1)
+    h, w, ch = samples.shape
+    if ch != _CHANNELS[color] or depth not in _PNG_DEPTHS[color]:
+        raise ValueError("invalid color/depth/shape combination")
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        ph, pw, _ = sub.shape
+        packed = _png_pack_rows(sub.reshape(ph, pw * ch), depth)
+        body = np.zeros((ph, packed.shape[1] + 1), dtype=np.uint8)
+        body[:, 1:] = packed  # filter type 0 per row
+        return body.tobytes()
+
+    if not interlace:
+        raw = scanlines(samples)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(scanlines(sub))
+        raw = b"".join(parts)
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette image needs a palette")
+        out += _chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if trns is not None:
+            out += _chunk(b"tRNS", np.asarray(trns, np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b"")
 
 
 # --- BMP -------------------------------------------------------------------

@@ -473,3 +473,106 @@ def test_mp4_nonincreasing_stsc_rejected():
     )
     with _pytest.raises(ValueError, match="first_chunk not increasing"):
         C.demux_mp4(bad)
+
+
+def _rng(seed=7):
+    import numpy as _np
+
+    return _np.random.default_rng(seed)
+
+
+def test_png_palette_plte_and_trns():
+    """Color type 3: decode expands PLTE to RGB; a tRNS chunk adds an
+    alpha channel (entries past the tRNS length default to 255)."""
+    import numpy as _np
+
+    idx = _rng().integers(0, 5, size=(9, 7), dtype=_np.uint8)
+    pal = _rng(1).integers(0, 256, size=(5, 3), dtype=_np.uint8)
+    enc = C.encode_png_ex(idx, color=3, palette=pal)
+    assert C.sniff(enc) == "png"
+    out = C.decode_png(enc)
+    assert out.shape == (9, 7, 3)
+    assert (out == pal[idx]).all()
+
+    trns = _np.array([0, 128], dtype=_np.uint8)  # entries 2-4 → 255
+    enc_a = C.encode_png_ex(idx, color=3, palette=pal, trns=trns)
+    out_a = C.decode_png(enc_a)
+    assert out_a.shape == (9, 7, 4)
+    assert (out_a[:, :, :3] == pal[idx]).all()
+    full = _np.array([0, 128, 255, 255, 255], dtype=_np.uint8)
+    assert (out_a[:, :, 3] == full[idx]).all()
+
+
+def test_png_adam7_interlace_matches_plain():
+    """Adam7 deinterlace reproduces the plain decode exactly, including
+    odd sizes where late passes dominate and tiny sizes where early
+    passes are empty."""
+    import numpy as _np
+
+    for h, w in ((16, 16), (9, 7), (3, 2), (1, 1), (2, 9)):
+        arr = _rng(h * 100 + w).integers(
+            0, 256, size=(h, w, 3), dtype=_np.uint8
+        )
+        plain = C.decode_png(C.encode_png_ex(arr, color=2))
+        inter = C.decode_png(C.encode_png_ex(arr, color=2, interlace=True))
+        assert (plain == arr).all()
+        assert (inter == arr).all(), (h, w)
+
+
+def test_png_sub8_gray_scales_by_bit_replication():
+    import numpy as _np
+
+    for depth, mult in ((1, 255), (2, 85), (4, 17)):
+        arr = _rng(depth).integers(
+            0, 1 << depth, size=(5, 11), dtype=_np.uint8
+        )
+        out = C.decode_png(C.encode_png_ex(arr, color=0, depth=depth))
+        assert out.shape == (5, 11, 1)
+        assert (out[:, :, 0] == arr * _np.uint8(mult)).all()
+
+
+def test_png_sub8_palette_and_interlaced_palette():
+    import numpy as _np
+
+    idx = _rng(3).integers(0, 16, size=(10, 13), dtype=_np.uint8)
+    pal = _rng(4).integers(0, 256, size=(16, 3), dtype=_np.uint8)
+    out = C.decode_png(C.encode_png_ex(idx, color=3, depth=4, palette=pal))
+    assert (out == pal[idx]).all()
+    out_i = C.decode_png(
+        C.encode_png_ex(idx, color=3, depth=4, palette=pal, interlace=True)
+    )
+    assert (out_i == pal[idx]).all()
+
+
+def test_png_16bit_reduces_to_msb():
+    import numpy as _np
+
+    arr = _rng(5).integers(0, 256, size=(6, 6, 3), dtype=_np.uint8)
+    out = C.decode_png(C.encode_png_ex(arr, color=2, depth=16))
+    assert (out == arr).all()
+    gray = _rng(6).integers(0, 256, size=(4, 4), dtype=_np.uint8)
+    outg = C.decode_png(C.encode_png_ex(gray, color=0, depth=16))
+    assert (outg[:, :, 0] == gray).all()
+
+
+def test_png_corrupt_palette_and_idat_raise_valueerror():
+    import numpy as _np
+
+    import pytest as _pytest
+
+    idx = _np.full((4, 4), 9, dtype=_np.uint8)  # index 9, palette of 5
+    pal = _np.zeros((5, 3), dtype=_np.uint8)
+    with _pytest.raises(ValueError, match="palette index out of range"):
+        C.decode_png(C.encode_png_ex(idx, color=3, palette=pal))
+
+    ok = C.encode_png_ex(idx, color=3, palette=pal)
+    no_plte = ok.replace(b"PLTE", b"XXXX")
+    with _pytest.raises(ValueError, match="without PLTE"):
+        C.decode_png(no_plte)
+
+    arr = _np.zeros((8, 8, 3), dtype=_np.uint8)
+    enc = C.encode_png(arr)
+    di = enc.find(b"IDAT")
+    garbled = enc[: di + 8] + bytes(16) + enc[di + 24 :]
+    with _pytest.raises(ValueError, match="corrupt PNG"):
+        C.decode_png(garbled)
