@@ -53,10 +53,12 @@ _ADAM7 = [
 
 
 def sniff(payload: bytes) -> str:
-    """Magic-byte format sniff: 'png' | 'bmp' | 'wav' | 'jpeg' |
-    'mp4' | 'unknown'."""
+    """Magic-byte format sniff: 'png' | 'bmp' | 'gif' | 'wav' |
+    'jpeg' | 'mp4' | 'unknown'."""
     if payload[:8] == PNG_SIG:
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -348,6 +350,277 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return header + data
+
+
+# --- GIF -------------------------------------------------------------------
+#
+# GIF87a/89a static decode (first frame) + fixture-encoder dual. The
+# format is a global/local palette, an LSB-first variable-width LZW
+# stream in ≤255-byte sub-blocks, 4-pass row interlacing, and a GIF89a
+# Graphic Control Extension carrying a transparent palette index.
+# Animations decode to their first frame; gif_frame_count exposes the
+# frame count as metadata without decoding pixel data.
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (row_start, step)
+
+
+def _gif_interlace_order(h: int) -> list:
+    return [y for s, d in _GIF_INTERLACE for y in range(s, h, d)]
+
+
+def _lzw_decode(data: bytes, mcs: int, n_pixels: int) -> bytes:
+    """GIF variable-width LZW → pixel indices. Canonical decoder rule:
+    code width grows when the table reaches 2^width (cap 12 bits,
+    deferred-clear past 4095 per the spec's conventions)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = next_code = prev = None
+
+    def reset():
+        nonlocal table, code_size, next_code, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size, next_code, prev = mcs + 1, eoi + 1, None
+
+    reset()
+    acc = nbits = pos = 0
+    while len(out) < n_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("corrupt GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                raise ValueError("corrupt GIF: bad initial LZW code")
+            out += table[code]
+            prev = code
+            continue
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("corrupt GIF: LZW code beyond table")
+        out += entry
+        if next_code < 4096:
+            table.append(table[prev] + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+    if len(out) < n_pixels:
+        raise ValueError("corrupt GIF: LZW output shorter than image")
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode(data: bytes, mcs: int) -> bytes:
+    """Dual of ``_lzw_decode``: emits the clear code first, grows the
+    code width one add AFTER the decoder's 2^width threshold (the
+    encoder's table leads by one entry at equal stream positions), and
+    resets with a clear code when the table would pass 4096."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    code_size, next_code = mcs + 1, eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size, next_code = mcs + 1, eoi + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at ``pos``; returns
+    (data, position after the 0x00 terminator)."""
+    parts = []
+    while True:
+        if pos >= len(buf):
+            raise ValueError("corrupt GIF: unterminated sub-blocks")
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos
+        parts.append(buf[pos : pos + n])
+        if len(parts[-1]) < n:
+            raise ValueError("corrupt GIF: truncated sub-block")
+        pos += n
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → uint8 (h, w, 3) RGB — or (h, w, 4) RGBA when the
+    first frame's Graphic Control Extension declares a transparent
+    index. Animations decode to the first frame composed onto the
+    logical-screen canvas (background = palette entry 0)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+        if gct.size < 3 * n:
+            raise ValueError("corrupt GIF: truncated color table")
+        gct = gct.reshape(-1, 3)
+        pos += 3 * n
+    transp = None
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4 and data[0] & 1:
+                transp = data[3]
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
+        left, top, iw, ih, ipk = struct.unpack(
+            "<HHHHB", payload[pos : pos + 9]
+        )
+        pos += 9
+        pal = gct
+        if ipk & 0x80:
+            n = 2 << (ipk & 7)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("corrupt GIF: image without a color table")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"corrupt GIF: LZW min code size {mcs}")
+        data, pos = _gif_subblocks(payload, pos)
+        idx = np.frombuffer(
+            _lzw_decode(data, mcs, iw * ih), np.uint8
+        ).reshape(ih, iw)
+        if ipk & 0x40:  # interlaced: rows arrive in 4-pass order
+            deinter = np.empty_like(idx)
+            deinter[_gif_interlace_order(ih)] = idx
+            idx = deinter
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("corrupt GIF: palette index out of range")
+        canvas = np.zeros((h, w), dtype=np.uint8)  # background = entry 0
+        canvas[top : top + ih, left : left + iw] = idx[
+            : max(0, h - top), : max(0, w - left)
+        ]
+        rgb = pal[canvas]
+        if transp is None:
+            return rgb
+        alpha = np.where(canvas == transp, 0, 255).astype(np.uint8)
+        return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+    raise ValueError("corrupt GIF: no image descriptor")
+
+
+def gif_frame_count(payload: bytes) -> int:
+    """Number of image descriptors (animation frames) — a metadata
+    scan that skips LZW data without decoding it."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    pos = 13 + (3 * (2 << (packed & 7)) if packed & 0x80 else 0)
+    frames = 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos += 1
+            _, pos = _gif_subblocks(payload, pos)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
+        ipk = payload[pos + 8]
+        pos += 9
+        if ipk & 0x80:
+            pos += 3 * (2 << (ipk & 7))
+        pos += 1  # LZW min code size
+        _, pos = _gif_subblocks(payload, pos)
+        frames += 1
+    return frames
+
+
+def encode_gif(
+    frames,
+    palette: np.ndarray,
+    transparent: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Fixture dual: (h, w) index array or a list of them (animation)
+    + (n, 3) palette → GIF89a bytes. Real LZW compression (the decoder
+    is exercised on genuine variable-width streams, including mid-
+    stream table resets on large inputs)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    h, w = frames[0].shape
+    pal = np.asarray(palette, np.uint8)
+    bits = max(1, int(np.ceil(np.log2(max(2, pal.shape[0])))))
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[: pal.shape[0]] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += gct.tobytes()
+    mcs = max(2, bits)
+    for idx in frames:
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                           0x40 if interlace else 0)
+        rows = idx[_gif_interlace_order(h)] if interlace else idx
+        lzw = _lzw_encode(rows.astype(np.uint8).tobytes(), mcs)
+        out.append(mcs)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
 
 
 # --- WAV -------------------------------------------------------------------
@@ -1330,12 +1603,14 @@ def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-dispatched image decode (png/bmp/jpeg) → uint8 array."""
+    """Sniff-dispatched image decode (png/bmp/gif/jpeg) → uint8 array."""
     fmt = sniff(payload)
     if fmt == "png":
         return decode_png(payload)
     if fmt == "bmp":
         return decode_bmp(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     if fmt == "jpeg":
         return decode_jpeg(payload)
     raise ValueError(f"not a decodable image (sniffed {fmt!r})")

@@ -71,7 +71,7 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
     this branch in production.
 
     The codec tag makes the route OBSERVABLE (round-4 ADVICE fix):
-    ``png``/``bmp``/``wav``/``jpeg`` = the real decoder ran;
+    ``png``/``bmp``/``gif``/``wav``/``jpeg`` = the real decoder ran;
     ``fake`` = unknown format on the disclosed fake path; ``fallback``
     = a payload that SNIFFED as a real format but failed to decode
     (truncated PNG, ADPCM WAV, …) — a data-quality failure that would
@@ -94,6 +94,11 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
                 C.decode_bmp(payload).astype(np.float32).ravel() / 255.0,
                 "bmp",
             )
+        if fmt == "gif":
+            return (
+                C.decode_gif(payload).astype(np.float32).ravel() / 255.0,
+                "gif",
+            )
         if fmt == "wav":
             return C.decode_wav(payload)[0], "wav"
         if fmt == "jpeg":
@@ -102,8 +107,8 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
                 "jpeg",
             )
     except Exception:
-        # a sniffed-but-unsupported variant (palette/interlaced PNG,
-        # RLE BMP, ADPCM WAV, truncated bytes) must not fail the
+        # a sniffed-but-unsupported variant (16-bit-per-channel + tEXt
+        # exotica, RLE BMP, ADPCM WAV, truncated bytes) must not fail the
         # stage — it falls through to the fake kernel rather than
         # poisoning the whole Arrow batch, but the tag records it
         fellback = True
@@ -228,7 +233,7 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
                 b = bytes(p or b"")
                 fmt = C.sniff(b)
                 try:
-                    if fmt in ("png", "bmp", "jpeg"):
+                    if fmt in ("png", "bmp", "gif", "jpeg"):
                         arr = C.decode_image(b)
                         payloads.append(
                             C.encode_png(C.resize_nearest(arr, w, h))

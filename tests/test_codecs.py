@@ -102,6 +102,7 @@ def test_sniff():
     assert C.sniff(C.encode_bmp(a)) == "bmp"
     assert C.sniff(C.encode_wav(np.zeros(10, np.float32), 8000)) == "wav"
     assert C.sniff(b"\xff\xd8\xff jpeg") == "jpeg"
+    assert C.sniff(b"GIF89a" + b"\x00" * 8) == "gif"
     assert C.sniff(b"\x00\x01\x02") == "unknown"
 
 
@@ -114,6 +115,11 @@ def test_decode_kernel_routes_real_formats():
     x = np.full(100, 0.5, np.float32)
     aud = M._decode_kernel(C.encode_wav(x, 8000), "audio")
     assert aud.size == 100 and np.abs(aud - 0.5).max() < 1e-3
+    gif = C.encode_gif(
+        np.zeros((2, 3), np.uint8), np.array([[255, 255, 255]], np.uint8)
+    )
+    _, tag = M._decode_with_codec(gif, "image")
+    assert tag == "gif"
     # unknown format still lands on the deterministic fake
     fake = M._decode_kernel(b"\x01\x02\x03", "video")
     assert fake.size == 3
@@ -576,3 +582,80 @@ def test_png_corrupt_palette_and_idat_raise_valueerror():
     garbled = enc[: di + 8] + bytes(16) + enc[di + 24 :]
     with _pytest.raises(ValueError, match="corrupt PNG"):
         C.decode_png(garbled)
+
+
+def test_gif_round_trip_and_sniff():
+    import numpy as _np
+
+    idx = _rng(11).integers(0, 7, size=(13, 17), dtype=_np.uint8)
+    pal = _rng(12).integers(0, 256, size=(7, 3), dtype=_np.uint8)
+    enc = C.encode_gif(idx, pal)
+    assert C.sniff(enc) == "gif"
+    out = C.decode_gif(enc)
+    assert out.shape == (13, 17, 3)
+    assert (out == pal[idx]).all()
+    assert (C.decode_image(enc) == out).all()
+
+
+def test_gif_lzw_variable_width_and_table_reset():
+    """A large high-entropy frame forces the LZW code width through
+    every size up to 12 bits and at least one mid-stream table reset
+    (4096-entry cap) — the decoder must track both transitions."""
+    import numpy as _np
+
+    idx = _rng(13).integers(0, 256, size=(120, 150), dtype=_np.uint8)
+    pal = _rng(14).integers(0, 256, size=(256, 3), dtype=_np.uint8)
+    enc = C.encode_gif(idx, pal)
+    assert (C.decode_gif(enc) == pal[idx]).all()
+
+
+def test_gif_interlace_and_transparency():
+    import numpy as _np
+
+    idx = _rng(15).integers(0, 4, size=(11, 6), dtype=_np.uint8)
+    pal = _rng(16).integers(0, 256, size=(4, 3), dtype=_np.uint8)
+    out_i = C.decode_gif(C.encode_gif(idx, pal, interlace=True))
+    assert (out_i == pal[idx]).all()
+
+    out_t = C.decode_gif(C.encode_gif(idx, pal, transparent=2))
+    assert out_t.shape == (11, 6, 4)
+    assert (out_t[:, :, :3] == pal[idx]).all()
+    assert (out_t[:, :, 3] == _np.where(idx == 2, 0, 255)).all()
+
+
+def test_gif_animation_first_frame_and_count():
+    import numpy as _np
+
+    f0 = _rng(17).integers(0, 5, size=(8, 8), dtype=_np.uint8)
+    f1 = (f0 + 1) % 5
+    pal = _rng(18).integers(0, 256, size=(5, 3), dtype=_np.uint8)
+    enc = C.encode_gif([f0, f1, f1], pal, transparent=1)
+    assert C.gif_frame_count(enc) == 3
+    out = C.decode_gif(enc)  # first frame only
+    assert (out[:, :, :3] == pal[f0]).all()
+
+
+def test_gif_corrupt_streams_raise_valueerror():
+    import numpy as _np
+
+    import pytest as _pytest
+
+    idx = _rng(19).integers(0, 4, size=(6, 6), dtype=_np.uint8)
+    pal = _rng(20).integers(0, 256, size=(4, 3), dtype=_np.uint8)
+    enc = C.encode_gif(idx, pal)
+    for bad in (
+        enc[:20],                    # truncated mid color table/blocks
+        enc[:-10],                   # unterminated sub-blocks
+        b"GIF89a" + b"\x00" * 7,     # no image descriptor
+        b"not a gif",
+    ):
+        with _pytest.raises(ValueError):
+            C.decode_gif(bad)
+    # palette index beyond the declared table: 2-entry palette but a
+    # frame full of index 3 (still a valid 2-bit LZW alphabet)
+    small = C.encode_gif(
+        _np.full((4, 4), 3, dtype=_np.uint8),
+        _np.zeros((2, 3), dtype=_np.uint8),
+    )
+    with _pytest.raises(ValueError):
+        C.decode_gif(small)
