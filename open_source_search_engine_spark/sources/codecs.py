@@ -6,11 +6,13 @@ the stdlib: WAV is fully decodable with ``wave`` + numpy, PNG is
 zlib-deflate + five per-row filters (implemented here from the PNG
 spec, RFC 2083 §6), and uncompressed BMP is a header parse. This
 module implements those three for real. Round 4 adds a pure-numpy
-BASELINE JPEG codec (ITU-T T.81 sequential DCT: canonical Huffman,
-Annex-K tables, batched 8×8 IDCT as two matrix products) — the
-dominant web image format no longer rides the fake path. Only
-formats whose codecs genuinely require external libraries (MP4/H.264)
-remain on the fake-codec fallback, now narrowly scoped.
+JPEG codec — BASELINE (ITU-T T.81 sequential DCT: canonical Huffman,
+Annex-K tables, batched 8×8 IDCT as two matrix products) and
+PROGRESSIVE (SOF2, spectral selection + successive approximation,
+Annex G) — plus GIF87a/89a (LZW) — so the dominant web image formats
+no longer ride the fake path. Only formats whose codecs genuinely
+require external libraries (MP4/H.264) remain on the fake-codec
+fallback, now narrowly scoped.
 
 Everything is numpy-vectorized where the format allows: PNG's Up
 filter and all encoders are whole-row operations; Sub/Average/Paeth
@@ -663,12 +665,13 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
-# --- JPEG (baseline sequential DCT, ITU-T T.81) -----------------------------
+# --- JPEG (sequential + progressive DCT, ITU-T T.81) ------------------------
 #
-# Pure numpy + stdlib. Scope: baseline (SOF0), 8-bit, 1 or 3
-# components, sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0), restart
-# markers honored. Progressive (SOF2) / arithmetic coding / 12-bit
-# raise ValueError and land on the tagged 'fallback' route in
+# Pure numpy + stdlib. Scope: baseline (SOF0) AND progressive (SOF2,
+# spectral selection + successive approximation, Annex G), 8-bit, 1 or
+# 3 components, sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0), restart
+# markers honored. Arithmetic coding / 12-bit / lossless raise
+# ValueError and land on the tagged 'fallback' route in
 # sources/multimodal.py. Entropy (de)coding is per-symbol Python —
 # inherently sequential bit I/O; everything after it (dequant, IDCT,
 # upsample, colorspace) is batched numpy over ALL blocks at once.
@@ -854,15 +857,179 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 (h, w) grayscale or (h, w, 3) RGB.
+def _prog_ac_first(rd, blk, actab, ss, se, al, eobrun) -> int:
+    """Progressive AC first pass (T.81 G.1.2.2 decode) for one block's
+    spectral band; returns the updated EOB run (a run of N means this
+    band is all-zero in the next N blocks of the scan)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rd.huff(actab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            eb = (1 << r) - 1
+            if r:
+                eb += rd.bits(r)
+            return eb
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run past band end")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
 
-    Marker parse → per-MCU canonical-Huffman entropy decode (the only
-    sequential part) → BATCHED dequant + 8×8 IDCT over all blocks as
-    two matrix products → nearest upsample of subsampled chroma →
-    JFIF YCbCr→RGB. Raises ValueError on non-baseline or corrupt
-    streams (truncated segments / undeclared tables surface as the
-    documented ValueError, never IndexError/KeyError/struct.error)."""
+
+def _prog_ac_refine(rd, blk, actab, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement pass (T.81 G.1.2.3 decode, the
+    libjpeg decode_mcu_AC_refine flow): newly-nonzero coefficients
+    arrive as (zero-history-run, ±2^Al) symbols; every already-nonzero
+    coefficient passed over consumes one correction bit that may add
+    ±2^Al toward its true magnitude."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        c = int(blk[k])
+        if c != 0 and rd.bit() and not (c & p1):
+            blk[k] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(actab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break  # band ends; correction bits continue below
+                # r == 15, s == 0: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "corrupt JPEG: refinement magnitude != 1"
+                    )
+                val = p1 if rd.bit() else m1
+            # advance past r zero-history coefficients, consuming one
+            # correction bit per nonzero coefficient crossed
+            while k <= se:
+                if int(blk[k]) != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # rest of the band: correction bits only
+            correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    data, order, ss, se, ah, al, comps, planes,
+    W, H, hmax, vmax, mcus_x, mcus_y, restart_interval,
+):
+    """Decode one progressive scan into the coefficient planes.
+    ``order`` is [(comp_idx, dc_table_or_None, ac_table_or_None)] with
+    tables resolved at SOS-parse time (progressive streams may
+    redefine a DHT slot between scans). Interleaved (multi-component,
+    DC only) scans walk MCU order; single-component scans walk the
+    component's OWN block raster — ceil(ceil(W·h/hmax)/8) wide, which
+    can be narrower than the MCU-padded plane. Restart markers
+    byte-align and reset both the DC predictors and the EOB run."""
+    interleaved = len(order) > 1
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt JPEG: progressive scan Ss=0 needs Se=0")
+    if ss > se or se > 63:
+        raise ValueError("corrupt JPEG: bad spectral band")
+    if ss > 0 and interleaved:
+        raise ValueError("corrupt JPEG: interleaved AC progressive scan")
+    if interleaved:
+        total = mcus_x * mcus_y
+        bw = 0
+    else:
+        ci = order[0][0]
+        _, ch, cv, _ = comps[ci]
+        bw = -(-(-(-W * ch // hmax)) // 8)
+        bh = -(-(-(-H * cv // vmax)) // 8)
+        total = bw * bh
+    intervals = (
+        re.split(b"\xff[\xd0-\xd7]", data)
+        if restart_interval
+        else [data]
+    )
+    pred = [0] * len(comps)
+    eobrun = 0
+    unit = 0
+    for interval in intervals:
+        rd = _BitReader(interval.replace(b"\xff\x00", b"\xff"))
+        if restart_interval:
+            pred = [0] * len(comps)
+            eobrun = 0
+            stop = min(unit + restart_interval, total)
+        else:
+            stop = total
+        while unit < stop:
+            if ss == 0:  # DC scan
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    blocks = []
+                    for ci, dctab, _ in order:
+                        _, ch, cv, _ = comps[ci]
+                        for b in range(ch * cv):
+                            by, bx = divmod(b, ch)
+                            blocks.append(
+                                (ci, dctab,
+                                 planes[ci][my * cv + by, mx * ch + bx])
+                            )
+                else:
+                    ci, dctab, _ = order[0]
+                    by, bx = divmod(unit, bw)
+                    blocks = [(ci, dctab, planes[ci][by, bx])]
+                for ci, dctab, blk in blocks:
+                    if ah == 0:
+                        s = rd.huff(dctab)
+                        pred[ci] += _extend(rd.bits(s), s)
+                        blk[0] = pred[ci] << al
+                    elif rd.bit():  # refinement: one bit per block
+                        blk[0] = int(blk[0]) | (1 << al)
+            else:  # AC scan, single component
+                ci, _, actab = order[0]
+                by, bx = divmod(unit, bw)
+                blk = planes[ci][by, bx]
+                fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+                eobrun = fn(rd, blk, actab, ss, se, al, eobrun)
+            unit += 1
+    if unit != total:
+        raise ValueError(
+            f"truncated progressive scan: {unit}/{total} units"
+        )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes (baseline SOF0 or progressive SOF2) → uint8 (h, w)
+    grayscale or (h, w, 3) RGB.
+
+    Marker parse → canonical-Huffman entropy decode (per-MCU for
+    baseline; per-scan DC/AC first+refinement passes with EOB-run
+    semantics for progressive — the only sequential part) → BATCHED
+    dequant + 8×8 IDCT over all blocks as two matrix products →
+    nearest upsample of subsampled chroma → JFIF YCbCr→RGB. Raises
+    ValueError on unsupported codings (arithmetic/lossless/12-bit) or
+    corrupt streams (truncated segments / undeclared tables surface
+    as the documented ValueError, never IndexError/KeyError/
+    struct.error)."""
     try:
         return _decode_jpeg(payload)
     except ValueError:
@@ -882,6 +1049,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     scan = None
     scan_order = None  # list of (comp_idx, dc_table, ac_table)
+    progressive = False
+    prog_scans = []  # (order, ss, se, ah, al, dri, entropy-bytes)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -913,7 +1082,8 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17 : p + 17 + nval])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 p += 17 + nval
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, H, W, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -934,13 +1104,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/etc)")
+            raise ValueError(
+                "unsupported JPEG coding (extended/lossless/arithmetic)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
-            if scan is not None:
+            if scan is not None and not progressive:
                 # multi-scan (non-interleaved) baseline: each SOS
                 # carries one component; decoding only the last would
                 # silently return garbage tagged as a real decode
@@ -951,7 +1123,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             if comps is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
+            if not progressive and ns != len(comps):
                 raise ValueError(
                     "non-interleaved scan (components split across "
                     "scans) unsupported"
@@ -976,6 +1148,33 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 end += 1
             scan = payload[data_start:end]
             pos = end
+            if progressive:
+                if len(seg) < 4 + 2 * ns:
+                    raise ValueError("corrupt JPEG: short SOS header")
+                ss, se, ahal = (
+                    seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                )
+                # resolve Huffman tables NOW: later scans may redefine
+                # the same DHT slot (per-scan optimized tables are the
+                # norm in progressive streams)
+                order = []
+                for ci, tdc, tac in scan_order:
+                    dctab = huff.get((0, tdc)) if ss == 0 and (
+                        ahal >> 4) == 0 else None
+                    actab = huff.get((1, tac)) if ss > 0 else None
+                    if ss == 0 and (ahal >> 4) == 0 and dctab is None:
+                        raise ValueError(
+                            f"SOS references undeclared DC table {tdc}"
+                        )
+                    if ss > 0 and actab is None:
+                        raise ValueError(
+                            f"SOS references undeclared AC table {tac}"
+                        )
+                    order.append((ci, dctab, actab))
+                prog_scans.append(
+                    (order, ss, se, ahal >> 4, ahal & 0xF,
+                     restart_interval, scan)
+                )
             continue
         pos += seglen
     if comps is None or scan is None:
@@ -990,6 +1189,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         np.zeros((mcus_y * v, mcus_x * h, 64), np.int32)
         for (_, h, v, _) in comps
     ]
+    if progressive:
+        for order, ss, se, ah, al, dri, data in prog_scans:
+            _decode_prog_scan(
+                data, order, ss, se, ah, al, comps, planes,
+                W, H, hmax, vmax, mcus_x, mcus_y, dri,
+            )
+        return _jpeg_idct_output(comps, planes, quant, H, W, hmax, vmax)
+
     # restart markers byte-align and reset DC prediction: split on
     # RSTn and destuff each interval independently
     intervals = (
@@ -1040,7 +1247,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(
             f"truncated JPEG scan: {mcu}/{mcus_x * mcus_y} MCUs decoded"
         )
+    return _jpeg_idct_output(comps, planes, quant, H, W, hmax, vmax)
 
+
+def _jpeg_idct_output(comps, planes, quant, H, W, hmax, vmax):
+    """Shared back half of baseline and progressive decode: batched
+    dequant + de-zigzag + 8×8 IDCT, chroma upsample, YCbCr→RGB."""
     out_planes = []
     for (cid, ch, cv, tq), coefs in zip(comps, planes):
         by, bx, _ = coefs.shape
@@ -1135,16 +1347,10 @@ def _encode_block(wtr, blk, pred, enc_dc, enc_ac) -> int:
     return dc
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
-    (Annex-K quality-50 quant + typical Huffman tables; ``subsample``
-    '444' or '420' [2×2-mean chroma], optional DRI restart markers).
-    The fixture-generator dual of ``decode_jpeg`` — deterministic, so
-    tests pin decoded output exactly."""
+def _jpeg_coef_planes(arr: np.ndarray, subsample: str):
+    """Shared encoder front half: color convert → chroma subsample →
+    blocked DCT → quantize → zigzag. Returns (zz_planes, samp, qtabs,
+    gray, h, w, mcus_x, mcus_y)."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     if gray:
@@ -1169,12 +1375,6 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     qtabs = [_QUANT_LUMA] + ([] if gray else [_QUANT_CHROMA])
-    enc_dc = [_huff_encode_table(*_HUFF_DC_LUMA)] + (
-        [] if gray else [_huff_encode_table(*_HUFF_DC_CHROMA)]
-    )
-    enc_ac = [_huff_encode_table(*_HUFF_AC_LUMA)] + (
-        [] if gray else [_huff_encode_table(*_HUFF_AC_CHROMA)]
-    )
 
     zz_planes = []
     for pi, plane in enumerate(planes):
@@ -1200,10 +1400,62 @@ def encode_jpeg(
         q = qtabs[min(pi, 1)].reshape(8, 8).astype(np.float64)
         qz = np.round(coefs / q).astype(np.int32).reshape(cby, cbx, 64)
         zz_planes.append(qz[:, :, _ZIGZAG])
+    return zz_planes, samp, qtabs, gray, h, w, mcus_x, mcus_y
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _jpeg_header(
+    sof_marker, h, w, samp, qtabs, tables, restart_interval
+) -> bytearray:
+    """SOI + DQT + SOFn + DRI + DHT prologue shared by both encoders;
+    ``tables`` is [(tc, th, (bits, vals))]."""
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in enumerate(qtabs):
+        out += _jpeg_seg(
+            0xDB, bytes([tq]) + bytes(qt[_ZIGZAG].astype(np.uint8))
+        )
+    nc = len(samp)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hi, vi = samp[i]
+        sof += bytes([i + 1, (hi << 4) | vi, min(i, 1)])
+    out += _jpeg_seg(sof_marker, sof)
+    if restart_interval:
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+    for tc, th, (bits, vals) in tables:
+        out += _jpeg_seg(
+            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        )
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
+    (Annex-K quality-50 quant + typical Huffman tables; ``subsample``
+    '444' or '420' [2×2-mean chroma], optional DRI restart markers).
+    The fixture-generator dual of ``decode_jpeg`` — deterministic, so
+    tests pin decoded output exactly."""
+    zz_planes, samp, qtabs, gray, h, w, mcus_x, mcus_y = (
+        _jpeg_coef_planes(arr, subsample)
+    )
+    enc_dc = [_huff_encode_table(*_HUFF_DC_LUMA)] + (
+        [] if gray else [_huff_encode_table(*_HUFF_DC_CHROMA)]
+    )
+    enc_ac = [_huff_encode_table(*_HUFF_AC_LUMA)] + (
+        [] if gray else [_huff_encode_table(*_HUFF_AC_CHROMA)]
+    )
 
     chunks = []  # entropy-coded intervals, RSTn markers interleaved
     wtr = _BitWriter()
-    pred = [0] * len(planes)
+    nc = len(samp)
+    pred = [0] * nc
     rst = 0
     for myx in range(mcus_y * mcus_x):
         if restart_interval and myx and myx % restart_interval == 0:
@@ -1211,9 +1463,9 @@ def encode_jpeg(
             chunks.append(bytes([0xFF, 0xD0 + rst]))
             rst = (rst + 1) & 7
             wtr = _BitWriter()
-            pred = [0] * len(planes)
+            pred = [0] * nc
         my, mx = divmod(myx, mcus_x)
-        for pi in range(len(planes)):
+        for pi in range(nc):
             ch, cv = samp[pi]
             t = min(pi, 1)
             for b in range(ch * cv):
@@ -1225,36 +1477,242 @@ def encode_jpeg(
     chunks.append(wtr.flush())
     data = b"".join(chunks)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    for tq, qt in enumerate(qtabs):
-        out += seg(
-            0xDB, bytes([tq]) + bytes(qt[_ZIGZAG].astype(np.uint8))
-        )
-    nc = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
-    for i in range(nc):
-        hi, vi = samp[i]
-        sof += bytes([i + 1, (hi << 4) | vi, min(i, 1)])
-    out += seg(0xC0, sof)
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
     tables = [(0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_LUMA)]
     if not gray:
         tables += [(0, 1, _HUFF_DC_CHROMA), (1, 1, _HUFF_AC_CHROMA)]
-    for tc, th, (bits, vals) in tables:
-        out += seg(
-            0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
-        )
+    out = _jpeg_header(0xC0, h, w, samp, qtabs, tables, restart_interval)
     sos = bytes([nc])
     for i in range(nc):
         t = min(i, 1)
         sos += bytes([i + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
+    out += _jpeg_seg(0xDA, sos)
     out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Progressive-encoder AC Huffman table: every (run, size) symbol plus
+# all 15 EOB-run categories encodable — 128 codes at 8 bits + 128 at
+# 9 (canonical-valid, all-ones codes unused, DHT counts fit in bytes).
+# Annex K's baseline tables lack the EOBn symbols, so real progressive
+# streams ship custom tables; this is the fixed deterministic stand-in.
+_HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def _prog_flush_eobrun(wtr, enc_ac, st) -> None:
+    """Emit the pending EOB-run symbol (category + extension bits) and
+    the correction bits buffered against it (T.81 G.1.2.2/3 encode)."""
+    if st["eobrun"] > 0:
+        r = st["eobrun"].bit_length() - 1
+        code, length = enc_ac[r << 4]
+        wtr.write(code, length)
+        if r:
+            wtr.write(st["eobrun"] - (1 << r), r)
+        st["eobrun"] = 0
+        for b in st["bits"]:
+            wtr.write(b, 1)
+        st["bits"] = []
+
+
+def _prog_ac_first_encode(wtr, blk, enc_ac, ss, se, al, st) -> None:
+    """AC first-pass encoder for one block's band (point transform =
+    |v| >> Al with sign restored; trailing zeros fold into the shared
+    EOB run)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _prog_flush_eobrun(wtr, enc_ac, st)
+        while r > 15:
+            code, length = enc_ac[0xF0]
+            wtr.write(code, length)
+            r -= 16
+        s = t.bit_length()
+        code, length = enc_ac[(r << 4) | s]
+        wtr.write(code, length)
+        tv = t if v > 0 else -t
+        wtr.write(tv if tv > 0 else tv + (1 << s) - 1, s)
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _prog_flush_eobrun(wtr, enc_ac, st)
+
+
+def _prog_ac_refine_encode(wtr, blk, enc_ac, ss, se, al, st) -> None:
+    """AC refinement encoder (the libjpeg encode_mcu_AC_refine flow):
+    newly-nonzero coefficients (|v| >> Al == 1) emit (run, 1) + sign;
+    already-nonzero ones buffer one correction bit apiece, attached to
+    the symbol — or EOB run — that follows them."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # index of the LAST newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        k = ss + i
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _prog_flush_eobrun(wtr, enc_ac, st)
+            code, length = enc_ac[0xF0]
+            wtr.write(code, length)
+            r -= 16
+            for b in br:
+                wtr.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: correction bit only
+            br.append(t & 1)
+            continue
+        _prog_flush_eobrun(wtr, enc_ac, st)
+        code, length = enc_ac[(r << 4) | 1]
+        wtr.write(code, length)
+        wtr.write(1 if int(blk[k]) >= 0 else 0, 1)
+        for b in br:
+            wtr.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st["eobrun"] += 1
+        st["bits"].extend(br)
+        if st["eobrun"] == 0x7FFF:
+            _prog_flush_eobrun(wtr, enc_ac, st)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, subsample: str = "444"
+) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → progressive (SOF2)
+    JPEG with spectral selection AND successive approximation — the
+    libjpeg-default-style script (interleaved DC at Al=1, banded luma
+    AC at Al=2, chroma at Al=1, then DC/AC refinement passes down to
+    Al=0). Same quant tables as ``encode_jpeg``, so a full progressive
+    decode is bit-identical to the baseline decode of the same image —
+    the round-trip test's oracle."""
+    zz_planes, samp, qtabs, gray, h, w, mcus_x, mcus_y = (
+        _jpeg_coef_planes(arr, subsample)
+    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    enc_dc = [_huff_encode_table(*_HUFF_DC_LUMA)] + (
+        [] if gray else [_huff_encode_table(*_HUFF_DC_CHROMA)]
+    )
+    enc_ac = _huff_encode_table(*_HUFF_AC_PROG)
+    if gray:
+        script = [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((2,), 1, 63, 0, 1),
+            ((1,), 1, 63, 0, 1),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((2,), 1, 63, 1, 0),
+            ((1,), 1, 63, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+
+    def comp_blocks(ci):  # component's own raster (non-interleaved)
+        ch, cv = samp[ci]
+        bw = -(-(-(-w * ch // hmax)) // 8)
+        bh = -(-(-(-h * cv // vmax)) // 8)
+        return [
+            zz_planes[ci][by, bx]
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+
+    tables = [(0, 0, _HUFF_DC_LUMA), (1, 0, _HUFF_AC_PROG)]
+    if not gray:
+        tables += [(0, 1, _HUFF_DC_CHROMA)]
+    out = _jpeg_header(0xC2, h, w, samp, qtabs, tables, 0)
+    for cis, ss, se, ah, al in script:
+        wtr = _BitWriter()
+        if ss == 0 and ah == 0:  # DC first
+            pred = [0] * len(samp)
+            if len(cis) > 1:  # interleaved MCU order
+                for myx in range(mcus_y * mcus_x):
+                    my, mx = divmod(myx, mcus_x)
+                    for ci in cis:
+                        ch, cv = samp[ci]
+                        for b in range(ch * cv):
+                            byi, bxi = divmod(b, ch)
+                            blk = zz_planes[ci][
+                                my * cv + byi, mx * ch + bxi
+                            ]
+                            dc = int(blk[0]) >> al  # arithmetic shift
+                            diff = dc - pred[ci]
+                            pred[ci] = dc
+                            s = _mag_cat(diff)
+                            code, length = enc_dc[min(ci, 1)][s]
+                            wtr.write(code, length)
+                            if s:
+                                wtr.write(
+                                    diff if diff > 0
+                                    else diff + (1 << s) - 1, s
+                                )
+            else:
+                ci = cis[0]
+                p = 0
+                for blk in comp_blocks(ci):
+                    dc = int(blk[0]) >> al
+                    diff, p = dc - p, dc
+                    s = _mag_cat(diff)
+                    code, length = enc_dc[min(ci, 1)][s]
+                    wtr.write(code, length)
+                    if s:
+                        wtr.write(
+                            diff if diff > 0 else diff + (1 << s) - 1, s
+                        )
+        elif ss == 0:  # DC refinement: one raw bit per block
+            if len(cis) > 1:
+                for myx in range(mcus_y * mcus_x):
+                    my, mx = divmod(myx, mcus_x)
+                    for ci in cis:
+                        ch, cv = samp[ci]
+                        for b in range(ch * cv):
+                            byi, bxi = divmod(b, ch)
+                            blk = zz_planes[ci][
+                                my * cv + byi, mx * ch + bxi
+                            ]
+                            wtr.write((int(blk[0]) >> al) & 1, 1)
+            else:
+                for blk in comp_blocks(cis[0]):
+                    wtr.write((int(blk[0]) >> al) & 1, 1)
+        else:  # AC scan over one component's raster
+            st = {"eobrun": 0, "bits": []}
+            fn = (
+                _prog_ac_first_encode if ah == 0
+                else _prog_ac_refine_encode
+            )
+            for blk in comp_blocks(cis[0]):
+                fn(wtr, blk, enc_ac, ss, se, al, st)
+            _prog_flush_eobrun(wtr, enc_ac, st)
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, (min(ci, 1) << 4) | 0])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _jpeg_seg(0xDA, sos)
+        out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -209,7 +209,11 @@ def test_jpeg_deterministic_and_decode_pinned():
     )
 
 
-def test_jpeg_rejects_progressive():
+def test_jpeg_relabeled_sof2_is_corrupt():
+    """A BASELINE stream whose SOF0 marker is flipped to SOF2 is
+    corrupt (its single Ss=0..Se=63 scan is illegal in progressive
+    mode) — it must raise, not decode as garbage. Real progressive
+    streams are covered by test_jpeg_progressive_*."""
     enc = bytearray(C.encode_jpeg(_gradient_rgb()))
     i = bytes(enc).find(b"\xff\xc0")
     enc[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
@@ -659,3 +663,65 @@ def test_gif_corrupt_streams_raise_valueerror():
     )
     with _pytest.raises(ValueError):
         C.decode_gif(small)
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive (SOF2, spectral selection + successive
+    approximation) decode is BIT-IDENTICAL to the baseline decode of
+    the same image: both encoders quantize to the same coefficients,
+    so a correct multi-pass reassembly (DC first/refine, banded AC
+    first passes at Al=2/1, refinement down to Al=0 with EOB runs and
+    correction bits) reproduces them exactly."""
+    import numpy as _np
+
+    cases = [
+        (_gradient_rgb(24, 33), "444"),
+        (_gradient_rgb(17, 19), "444"),
+        (_rng(42).integers(0, 256, (40, 56, 3), dtype=_np.uint8), "444"),
+        # 420 shapes where the luma raster (ceil(W/8)) is NARROWER
+        # than the MCU-padded grid (mcus_x*2) — the non-interleaved
+        # block-order path the padded grid would silently corrupt
+        (_rng(7).integers(0, 256, (40, 40, 3), dtype=_np.uint8), "420"),
+        (_rng(8).integers(0, 256, (41, 39, 3), dtype=_np.uint8), "420"),
+        # flat image: EOB runs spanning many blocks (eobrun >> 1)
+        (_np.full((64, 64, 3), 130, dtype=_np.uint8), "444"),
+    ]
+    for img, sub in cases:
+        base = C.decode_jpeg(C.encode_jpeg(img, subsample=sub))
+        prog = C.decode_jpeg(
+            C.encode_jpeg_progressive(img, subsample=sub)
+        )
+        assert (base == prog).all(), (img.shape, sub)
+
+
+def test_jpeg_progressive_grayscale():
+    import numpy as _np
+
+    g = _rng(9).integers(0, 256, (23, 31), dtype=_np.uint8)
+    base = C.decode_jpeg(C.encode_jpeg(g))
+    prog = C.decode_jpeg(C.encode_jpeg_progressive(g))
+    assert base.ndim == 2 or base.shape[2:] == ()
+    assert (base == prog).all()
+
+
+def test_jpeg_progressive_truncated_scan_raises():
+    import pytest as _pytest
+
+    enc = C.encode_jpeg_progressive(_gradient_rgb(24, 33))
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(enc[: len(enc) // 2])
+    # drop the final refinement scans entirely (truncate after the
+    # 3rd SOS): every remaining scan is complete, so decode SUCCEEDS
+    # with reduced precision — the progressive contract
+    sos_positions = []
+    p = 0
+    while True:
+        p = enc.find(b"\xff\xda", p + 1)
+        if p < 0:
+            break
+        sos_positions.append(p)
+    assert len(sos_positions) == 10  # the color scan script
+    partial = enc[: sos_positions[3]] + b"\xff\xd9"
+    out = C.decode_jpeg(partial)
+    full = C.decode_jpeg(enc)
+    assert out.shape == full.shape  # coarse but well-formed image
