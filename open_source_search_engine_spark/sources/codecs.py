@@ -558,6 +558,96 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("corrupt GIF: no image descriptor")
 
 
+def decode_gif_frames(payload: bytes) -> list:
+    """[(ts_ms, (h, w, 3) uint8 RGB)] for EVERY frame of a (possibly
+    animated) GIF, composited with GIF89a semantics: transparent
+    pixels leave the prior canvas showing through, disposal 2 restores
+    the frame rectangle to the background color, disposal 3 restores
+    the previous canvas. ``ts_ms`` is the cumulative presentation time
+    from the Graphic Control delays (1/100 s units). The video-side
+    dual of ``demux_mp4`` for the web's other animation container."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+        if gct.size < 3 * n:
+            raise ValueError("corrupt GIF: truncated color table")
+        gct = gct.reshape(-1, 3)
+        pos += 3 * n
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < gct.shape[0]
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+    frames, ts = [], 0
+    transp, delay, disposal = None, 0, 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:
+                disposal = (data[0] >> 2) & 7
+                transp = data[3] if data[0] & 1 else None
+                delay = struct.unpack("<H", data[1:3])[0] * 10
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
+        left, top, iw, ih, ipk = struct.unpack(
+            "<HHHHB", payload[pos : pos + 9]
+        )
+        pos += 9
+        pal = gct
+        if ipk & 0x80:
+            n = 2 << (ipk & 7)
+            pal = np.frombuffer(
+                payload[pos : pos + 3 * n], np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("corrupt GIF: image without a color table")
+        mcs = payload[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"corrupt GIF: LZW min code size {mcs}")
+        data, pos = _gif_subblocks(payload, pos)
+        idx = np.frombuffer(
+            _lzw_decode(data, mcs, iw * ih), np.uint8
+        ).reshape(ih, iw)
+        if ipk & 0x40:
+            deinter = np.empty_like(idx)
+            deinter[_gif_interlace_order(ih)] = idx
+            idx = deinter
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("corrupt GIF: palette index out of range")
+        ch = min(ih, max(0, h - top))
+        cw = min(iw, max(0, w - left))
+        idx = idx[:ch, :cw]
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + ch, left : left + cw]
+        if transp is None:
+            region[:] = pal[idx]
+        else:
+            mask = idx != transp
+            region[mask] = pal[idx][mask]
+        frames.append((ts, canvas.copy()))
+        ts += delay
+        if disposal == 2:
+            canvas[top : top + ch, left : left + cw] = bg_rgb
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        transp, delay, disposal = None, 0, 0  # GCE binds ONE image
+    return frames
+
+
 def gif_frame_count(payload: bytes) -> int:
     """Number of image descriptors (animation frames) — a metadata
     scan that skips LZW data without decoding it."""
@@ -592,14 +682,25 @@ def encode_gif(
     palette: np.ndarray,
     transparent: int | None = None,
     interlace: bool = False,
+    delays_ms=0,
+    disposal=0,
+    rects=None,
 ) -> bytes:
     """Fixture dual: (h, w) index array or a list of them (animation)
     + (n, 3) palette → GIF89a bytes. Real LZW compression (the decoder
     is exercised on genuine variable-width streams, including mid-
-    stream table resets on large inputs)."""
+    stream table resets on large inputs). ``delays_ms``/``disposal``
+    (int or per-frame list; delays round to 1/100 s) and optional
+    per-frame ``rects`` [(left, top)] emit the animation side —
+    partial frames over a logical screen sized by frame 0."""
     if isinstance(frames, np.ndarray):
         frames = [frames]
     h, w = frames[0].shape
+    if isinstance(delays_ms, int):
+        delays_ms = [delays_ms] * len(frames)
+    if isinstance(disposal, int):
+        disposal = [disposal] * len(frames)
+    rects = rects or [(0, 0)] * len(frames)
     pal = np.asarray(palette, np.uint8)
     bits = max(1, int(np.ceil(np.log2(max(2, pal.shape[0])))))
     gct = np.zeros((1 << bits, 3), dtype=np.uint8)
@@ -608,12 +709,19 @@ def encode_gif(
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += gct.tobytes()
     mcs = max(2, bits)
-    for idx in frames:
-        if transparent is not None:
-            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
-        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+    for fi, idx in enumerate(frames):
+        fh, fw = idx.shape
+        if transparent is not None or delays_ms[fi] or disposal[fi]:
+            gce = (0x01 if transparent is not None else 0) | (
+                (disposal[fi] & 7) << 2
+            )
+            out += bytes([0x21, 0xF9, 4, gce])
+            out += struct.pack("<H", delays_ms[fi] // 10)
+            out += bytes([transparent or 0, 0])
+        left, top = rects[fi]
+        out += struct.pack("<BHHHHB", 0x2C, left, top, fw, fh,
                            0x40 if interlace else 0)
-        rows = idx[_gif_interlace_order(h)] if interlace else idx
+        rows = idx[_gif_interlace_order(fh)] if interlace else idx
         lzw = _lzw_encode(rows.astype(np.uint8).tobytes(), mcs)
         out.append(mcs)
         for i in range(0, len(lzw), 255):

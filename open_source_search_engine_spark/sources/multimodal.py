@@ -291,7 +291,10 @@ def sample_frames(
     demuxed for real (``codecs.demux_mp4`` walks moov→trak→stbl and
     slices each sample's exact byte range out of mdat), so ``frame``
     is the actual coded sample and ``ts_ms`` its real stts timestamp;
-    only pixel DECODE of those samples still needs ffmpeg. Unknown
+    only pixel DECODE of those samples still needs ffmpeg. REAL for
+    animated GIFs too: frames are fully decoded and composited with
+    disposal semantics (``codecs.decode_gif_frames``) and each sampled
+    frame ships as PNG bytes at its cumulative GCE timestamp. Unknown
     formats keep the byte-stride stand-in."""
     out_schema = "media_id long, frame_idx int, ts_ms int, frame binary"
 
@@ -318,6 +321,21 @@ def sample_frames(
                             got = _grid_samples(smp, every_ms, max_frames)
                     except ValueError:
                         got = None  # corrupt container → stand-in
+                elif C.sniff(b) == "gif":
+                    try:
+                        fr = C.decode_gif_frames(b)
+                        if fr:
+                            picked = _grid_samples(
+                                fr, every_ms, max_frames
+                            )
+                            # decode is unavoidable (compositing), but
+                            # only the PICKED frames pay PNG encode
+                            got = [
+                                (ts, C.encode_png(img))
+                                for ts, img in picked
+                            ]
+                    except ValueError:
+                        got = None  # corrupt stream → stand-in
                 if got is None:
                     n_frames = min(
                         max_frames, max(1, int(dur or 0) // every_ms)

@@ -725,3 +725,88 @@ def test_jpeg_progressive_truncated_scan_raises():
     out = C.decode_jpeg(partial)
     full = C.decode_jpeg(enc)
     assert out.shape == full.shape  # coarse but well-formed image
+
+
+def test_gif_frames_compositing_and_disposal():
+    """decode_gif_frames composites with GIF89a semantics: transparent
+    pixels show the prior canvas, disposal 2 restores the rect to
+    background, disposal 3 restores the previous canvas; timestamps
+    accumulate the GCE delays."""
+    import numpy as _np
+
+    pal = _np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]],
+        dtype=_np.uint8,
+    )
+    f0 = _np.full((6, 6), 1, dtype=_np.uint8)        # all red
+    f1 = _np.full((2, 2), 2, dtype=_np.uint8)        # green patch
+    f2 = _np.full((2, 2), 3, dtype=_np.uint8)        # blue patch
+    enc = C.encode_gif(
+        [f0, f1, f2], pal,
+        delays_ms=[100, 50, 50],
+        disposal=[1, 3, 0],  # keep, restore-previous, keep
+        rects=[(0, 0), (2, 2), (0, 0)],
+    )
+    frames = C.decode_gif_frames(enc)
+    assert [ts for ts, _ in frames] == [0, 100, 150]
+    # frame 0: all red
+    assert (frames[0][1] == pal[1]).all()
+    # frame 1: red with a green 2x2 patch at (2,2)
+    assert (frames[1][1][2:4, 2:4] == pal[2]).all()
+    assert (frames[1][1][0, 0] == pal[1]).all()
+    # frame 2: disposal 3 undid the green patch -> red with blue at (0,0)
+    assert (frames[2][1][0:2, 0:2] == pal[3]).all()
+    assert (frames[2][1][2:4, 2:4] == pal[1]).all()
+
+
+def test_gif_frames_transparency_and_background_disposal():
+    import numpy as _np
+
+    pal = _np.array(
+        [[5, 5, 5], [255, 0, 0], [0, 255, 0]], dtype=_np.uint8
+    )
+    f0 = _np.full((4, 4), 1, dtype=_np.uint8)
+    f1 = _np.array(
+        [[2, 0], [0, 2]], dtype=_np.uint8
+    )  # index 0 transparent
+    enc = C.encode_gif(
+        [f0, f1, f1], pal,
+        transparent=0,
+        delays_ms=40,
+        disposal=[2, 0, 0],  # restore f0's rect to bg before f1
+        rects=[(0, 0), (1, 1), (1, 1)],
+    )
+    frames = C.decode_gif_frames(enc)
+    assert [ts for ts, _ in frames] == [0, 40, 80]
+    # f0 drew red everywhere EXCEPT... transparent=0, f0 is all 1s →
+    # full red; disposal 2 then wipes to background (palette 0)
+    assert (frames[0][1] == pal[1]).all()
+    c1 = frames[1][1]
+    assert (c1[0, 0] == pal[0]).all()          # background after wipe
+    assert (c1[1, 1] == pal[2]).all()          # green where idx==2
+    assert (c1[1, 2] == pal[0]).all()          # transparent → bg shows
+    # frames only re-composite identically
+    assert (frames[2][1] == c1).all()
+
+
+def test_gif_sampler_grid_over_animation():
+    """sample_frames-style grid pick over decode_gif_frames output:
+    the multimodal route encodes picked frames as PNG — round-trip
+    one and check pixels."""
+    import numpy as _np
+
+    from open_source_search_engine_spark.sources import (
+        multimodal as M,
+    )
+
+    pal = _np.array([[0, 0, 0], [9, 9, 9]], dtype=_np.uint8)
+    frames = [
+        _np.full((3, 3), i % 2, dtype=_np.uint8) for i in range(6)
+    ]
+    enc = C.encode_gif(frames, pal, delays_ms=500)
+    fr = C.decode_gif_frames(enc)
+    picked = M._grid_samples(fr, 1000, 3)
+    assert [ts for ts, _ in picked] == [0, 1000, 2000]
+    # picked[1] is animation frame 2 (ts=1000), whose indices are 0
+    png = C.encode_png(picked[1][1])
+    assert (C.decode_png(png)[:, :, :3] == pal[0]).all()

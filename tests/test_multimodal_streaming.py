@@ -132,6 +132,34 @@ def test_sample_frames_zero_sample_mp4_takes_standin(spark):
     assert all(r["media_id"] == 7 for r in out)
 
 
+def test_sample_frames_animated_gif_real_route(spark):
+    """Animated GIF payloads take the REAL route in sample_frames:
+    frames decoded + composited (decode_gif_frames), grid-sampled on
+    their cumulative GCE timestamps, shipped as PNG bytes."""
+    import numpy as _np
+
+    from open_source_search_engine_spark.sources import codecs as C
+
+    pal = _np.array([[0, 0, 0], [9, 9, 9]], dtype=_np.uint8)
+    frames = [
+        _np.full((4, 4), i % 2, dtype=_np.uint8) for i in range(6)
+    ]
+    gif = C.encode_gif(frames, pal, delays_ms=500)
+    df = spark.createDataFrame(
+        [(11, "video", gif, "image/gif", 4, 4, 3000)],
+        M.MEDIA_SCHEMA,
+    )
+    out = sorted(
+        M.sample_frames(df, every_ms=1000, max_frames=3).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["ts_ms"] for r in out] == [0, 1000, 2000]
+    for r in out:
+        img = C.decode_png(bytes(r["frame"]))
+        want = pal[(r["ts_ms"] // 500) % 2]
+        assert (img[:, :, :3] == want).all()
+
+
 # --- streaming -------------------------------------------------------------
 
 
