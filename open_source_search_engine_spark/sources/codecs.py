@@ -1471,13 +1471,14 @@ def _jpeg_coef_planes(arr: np.ndarray, subsample: str):
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    if subsample not in ("444", "420"):
+    if subsample not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsample!r}")
-    sub = subsample == "420" and not gray
     # (h_i, v_i) per component
-    samp = [(1, 1)] if gray else (
-        [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1), (1, 1), (1, 1)]
-    )
+    if gray:
+        samp = [(1, 1)]
+    else:
+        luma = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsample]
+        samp = [luma, (1, 1), (1, 1)]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = -(-w // (8 * hmax))
@@ -1488,10 +1489,13 @@ def _jpeg_coef_planes(arr: np.ndarray, subsample: str):
     for pi, plane in enumerate(planes):
         ch, cv = samp[pi]
         if (ch, cv) != (hmax, vmax):  # chroma downsample by mean
-            ph = -(-h // 2) * 2
-            pw = -(-w // 2) * 2
+            fx, fy = hmax // ch, vmax // cv
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
             p2 = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-            plane = p2.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            plane = p2.reshape(ph // fy, fy, pw // fx, fx).mean(
+                axis=(1, 3)
+            )
         cby, cbx = mcus_y * cv, mcus_x * ch
         padded = np.pad(
             plane,

@@ -810,3 +810,27 @@ def test_gif_sampler_grid_over_animation():
     # picked[1] is animation frame 2 (ts=1000), whose indices are 0
     png = C.encode_png(picked[1][1])
     assert (C.decode_png(png)[:, :, :3] == pal[0]).all()
+
+
+def test_jpeg_422_subsampling_baseline_and_progressive():
+    """4:2:2 (2x1 luma sampling — horizontal-only chroma downsample):
+    previously decoder-claimed but encoder-untestable. Pins both the
+    baseline round-trip and progressive bit-equality, including a
+    width where the luma raster is narrower than the MCU-padded grid
+    (W=40: ceil(40/8)=5 < mcus_x*2=6)."""
+    import numpy as _np
+
+    for shape in ((24, 33), (40, 17)):
+        img = _rng(shape[0]).integers(
+            0, 256, (*shape, 3), dtype=_np.uint8
+        )
+        enc = C.encode_jpeg(img, subsample="422")
+        out = C.decode_jpeg(enc)
+        assert out.shape == img.shape
+        # lossy but close on smooth content — use the gradient for a
+        # quality bound, noise only needs shape + prog equality
+        prog = C.decode_jpeg(C.encode_jpeg_progressive(img, "422"))
+        assert (out == prog).all(), shape
+    g = _gradient_rgb(24, 32)
+    out = C.decode_jpeg(C.encode_jpeg(g, subsample="422"))
+    assert _np.abs(out.astype(int) - g.astype(int)).mean() < 12.0
