@@ -37,6 +37,32 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+
+def _corrupt_as_valueerror(fn):
+    """Uniform decode contract: corrupt payloads surface as ValueError
+    — never IndexError/KeyError/struct.error/zlib.error/wave.Error/
+    EOFError. The Arrow kernels route per-row on ``except ValueError``
+    (sample_frames' MP4/GIF branches, the 'fallback' codec tag); a
+    truncated stream slipping out as struct.error would fail the whole
+    batch instead of one row."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise
+        except (
+            IndexError, KeyError, struct.error, zlib.error,
+            wave.Error, EOFError,
+        ) as exc:
+            raise ValueError(
+                f"corrupt payload in {fn.__name__}: {exc!r}"
+            ) from exc
+
+    return wrapped
+
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # PNG color type → samples/pixel
 # PNG spec §2.3: bit depths allowed per color type
 _PNG_DEPTHS = {
@@ -135,6 +161,7 @@ def _png_samples(rows: np.ndarray, n_samples: int, depth: int):
     return (vals * weights).sum(axis=2).astype(np.uint8)[:, :n_samples]
 
 
+@_corrupt_as_valueerror
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → uint8 array (h, w, channels). The full static-PNG
     matrix a web crawl actually serves: color types 0/2/3/4/6, bit
@@ -318,6 +345,7 @@ def encode_png_ex(
 # --- BMP -------------------------------------------------------------------
 
 
+@_corrupt_as_valueerror
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP → uint8 (h, w, 3) RGB. Handles 4-byte
     row padding, bottom-up and top-down row order."""
@@ -487,6 +515,7 @@ def _gif_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
+@_corrupt_as_valueerror
 def decode_gif(payload: bytes) -> np.ndarray:
     """GIF bytes → uint8 (h, w, 3) RGB — or (h, w, 4) RGBA when the
     first frame's Graphic Control Extension declares a transparent
@@ -558,6 +587,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("corrupt GIF: no image descriptor")
 
 
+@_corrupt_as_valueerror
 def decode_gif_frames(payload: bytes) -> list:
     """[(ts_ms, (h, w, 3) uint8 RGB)] for EVERY frame of a (possibly
     animated) GIF, composited with GIF89a semantics: transparent
@@ -648,6 +678,7 @@ def decode_gif_frames(payload: bytes) -> list:
     return frames
 
 
+@_corrupt_as_valueerror
 def gif_frame_count(payload: bytes) -> int:
     """Number of image descriptors (animation frames) — a metadata
     scan that skips LZW data without decoding it."""
@@ -738,6 +769,7 @@ def encode_gif(
 _PCM_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
 
 
+@_corrupt_as_valueerror
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (float32 mono samples in [-1, 1], sample_rate).
     8/16/32-bit PCM via the stdlib ``wave`` reader; multi-channel is
@@ -2024,6 +2056,7 @@ def _mp4_table(buf: bytes, s: int, e: int, tag: str) -> list:
     return [vals[i * per:(i + 1) * per] for i in range(n)]
 
 
+@_corrupt_as_valueerror
 def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
     """MP4 bytes → [(ts_ms, sample_bytes)] for the first video trak
     (first trak if none is tagged 'vide'), timestamps from stts in

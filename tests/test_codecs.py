@@ -834,3 +834,37 @@ def test_jpeg_422_subsampling_baseline_and_progressive():
     g = _gradient_rgb(24, 32)
     out = C.decode_jpeg(C.encode_jpeg(g, subsample="422"))
     assert _np.abs(out.astype(int) - g.astype(int)).mean() < 12.0
+
+
+def test_decoders_uniform_valueerror_contract_on_truncation():
+    """Truncate every codec's valid stream at many byte offsets: each
+    decode must either succeed or raise ValueError — NEVER struct.error
+    / IndexError / zlib.error etc. The Arrow kernels route per-row on
+    `except ValueError`; any other exception type fails a whole batch
+    (round-4 hardening: decode_jpeg had this contract, the others got
+    it via _corrupt_as_valueerror)."""
+    import numpy as _np
+
+    idx = _rng(30).integers(0, 4, size=(9, 9), dtype=_np.uint8)
+    pal = _rng(31).integers(0, 256, size=(4, 3), dtype=_np.uint8)
+    img = _rng(32).integers(0, 256, size=(17, 13, 3), dtype=_np.uint8)
+    cases = [
+        (C.encode_gif([idx, idx], pal, delays_ms=50), C.decode_gif_frames),
+        (C.encode_gif(idx, pal), C.decode_gif),
+        (C.encode_png(img), C.decode_png),
+        (C.encode_png_ex(img, color=2, interlace=True), C.decode_png),
+        (C.encode_bmp(img), C.decode_bmp),
+        (C.encode_jpeg(img), C.decode_jpeg),
+        (C.encode_jpeg_progressive(img), C.decode_jpeg),
+        (C.encode_mp4([b"abcd" * 4] * 3, 400), C.demux_mp4),
+        (
+            C.encode_wav(_np.linspace(-1, 1, 300).astype(_np.float32), 8000),
+            C.decode_wav,
+        ),
+    ]
+    for enc, dec in cases:
+        for cut in range(0, len(enc), 3):
+            try:
+                dec(enc[:cut])
+            except ValueError:
+                pass  # the contract
