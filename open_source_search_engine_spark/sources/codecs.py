@@ -2232,13 +2232,50 @@ def resize_nearest(arr: np.ndarray, w: int, h: int) -> np.ndarray:
 
 
 def audio_features(x: np.ndarray, rate: int) -> dict:
-    """Classic scalar front-end features over decoded samples."""
+    """Classic scalar front-end features over decoded samples: time
+    domain (rms, zero-crossing rate, duration) plus the spectral
+    summary a training-data quality filter keys on — centroid, 85%
+    rolloff, bandwidth, and flatness (geometric/arithmetic mean ratio:
+    ~1 for noise, →0 for tonal content), all from one rfft over the
+    Hann-windowed signal. Pure numpy; silence returns zeros."""
     if x.size == 0:
-        return {"rms": 0.0, "zcr": 0.0, "duration_ms": 0}
+        return {
+            "rms": 0.0, "zcr": 0.0, "duration_ms": 0,
+            "spectral_centroid_hz": 0.0, "spectral_rolloff_hz": 0.0,
+            "spectral_bandwidth_hz": 0.0, "spectral_flatness": 0.0,
+        }
     rms = float(np.sqrt(np.mean(x * x)))
     zcr = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
-    return {
+    out = {
         "rms": rms,
         "zcr": zcr,
         "duration_ms": int(round(1000.0 * x.size / rate)),
     }
+    win = x.astype(np.float64) * np.hanning(x.size)
+    mag = np.abs(np.fft.rfft(win))
+    power = mag * mag
+    total = float(power.sum())
+    if total <= 0.0:
+        out.update(
+            spectral_centroid_hz=0.0, spectral_rolloff_hz=0.0,
+            spectral_bandwidth_hz=0.0, spectral_flatness=0.0,
+        )
+        return out
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+    centroid = float((freqs * power).sum() / total)
+    cum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    bandwidth = float(
+        np.sqrt(((freqs - centroid) ** 2 * power).sum() / total)
+    )
+    # flatness over the power spectrum, excluding DC (a constant
+    # offset would read as tonal); epsilon guards log(0) bins
+    p = power[1:] + 1e-20
+    flatness = float(np.exp(np.mean(np.log(p))) / np.mean(p))
+    out.update(
+        spectral_centroid_hz=centroid,
+        spectral_rolloff_hz=rolloff,
+        spectral_bandwidth_hz=bandwidth,
+        spectral_flatness=flatness,
+    )
+    return out

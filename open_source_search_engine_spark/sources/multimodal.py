@@ -176,6 +176,58 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def audio_stats(df: DataFrame) -> DataFrame:
+    """audio media -> one row of time-domain + spectral features per
+    payload (rms, zero-crossing rate, duration, spectral centroid /
+    85% rolloff / bandwidth / flatness) — the scalar columns an
+    audio training-data quality filter keys on (speech vs music vs
+    noise separation, clipping/silence detection).
+
+    REAL for WAV payloads (``codecs.decode_wav`` + one rfft in
+    ``codecs.audio_features``); other formats fall back to the fake
+    byte-derived sample stream at a nominal rate, with the ``codec``
+    tag recording the route (same observability contract as
+    decode_media)."""
+    out_schema = (
+        "media_id long, codec string, rms double, zcr double, "
+        "duration_ms int, spectral_centroid_hz double, "
+        "spectral_rolloff_hz double, spectral_bandwidth_hz double, "
+        "spectral_flatness double"
+    )
+    cols = (
+        "rms", "zcr", "duration_ms", "spectral_centroid_hz",
+        "spectral_rolloff_hz", "spectral_bandwidth_hz",
+        "spectral_flatness",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p or b"")
+                x, rate, tag = None, 8000, "fake"
+                if C.sniff(b) == "wav":
+                    try:
+                        x, rate = C.decode_wav(b)
+                        tag = "wav"
+                    except ValueError:
+                        tag = "fallback"
+                if x is None:
+                    raw = np.frombuffer(b or b"\x00", dtype=np.uint8)
+                    x = ((raw.astype(np.float32) - 128.0) / 128.0)[:4096]
+                f = C.audio_features(x, rate)
+                rows.append((int(mid), tag) + tuple(f[c] for c in cols))
+            yield pd.DataFrame(
+                rows, columns=("media_id", "codec") + cols
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """media -> (media_id, kind, feature: array<float>[dim]).
 

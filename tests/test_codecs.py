@@ -83,6 +83,20 @@ def test_wav_round_trip_and_features():
     # RMS of a 0.8-amplitude sine ≈ 0.8/sqrt(2)
     assert abs(f["rms"] - 0.8 / np.sqrt(2)) < 0.01
     assert f["duration_ms"] == 500
+    # spectral features: a pure 40π-over-8000-samples sine at 16 kHz
+    # is a 40 Hz tone — centroid ≈ the tone, tiny bandwidth, flatness
+    # near 0 (tonal); white noise flips flatness toward 1
+    assert abs(f["spectral_centroid_hz"] - 40.0) < 8.0
+    assert abs(f["spectral_rolloff_hz"] - 40.0) < 8.0
+    assert f["spectral_bandwidth_hz"] < 60.0
+    assert f["spectral_flatness"] < 0.01
+    noise = (np.random.RandomState(3).rand(8000).astype(np.float32)
+             * 2 - 1)
+    fn = C.audio_features(noise, 16000)
+    assert fn["spectral_flatness"] > 0.5
+    assert fn["spectral_centroid_hz"] > 2000.0
+    z = C.audio_features(np.zeros(100, np.float32), 8000)
+    assert z["spectral_flatness"] == 0.0 and z["spectral_centroid_hz"] == 0.0
 
 
 def test_resize_nearest_exact_mapping():

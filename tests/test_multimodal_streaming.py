@@ -160,6 +160,37 @@ def test_sample_frames_animated_gif_real_route(spark):
         assert (img[:, :, :3] == want).all()
 
 
+def test_audio_stats_spectral_features(spark):
+    """audio_stats surfaces the quality-filter spectral columns: a
+    440 Hz WAV reads as tonal (centroid near the tone, flatness ~0) on
+    the real 'wav' route; a non-WAV payload takes the tagged fake
+    route and still yields well-formed rows."""
+    import numpy as _np
+
+    from open_source_search_engine_spark.sources import codecs as C
+
+    t = _np.arange(8000, dtype=_np.float32) / 8000.0
+    tone = (0.5 * _np.sin(2 * _np.pi * 440.0 * t)).astype(_np.float32)
+    wav = C.encode_wav(tone, 8000)
+    df = spark.createDataFrame(
+        [
+            (1, "audio", wav, "audio/wav", 0, 0, 1000),
+            (2, "audio", b"\x01\x02\x03" * 50, "audio/x-raw", 0, 0, 1000),
+            (3, "image", wav, "audio/wav", 0, 0, 1000),  # filtered out
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in M.audio_stats(df).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1["codec"] == "wav"
+    assert abs(r1["spectral_centroid_hz"] - 440.0) < 40.0
+    assert r1["spectral_flatness"] < 0.05
+    assert r1["duration_ms"] == 1000
+    assert out[2]["codec"] == "fake"
+    assert out[2]["rms"] > 0.0
+
+
 # --- streaming -------------------------------------------------------------
 
 
