@@ -515,6 +515,46 @@ def _gif_subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
+def _gif_image_block(payload: bytes, pos: int, gct):
+    """Parse one image descriptor starting just after its 0x2C byte:
+    descriptor fields, optional local color table (truncation-checked),
+    LZW min code size validation, sub-block concat, LZW decode,
+    deinterlace, palette-bounds check. Returns
+    (idx (ih, iw), pal, left, top, next_pos) — the single copy both
+    decode_gif and decode_gif_frames render from (review fix: this
+    logic existed in triplicate and the copies had begun to diverge
+    on local-table truncation checking)."""
+    left, top, iw, ih, ipk = struct.unpack(
+        "<HHHHB", payload[pos : pos + 9]
+    )
+    pos += 9
+    pal = gct
+    if ipk & 0x80:
+        n = 2 << (ipk & 7)
+        pal = np.frombuffer(payload[pos : pos + 3 * n], np.uint8)
+        if pal.size < 3 * n:
+            raise ValueError("corrupt GIF: truncated local color table")
+        pal = pal.reshape(-1, 3)
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("corrupt GIF: image without a color table")
+    mcs = payload[pos]
+    pos += 1
+    if not 2 <= mcs <= 11:
+        raise ValueError(f"corrupt GIF: LZW min code size {mcs}")
+    data, pos = _gif_subblocks(payload, pos)
+    idx = np.frombuffer(
+        _lzw_decode(data, mcs, iw * ih), np.uint8
+    ).reshape(ih, iw)
+    if ipk & 0x40:  # interlaced: rows arrive in 4-pass order
+        deinter = np.empty_like(idx)
+        deinter[_gif_interlace_order(ih)] = idx
+        idx = deinter
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("corrupt GIF: palette index out of range")
+    return idx, pal, left, top, pos
+
+
 @_corrupt_as_valueerror
 def decode_gif(payload: bytes) -> np.ndarray:
     """GIF bytes → uint8 (h, w, 3) RGB — or (h, w, 4) RGBA when the
@@ -548,37 +588,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
             continue
         if b0 != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
-        left, top, iw, ih, ipk = struct.unpack(
-            "<HHHHB", payload[pos : pos + 9]
-        )
-        pos += 9
-        pal = gct
-        if ipk & 0x80:
-            n = 2 << (ipk & 7)
-            pal = np.frombuffer(
-                payload[pos : pos + 3 * n], np.uint8
-            ).reshape(-1, 3)
-            pos += 3 * n
-        if pal is None:
-            raise ValueError("corrupt GIF: image without a color table")
-        mcs = payload[pos]
-        pos += 1
-        if not 2 <= mcs <= 11:
-            raise ValueError(f"corrupt GIF: LZW min code size {mcs}")
-        data, pos = _gif_subblocks(payload, pos)
-        idx = np.frombuffer(
-            _lzw_decode(data, mcs, iw * ih), np.uint8
-        ).reshape(ih, iw)
-        if ipk & 0x40:  # interlaced: rows arrive in 4-pass order
-            deinter = np.empty_like(idx)
-            deinter[_gif_interlace_order(ih)] = idx
-            idx = deinter
-        if int(idx.max(initial=0)) >= pal.shape[0]:
-            raise ValueError("corrupt GIF: palette index out of range")
+        idx, pal, left, top, pos = _gif_image_block(payload, pos, gct)
         canvas = np.zeros((h, w), dtype=np.uint8)  # background = entry 0
-        canvas[top : top + ih, left : left + iw] = idx[
-            : max(0, h - top), : max(0, w - left)
-        ]
+        canvas[top : top + idx.shape[0], left : left + idx.shape[1]] = (
+            idx[: max(0, h - top), : max(0, w - left)]
+        )
         rgb = pal[canvas]
         if transp is None:
             return rgb
@@ -631,35 +645,9 @@ def decode_gif_frames(payload: bytes) -> list:
             continue
         if b0 != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
-        left, top, iw, ih, ipk = struct.unpack(
-            "<HHHHB", payload[pos : pos + 9]
-        )
-        pos += 9
-        pal = gct
-        if ipk & 0x80:
-            n = 2 << (ipk & 7)
-            pal = np.frombuffer(
-                payload[pos : pos + 3 * n], np.uint8
-            ).reshape(-1, 3)
-            pos += 3 * n
-        if pal is None:
-            raise ValueError("corrupt GIF: image without a color table")
-        mcs = payload[pos]
-        pos += 1
-        if not 2 <= mcs <= 11:
-            raise ValueError(f"corrupt GIF: LZW min code size {mcs}")
-        data, pos = _gif_subblocks(payload, pos)
-        idx = np.frombuffer(
-            _lzw_decode(data, mcs, iw * ih), np.uint8
-        ).reshape(ih, iw)
-        if ipk & 0x40:
-            deinter = np.empty_like(idx)
-            deinter[_gif_interlace_order(ih)] = idx
-            idx = deinter
-        if int(idx.max(initial=0)) >= pal.shape[0]:
-            raise ValueError("corrupt GIF: palette index out of range")
-        ch = min(ih, max(0, h - top))
-        cw = min(iw, max(0, w - left))
+        idx, pal, left, top, pos = _gif_image_block(payload, pos, gct)
+        ch = min(idx.shape[0], max(0, h - top))
+        cw = min(idx.shape[1], max(0, w - left))
         idx = idx[:ch, :cw]
         prev = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + ch, left : left + cw]
@@ -1583,7 +1571,8 @@ def encode_jpeg(
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
     (Annex-K quality-50 quant + typical Huffman tables; ``subsample``
-    '444' or '420' [2×2-mean chroma], optional DRI restart markers).
+    '444'/'422'/'420' [mean-pooled chroma], optional DRI restart
+    markers).
     The fixture-generator dual of ``decode_jpeg`` — deterministic, so
     tests pin decoded output exactly."""
     zz_planes, samp, qtabs, gray, h, w, mcus_x, mcus_y = (
@@ -2269,9 +2258,14 @@ def audio_features(x: np.ndarray, rate: int) -> dict:
         np.sqrt(((freqs - centroid) ** 2 * power).sum() / total)
     )
     # flatness over the power spectrum, excluding DC (a constant
-    # offset would read as tonal); epsilon guards log(0) bins
+    # offset would read as tonal); epsilon guards log(0) bins. A
+    # single-sample signal has only the DC bin — flatness is 0 by
+    # convention, not NaN-from-an-empty-mean (review fix)
     p = power[1:] + 1e-20
-    flatness = float(np.exp(np.mean(np.log(p))) / np.mean(p))
+    flatness = (
+        float(np.exp(np.mean(np.log(p))) / np.mean(p))
+        if p.size else 0.0
+    )
     out.update(
         spectral_centroid_hz=centroid,
         spectral_rolloff_hz=rolloff,

@@ -107,8 +107,8 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
                 "jpeg",
             )
     except Exception:
-        # a sniffed-but-unsupported variant (16-bit-per-channel + tEXt
-        # exotica, RLE BMP, ADPCM WAV, truncated bytes) must not fail the
+        # a sniffed-but-unsupported variant (APNG frames, RLE BMP,
+        # ADPCM WAV, arithmetic JPEG, truncated bytes) must not fail the
         # stage — it falls through to the fake kernel rather than
         # poisoning the whole Arrow batch, but the tag records it
         fellback = True
