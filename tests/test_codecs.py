@@ -882,3 +882,63 @@ def test_decoders_uniform_valueerror_contract_on_truncation():
                 dec(enc[:cut])
             except ValueError:
                 pass  # the contract
+
+
+# --- property tests (hypothesis) -------------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+def test_lzw_round_trip_property(data, mcs):
+    """LZW encode→decode is the identity for any byte stream whose
+    symbols fit the alphabet (values masked into [0, 2^mcs))."""
+    syms = bytes(b % (1 << mcs) for b in data)
+    enc = C._lzw_encode(syms, mcs)
+    assert C._lzw_decode(enc, mcs, len(syms)) == syms
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    depth=st.sampled_from([1, 2, 4, 8, 16]),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_matrix_round_trip_property(h, w, depth, interlace, seed):
+    """Any (size × depth × interlace) grayscale PNG round-trips: the
+    decoder returns the encoder's samples scaled per spec."""
+    rng = np.random.RandomState(seed % 2**31)
+    hi = 256 if depth >= 8 else (1 << depth)
+    arr = rng.randint(0, hi, size=(h, w)).astype(np.uint8)
+    out = C.decode_png(
+        C.encode_png_ex(arr, color=0, depth=depth, interlace=interlace)
+    )[:, :, 0]
+    if depth < 8:
+        assert (out == arr * np.uint8(255 // ((1 << depth) - 1))).all()
+    else:
+        assert (out == arr).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=32),
+    w=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    sub=st.sampled_from(["444", "422", "420"]),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, sub):
+    """For ANY image size/content/subsampling, progressive decode is
+    bit-identical to baseline decode (shared quantized coefficients)."""
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    base = C.decode_jpeg(C.encode_jpeg(img, subsample=sub))
+    prog = C.decode_jpeg(C.encode_jpeg_progressive(img, subsample=sub))
+    assert (base == prog).all()
