@@ -93,6 +93,8 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -2192,6 +2194,110 @@ def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
                 samples[k - 1] for k in keep if 1 <= k <= len(samples)
             ]
     return samples
+
+
+@_corrupt_as_valueerror
+def image_meta(payload: bytes) -> dict:
+    """Header-only image metadata — {format, width, height, n_frames,
+    flags} WITHOUT decoding pixel data. This is the filter a crawl
+    pipeline runs on every image (drop icons, cap megapixels, split
+    stills from animations) before paying any decode cost, so it must
+    be cheap and cover formats beyond the decodable set: WebP gets
+    real VP8X/VP8/VP8L header parsing (canvas dims, alpha/animation/
+    lossless flags) even though its pixel decode needs libwebp.
+    ``flags`` is a sorted comma-joined subset of {alpha, animated,
+    interlaced, lossless, palette, progressive}. Raises ValueError on
+    non-image or corrupt-header payloads."""
+    fmt = sniff(payload)
+    flags: set[str] = set()
+    n_frames = 1
+    if fmt == "png":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: first chunk not IHDR")
+        w, h, depth, color, _c, _f, inter = struct.unpack(
+            ">IIBBBBB", payload[16:29]
+        )
+        if color == 3:
+            flags.add("palette")
+        if color in (4, 6):
+            flags.add("alpha")
+        if inter == 1:
+            flags.add("interlaced")
+    elif fmt == "gif":
+        w, h = struct.unpack("<HH", payload[6:10])
+        flags.add("palette")
+        n_frames = gif_frame_count(payload)
+        if n_frames > 1:
+            flags.add("animated")
+    elif fmt == "bmp":
+        w, h = struct.unpack("<ii", payload[18:26])
+        h = abs(h)
+    elif fmt == "jpeg":
+        pos = 2
+        w = h = None
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+            if marker in (0xC0, 0xC1, 0xC2):
+                _prec, h, w = struct.unpack(
+                    ">BHH", payload[pos + 2 : pos + 7]
+                )
+                if marker == 0xC2:
+                    flags.add("progressive")
+                break
+            if marker == 0xDA:
+                break  # entropy data, no SOF seen
+            pos += seglen
+        if w is None:
+            raise ValueError("truncated JPEG (no SOF)")
+    elif fmt == "webp":
+        fourcc = payload[12:16]
+        body = payload[20:]
+        if fourcc == b"VP8X":
+            fl = body[0]
+            if fl & 0x10:
+                flags.add("alpha")
+            if fl & 0x02:
+                flags.add("animated")
+                n_frames = payload.count(b"ANMF") or 1
+            w = 1 + int.from_bytes(body[4:7], "little")
+            h = 1 + int.from_bytes(body[7:10], "little")
+            if b"VP8L" in payload:
+                flags.add("lossless")
+        elif fourcc == b"VP8L":
+            if body[0] != 0x2F:
+                raise ValueError("corrupt WebP: bad VP8L signature")
+            bits = int.from_bytes(body[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            if (bits >> 28) & 1:
+                flags.add("alpha")
+            flags.add("lossless")
+        elif fourcc == b"VP8 ":
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("corrupt WebP: bad VP8 start code")
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+        else:
+            raise ValueError(
+                f"corrupt WebP: unknown first chunk {fourcc!r}"
+            )
+    else:
+        raise ValueError(f"not an image (sniffed {fmt!r})")
+    if w == 0 or h == 0:
+        raise ValueError(f"corrupt {fmt}: zero dimension")
+    return {
+        "format": fmt,
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n_frames),
+        "flags": ",".join(sorted(flags)),
+    }
 
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -176,6 +176,49 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def media_meta(df: DataFrame) -> DataFrame:
+    """image media -> header-only metadata (format, width, height,
+    n_frames, flags) via ``codecs.image_meta`` — NO pixel decode. The
+    pre-decode admission filter a 100 TB image pipeline runs on every
+    blob (drop sub-icon sizes, cap megapixels, split animations);
+    covers WebP header parsing beyond the decodable formats. Rows
+    whose headers don't parse come back as format='unknown' with zero
+    dims rather than failing the batch."""
+    out_schema = (
+        "media_id long, format string, width int, height int, "
+        "n_frames int, flags string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import codecs as C
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    m = C.image_meta(bytes(p or b""))
+                except ValueError:
+                    m = {
+                        "format": "unknown", "width": 0, "height": 0,
+                        "n_frames": 0, "flags": "",
+                    }
+                rows.append(
+                    (int(mid), m["format"], m["width"], m["height"],
+                     m["n_frames"], m["flags"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=(
+                    "media_id", "format", "width", "height",
+                    "n_frames", "flags",
+                ),
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        gen, schema=out_schema
+    )
+
+
 def audio_stats(df: DataFrame) -> DataFrame:
     """audio media -> one row of time-domain + spectral features per
     payload (rms, zero-crossing rate, duration, spectral centroid /

@@ -942,3 +942,67 @@ def test_jpeg_progressive_equals_baseline_property(h, w, seed, sub):
     base = C.decode_jpeg(C.encode_jpeg(img, subsample=sub))
     prog = C.decode_jpeg(C.encode_jpeg_progressive(img, subsample=sub))
     assert (base == prog).all()
+
+
+def _webp(fourcc: bytes, body: bytes) -> bytes:
+    chunk = fourcc + len(body).to_bytes(4, "little") + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def test_image_meta_headers_only():
+    """image_meta reads dimensions/type flags from headers without
+    decoding — including WebP VP8 (lossy), VP8L (lossless), and VP8X
+    (extended: canvas dims + alpha/animation flags)."""
+    import numpy as _np
+
+    img = _rng(50).integers(0, 256, (15, 22, 3), dtype=_np.uint8)
+    m = C.image_meta(C.encode_png(img))
+    assert (m["format"], m["width"], m["height"]) == ("png", 22, 15)
+    m = C.image_meta(
+        C.encode_png_ex(img[:, :, 0], color=0, depth=4, interlace=True)
+    )
+    assert m["flags"] == "interlaced"
+    idx = _np.zeros((7, 9), dtype=_np.uint8)
+    pal = _np.zeros((2, 3), dtype=_np.uint8)
+    m = C.image_meta(C.encode_gif([idx, idx, idx], pal, delays_ms=50))
+    assert (m["width"], m["height"], m["n_frames"]) == (9, 7, 3)
+    assert "animated" in m["flags"] and "palette" in m["flags"]
+    m = C.image_meta(C.encode_bmp(img))
+    assert (m["format"], m["width"], m["height"]) == ("bmp", 22, 15)
+    m = C.image_meta(C.encode_jpeg_progressive(img))
+    assert (m["width"], m["height"], m["flags"]) == (22, 15, "progressive")
+    m = C.image_meta(C.encode_jpeg(img))
+    assert m["flags"] == ""
+
+    # WebP: hand-built headers (pixel decode needs libwebp; the
+    # header layouts are from the public container/bitstream specs)
+    vp8 = _webp(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + (320).to_bytes(2, "little") + (240).to_bytes(2, "little"),
+    )
+    m = C.image_meta(vp8)
+    assert (m["format"], m["width"], m["height"]) == ("webp", 320, 240)
+    bits = (99 - 1) | ((77 - 1) << 14) | (1 << 28)
+    vp8l = _webp(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+    m = C.image_meta(vp8l)
+    assert (m["width"], m["height"]) == (99, 77)
+    assert "lossless" in m["flags"] and "alpha" in m["flags"]
+    vp8x = _webp(
+        b"VP8X",
+        bytes([0x10 | 0x02, 0, 0, 0])
+        + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"),
+    )
+    m = C.image_meta(vp8x)
+    assert (m["width"], m["height"]) == (640, 480)
+    assert "alpha" in m["flags"] and "animated" in m["flags"]
+    assert C.sniff(vp8x) == "webp"
+
+    import pytest as _pytest
+
+    for bad in (b"RIFF\x10\x00\x00\x00WEBPXXXX\x00\x00\x00\x00",
+                b"not an image", vp8l[:15]):
+        with _pytest.raises(ValueError):
+            C.image_meta(bad)

@@ -191,6 +191,31 @@ def test_audio_stats_spectral_features(spark):
     assert out[2]["rms"] > 0.0
 
 
+def test_media_meta_predecode_filter(spark):
+    """media_meta extracts header metadata per image row with no pixel
+    decode; unparseable payloads yield format='unknown' rows instead
+    of failing the batch."""
+    import numpy as _np
+
+    from open_source_search_engine_spark.sources import codecs as C
+
+    img = _np.zeros((10, 20, 3), dtype=_np.uint8)
+    rows = [
+        (1, "image", C.encode_png(img), "image/png", 20, 10, 0),
+        (2, "image", C.encode_jpeg_progressive(img), "image/jpeg", 20, 10, 0),
+        (3, "image", b"garbage", "image/x", 0, 0, 0),
+        (4, "audio", C.encode_png(img), "image/png", 0, 0, 0),  # filtered
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.media_meta(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == (
+        "png", 20, 10,
+    )
+    assert out[2]["flags"] == "progressive"
+    assert out[3]["format"] == "unknown" and out[3]["width"] == 0
+
+
 # --- streaming -------------------------------------------------------------
 
 
