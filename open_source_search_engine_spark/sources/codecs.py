@@ -562,10 +562,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
     """GIF bytes → uint8 (h, w, 3) RGB — or (h, w, 4) RGBA when the
     first frame's Graphic Control Extension declares a transparent
     index. Animations decode to the first frame composed onto the
-    logical-screen canvas (background = palette entry 0)."""
+    logical-screen canvas (background = the header's background-color
+    index, like decode_gif_frames)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
@@ -591,7 +592,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
         if b0 != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
         idx, pal, left, top, pos = _gif_image_block(payload, pos, gct)
-        canvas = np.zeros((h, w), dtype=np.uint8)  # background = entry 0
+        # header background index (falling back to 0 when it points
+        # past the palette) — matching decode_gif_frames, so both
+        # render paths show the SAME first frame (review fix)
+        bg_idx = bg if bg < pal.shape[0] else 0
+        canvas = np.full((h, w), bg_idx, dtype=np.uint8)
         canvas[top : top + idx.shape[0], left : left + idx.shape[1]] = (
             idx[: max(0, h - top), : max(0, w - left)]
         )
@@ -659,7 +664,12 @@ def decode_gif_frames(payload: bytes) -> list:
             mask = idx != transp
             region[mask] = pal[idx][mask]
         frames.append((ts, canvas.copy()))
-        ts += delay
+        # the very common delay=0 (or missing-GCE) 'as fast as
+        # possible' encoding: renderers clamp to ~100 ms, and distinct
+        # timestamps are what lets grid sampling see more than one
+        # frame (review fix — 50 equal-ts frames collapsed to a
+        # single sampled frame, the LAST one)
+        ts += delay if delay >= 20 else 100
         if disposal == 2:
             canvas[top : top + ch, left : left + cw] = bg_rgb
         elif disposal == 3 and prev is not None:
@@ -1147,6 +1157,7 @@ def _decode_prog_scan(
         )
 
 
+@_corrupt_as_valueerror
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes (baseline SOF0 or progressive SOF2) → uint8 (h, w)
     grayscale or (h, w, 3) RGB.
@@ -1159,13 +1170,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     ValueError on unsupported codings (arithmetic/lossless/12-bit) or
     corrupt streams (truncated segments / undeclared tables surface
     as the documented ValueError, never IndexError/KeyError/
-    struct.error)."""
-    try:
-        return _decode_jpeg(payload)
-    except ValueError:
-        raise
-    except (IndexError, KeyError, struct.error) as exc:
-        raise ValueError(f"corrupt JPEG stream: {exc!r}") from exc
+    struct.error — the shared _corrupt_as_valueerror contract)."""
+    return _decode_jpeg(payload)
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:
@@ -2231,7 +2237,9 @@ def image_meta(payload: bytes) -> dict:
             flags.add("animated")
     elif fmt == "bmp":
         w, h = struct.unpack("<ii", payload[18:26])
-        h = abs(h)
+        h = abs(h)  # negative height = top-down row order (legal)
+        if w < 0:  # negative width is never legal (review fix)
+            raise ValueError("corrupt BMP: negative width")
     elif fmt == "jpeg":
         pos = 2
         w = h = None
@@ -2243,11 +2251,17 @@ def image_meta(payload: bytes) -> dict:
             if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
                 continue
             (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
-            if marker in (0xC0, 0xC1, 0xC2):
+            # every SOFn shares the >BHH frame-header layout; a
+            # header-only dimension filter must read dims even from
+            # codings the pixel decoder rejects (arithmetic/lossless)
+            # — review fix: SOF3/5..15 previously reported "no SOF"
+            if 0xC0 <= marker <= 0xCF and marker not in (
+                0xC4, 0xC8, 0xCC,  # DHT / JPG-reserved / DAC
+            ):
                 _prec, h, w = struct.unpack(
                     ">BHH", payload[pos + 2 : pos + 7]
                 )
-                if marker == 0xC2:
+                if marker in (0xC2, 0xC6, 0xCA, 0xCE):
                     flags.add("progressive")
                 break
             if marker == 0xDA:
@@ -2262,13 +2276,29 @@ def image_meta(payload: bytes) -> dict:
             fl = body[0]
             if fl & 0x10:
                 flags.add("alpha")
+            # walk the RIFF chunks by their length fields — substring
+            # scans over the whole payload counted 'ANMF'/'VP8L' byte
+            # patterns inside compressed frame data (review fix)
+            n_anmf = 0
+            cpos = 12
+            while cpos + 8 <= len(payload):
+                cc = payload[cpos : cpos + 4]
+                clen = int.from_bytes(payload[cpos + 4 : cpos + 8],
+                                      "little")
+                if cc == b"ANMF":
+                    n_anmf += 1
+                    # the frame bitstream is a sub-chunk after the
+                    # 16-byte ANMF frame header
+                    if payload[cpos + 24 : cpos + 28] == b"VP8L":
+                        flags.add("lossless")
+                elif cc == b"VP8L":
+                    flags.add("lossless")
+                cpos += 8 + clen + (clen & 1)  # chunks pad to even
             if fl & 0x02:
                 flags.add("animated")
-                n_frames = payload.count(b"ANMF") or 1
+                n_frames = n_anmf or 1
             w = 1 + int.from_bytes(body[4:7], "little")
             h = 1 + int.from_bytes(body[7:10], "little")
-            if b"VP8L" in payload:
-                flags.add("lossless")
         elif fourcc == b"VP8L":
             if body[0] != 0x2F:
                 raise ValueError("corrupt WebP: bad VP8L signature")

@@ -181,9 +181,12 @@ def media_meta(df: DataFrame) -> DataFrame:
     n_frames, flags) via ``codecs.image_meta`` — NO pixel decode. The
     pre-decode admission filter a 100 TB image pipeline runs on every
     blob (drop sub-icon sizes, cap megapixels, split animations);
-    covers WebP header parsing beyond the decodable formats. Rows
-    whose headers don't parse come back as format='unknown' with zero
-    dims rather than failing the batch."""
+    covers WebP header parsing beyond the decodable formats. Image
+    rows whose headers don't parse come back as format='unknown' with
+    zero dims rather than failing the batch. Rows of kind 'video' are
+    included for the GIF-labeled-as-video case (review fix: kind
+    gating must not disagree with payload sniffing) but emit nothing
+    when the payload isn't a parseable image container."""
     out_schema = (
         "media_id long, format string, width int, height int, "
         "n_frames int, flags string"
@@ -194,10 +197,14 @@ def media_meta(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+            for mid, p, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
                 try:
                     m = C.image_meta(bytes(p or b""))
                 except ValueError:
+                    if kind != "image":
+                        continue  # a real video (mp4...) isn't 'unknown'
                     m = {
                         "format": "unknown", "width": 0, "height": 0,
                         "n_frames": 0, "flags": "",
@@ -214,7 +221,7 @@ def media_meta(df: DataFrame) -> DataFrame:
                 ),
             )
 
-    return df.filter(F.col("kind") == "image").mapInPandas(
+    return df.filter(F.col("kind").isin("image", "video")).mapInPandas(
         gen, schema=out_schema
     )
 
@@ -248,7 +255,9 @@ def audio_stats(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
                 b = bytes(p or b"")
                 x, rate, tag = None, 8000, "fake"
                 if C.sniff(b) == "wav":
@@ -261,6 +270,12 @@ def audio_stats(df: DataFrame) -> DataFrame:
                     raw = np.frombuffer(b or b"\x00", dtype=np.uint8)
                     x = ((raw.astype(np.float32) - 128.0) / 128.0)[:4096]
                 f = C.audio_features(x, rate)
+                if tag != "wav":
+                    # the fake sample stream's length says nothing
+                    # about the clip; the input row's duration column
+                    # does (review fix: every non-WAV row reported
+                    # <= 512 ms and a too-short filter dropped them)
+                    f["duration_ms"] = int(dur or 0)
                 rows.append((int(mid), tag) + tuple(f[c] for c in cols))
             yield pd.DataFrame(
                 rows, columns=("media_id", "codec") + cols
@@ -398,8 +413,9 @@ def sample_frames(
 
         for pdf in batches:
             ids, idxs, tss, frames = [], [], [], []
-            for mid, p, dur in zip(
-                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            for mid, p, dur, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"],
+                pdf["kind"],
             ):
                 b = bytes(p or b"")
                 got = None
@@ -419,7 +435,12 @@ def sample_frames(
                 elif C.sniff(b) == "gif":
                     try:
                         fr = C.decode_gif_frames(b)
-                        if fr:
+                        # image-kind rows only yield frames for REAL
+                        # animations; a still GIF is not a frame
+                        # source (review fix: the route was gated on
+                        # kind=='video' while ingests naturally label
+                        # GIFs kind=='image' — sniff decides now)
+                        if fr and (kind == "video" or len(fr) > 1):
                             picked = _grid_samples(
                                 fr, every_ms, max_frames
                             )
@@ -432,6 +453,8 @@ def sample_frames(
                     except ValueError:
                         got = None  # corrupt stream → stand-in
                 if got is None:
+                    if kind == "image":
+                        continue  # stills don't get stand-in frames
                     n_frames = min(
                         max_frames, max(1, int(dur or 0) // every_ms)
                     )
@@ -454,7 +477,7 @@ def sample_frames(
                 }
             )
 
-    return df.filter(F.col("kind") == "video").mapInPandas(
+    return df.filter(F.col("kind").isin("video", "image")).mapInPandas(
         gen, schema=out_schema
     )
 

@@ -1006,3 +1006,99 @@ def test_image_meta_headers_only():
                 b"not an image", vp8l[:15]):
         with _pytest.raises(ValueError):
             C.image_meta(bad)
+
+
+def test_gif_zero_delay_frames_get_distinct_timestamps():
+    """delay=0 ('as fast as possible') animations clamp to 100 ms per
+    frame so grid sampling can see every frame instead of collapsing
+    50 equal-ts frames into one (review fix)."""
+    import numpy as _np
+
+    pal = _np.zeros((2, 3), dtype=_np.uint8)
+    frames = [_np.full((3, 3), i % 2, dtype=_np.uint8) for i in range(5)]
+    fr = C.decode_gif_frames(C.encode_gif(frames, pal, delays_ms=0))
+    assert [ts for ts, _ in fr] == [0, 100, 200, 300, 400]
+
+
+def test_gif_first_frame_background_consistent_across_decoders():
+    """decode_gif and decode_gif_frames render the SAME first frame:
+    both fill uncovered canvas with the header background index
+    (review fix: one used entry 0, the other the header's bg)."""
+    import numpy as _np
+
+    pal = _np.array(
+        [[10, 10, 10], [200, 0, 0], [0, 200, 0]], dtype=_np.uint8
+    )
+    patch = _np.full((2, 2), 2, dtype=_np.uint8)
+    enc = bytearray(C.encode_gif([patch], pal, rects=[(1, 1)]))
+    # logical screen must be larger than the 2x2 frame: patch the LSD
+    # dims (encode_gif sizes the screen by frame 0) and set bg=1
+    enc[6:8] = (4).to_bytes(2, "little")
+    enc[8:10] = (4).to_bytes(2, "little")
+    enc[11] = 1  # background color index
+    a = C.decode_gif(bytes(enc))
+    b = C.decode_gif_frames(bytes(enc))[0][1]
+    assert (a == b).all()
+    assert (a[0, 0] == pal[1]).all()   # uncovered corner = bg index 1
+    assert (a[1:3, 1:3] == pal[2]).all()
+
+
+def test_image_meta_webp_chunk_walk_not_substring_scan():
+    """ANMF frame count and the lossless flag come from walking RIFF
+    chunk headers, not substring scans — 'ANMF'/'VP8L' bytes inside
+    compressed frame data don't count (review fix)."""
+    # one real ANMF chunk whose payload CONTAINS the bytes 'ANMF' and
+    # 'VP8L' (as compressed data would, 1/2^32 of the time at scale)
+    anmf_body = b"\x00" * 16 + b"VP8 " + (8).to_bytes(4, "little") \
+        + b"ANMFVP8L"
+    chunk = b"ANMF" + len(anmf_body).to_bytes(4, "little") + anmf_body
+    vp8x = (
+        b"VP8X" + (10).to_bytes(4, "little")
+        + bytes([0x02, 0, 0, 0])
+        + (15).to_bytes(3, "little") + (9).to_bytes(3, "little")
+    )
+    body = vp8x + chunk
+    payload = (
+        b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+    )
+    m = C.image_meta(payload)
+    assert m["n_frames"] == 1          # ONE chunk, not 2 substrings
+    assert "lossless" not in m["flags"]  # VP8 frame, not VP8L
+    assert (m["width"], m["height"]) == (16, 10)
+
+    # and a genuinely lossless animated frame IS detected (VP8L as
+    # the ANMF sub-chunk after the 16-byte frame header)
+    anmf2 = b"\x00" * 16 + b"VP8L" + (5).to_bytes(4, "little") \
+        + b"\x2f\x00\x00\x00\x00"
+    chunk2 = b"ANMF" + len(anmf2).to_bytes(4, "little") + anmf2 + b"\x00"
+    body2 = vp8x + chunk2
+    p2 = b"RIFF" + (4 + len(body2)).to_bytes(4, "little") + b"WEBP" + body2
+    assert "lossless" in C.image_meta(p2)["flags"]
+
+
+def test_image_meta_negative_bmp_width_and_sofn_dims():
+    import struct as _struct
+
+    import numpy as _np
+
+    import pytest as _pytest
+
+    img = _np.zeros((4, 6, 3), dtype=_np.uint8)
+    bmp = bytearray(C.encode_bmp(img))
+    bmp[18:22] = _struct.pack("<i", -6)
+    with _pytest.raises(ValueError, match="negative width"):
+        C.image_meta(bytes(bmp))
+    # top-down (negative height) stays legal
+    bmp2 = bytearray(C.encode_bmp(img))
+    bmp2[22:26] = _struct.pack("<i", -4)
+    assert C.image_meta(bytes(bmp2))["height"] == 4
+
+    # SOF9 (arithmetic sequential): pixel decode rejects it, but the
+    # header-only dimension filter must still report dims
+    jpg = bytearray(C.encode_jpeg(img))
+    i = bytes(jpg).find(b"\xff\xc0")
+    jpg[i + 1] = 0xC9
+    m = C.image_meta(bytes(jpg))
+    assert (m["width"], m["height"]) == (6, 4)
+    with _pytest.raises(ValueError):
+        C.decode_jpeg(bytes(jpg))

@@ -216,6 +216,40 @@ def test_media_meta_predecode_filter(spark):
     assert out[3]["format"] == "unknown" and out[3]["width"] == 0
 
 
+def test_sample_frames_image_kind_gif_and_still_skip(spark):
+    """Kind gating matches payload sniffing (review fix): an animated
+    GIF labeled kind='image' (the natural MIME mapping) still yields
+    real sampled frames; still images yield NO stand-in rows; non-WAV
+    audio keeps the input row's duration in audio_stats."""
+    import numpy as _np
+
+    from open_source_search_engine_spark.sources import codecs as C
+
+    pal = _np.array([[0, 0, 0], [9, 9, 9]], dtype=_np.uint8)
+    anim = C.encode_gif(
+        [_np.full((3, 3), i % 2, dtype=_np.uint8) for i in range(4)],
+        pal, delays_ms=1000,
+    )
+    still_png = C.encode_png(_np.zeros((4, 4, 3), dtype=_np.uint8))
+    df = spark.createDataFrame(
+        [
+            (1, "image", anim, "image/gif", 3, 3, 0),
+            (2, "image", still_png, "image/png", 4, 4, 0),
+            (3, "audio", b"\x09" * 300, "audio/mpeg", 0, 0, 183000),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    out = M.sample_frames(df, every_ms=1000, max_frames=8).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1}          # the still emitted nothing
+    assert len(by_id[1]) == 4         # every animation frame sampled
+    stats = M.audio_stats(df).collect()
+    assert stats[0]["codec"] == "fake"
+    assert stats[0]["duration_ms"] == 183000  # input column, not 512
+
+
 # --- streaming -------------------------------------------------------------
 
 
