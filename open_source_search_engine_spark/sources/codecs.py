@@ -10,9 +10,12 @@ JPEG codec — BASELINE (ITU-T T.81 sequential DCT: canonical Huffman,
 Annex-K tables, batched 8×8 IDCT as two matrix products) and
 PROGRESSIVE (SOF2, spectral selection + successive approximation,
 Annex G) — plus GIF87a/89a (LZW) — so the dominant web image formats
-no longer ride the fake path. Only formats whose codecs genuinely
-require external libraries (MP4/H.264) remain on the fake-codec
-fallback, now narrowly scoped.
+no longer ride the fake path. Remaining on the fake-codec fallback:
+MP4/H.264 pixel decode (genuinely needs ffmpeg) and WebP pixel decode
+(VP8 lossy needs a boolean arithmetic decoder + intra predictors ≈ a
+video codec; VP8L lossless is stdlib-feasible in principle but its
+2D-distance table can't be validated against real encoders in this
+sandbox — ``image_meta`` parses WebP headers for real instead).
 
 Everything is numpy-vectorized where the format allows: PNG's Up
 filter and all encoders are whole-row operations; Sub/Average/Paeth

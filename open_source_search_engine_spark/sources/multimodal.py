@@ -63,12 +63,13 @@ USE_FAKE_CODEC = True  # fallback for JPEG/MP4 only — see docstring
 def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
     """Decode a media payload to (float32 sample array, codec tag).
 
-    REAL for PNG / BMP / baseline JPEG (pixels flattened to [0, 1])
-    and WAV (mono samples in [-1, 1]) via ``sources/codecs.py``;
-    formats the stdlib cannot decode (MP4) fall back to the fake
-    (samples derived from the payload bytes, reproducible in tests),
-    or raise when ``USE_FAKE_CODEC`` is off — plug Pillow/ffmpeg into
-    this branch in production.
+    REAL for PNG / GIF / BMP / JPEG (baseline + progressive; pixels
+    flattened to [0, 1]) and WAV (mono samples in [-1, 1]) via
+    ``sources/codecs.py``; formats the stdlib cannot decode (MP4,
+    WebP pixels — headers DO parse via ``codecs.image_meta``) fall
+    back to the fake (samples derived from the payload bytes,
+    reproducible in tests), or raise when ``USE_FAKE_CODEC`` is off —
+    plug Pillow/ffmpeg into this branch in production.
 
     The codec tag makes the route OBSERVABLE (round-4 ADVICE fix):
     ``png``/``bmp``/``gif``/``wav``/``jpeg`` = the real decoder ran;
