@@ -214,6 +214,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG: IDAT inflate failed ({e})") from e
+    img = _png_pixels(raw, w, h, ch, depth, inter)
+    return _png_expand(img, color, depth, plte, trns)
+
+
+def _png_pixels(raw, w, h, ch, depth, inter):
+    """Decompressed-filtered bytes → (h, w, ch) RAW sample array
+    (unfilter + bit-unpack + optional Adam7 reassembly). Shared by
+    decode_png and the APNG frame decoder."""
     bpp = max(1, (ch * depth) // 8)
 
     def stride_of(width: int) -> int:
@@ -221,19 +229,23 @@ def decode_png(payload: bytes) -> np.ndarray:
 
     if inter == 0:
         rows, _ = _png_unfilter(raw, 0, h, stride_of(w), bpp)
-        img = _png_samples(rows, w * ch, depth).reshape(h, w, ch)
-    else:  # Adam7: 7 independently-filtered sub-images
-        img = np.zeros((h, w, ch), dtype=np.uint8)
-        off = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx
-            ph = (h - y0 + dy - 1) // dy
-            if pw <= 0 or ph <= 0:
-                continue  # pass empty at this image size
-            rows, off = _png_unfilter(raw, off, ph, stride_of(pw), bpp)
-            sub = _png_samples(rows, pw * ch, depth).reshape(ph, pw, ch)
-            img[y0::dy, x0::dx] = sub
+        return _png_samples(rows, w * ch, depth).reshape(h, w, ch)
+    img = np.zeros((h, w, ch), dtype=np.uint8)  # Adam7: 7 sub-images
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass empty at this image size
+        rows, off = _png_unfilter(raw, off, ph, stride_of(pw), bpp)
+        sub = _png_samples(rows, pw * ch, depth).reshape(ph, pw, ch)
+        img[y0::dy, x0::dx] = sub
+    return img
 
+
+def _png_expand(img, color, depth, plte, trns):
+    """Raw samples → final uint8 array: palette expansion (PLTE +
+    optional tRNS alpha) and sub-8-bit grayscale bit-replication."""
     if color == 3:
         if plte is None:
             raise ValueError("corrupt PNG: palette image without PLTE")
@@ -254,6 +266,201 @@ def decode_png(payload: bytes) -> np.ndarray:
 def _chunk(ctype: bytes, data: bytes) -> bytes:
     crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
     return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _to_rgba(arr: np.ndarray) -> np.ndarray:
+    """Any expanded PNG array (gray / gray+alpha / RGB / RGBA) →
+    (h, w, 4) RGBA."""
+    h, w, ch = arr.shape
+    if ch == 4:
+        return arr
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    if ch == 1:
+        out[:, :, :3] = arr
+        out[:, :, 3] = 255
+    elif ch == 2:
+        out[:, :, :3] = arr[:, :, :1]
+        out[:, :, 3] = arr[:, :, 1]
+    else:  # RGB
+        out[:, :, :3] = arr
+        out[:, :, 3] = 255
+    return out
+
+
+@_corrupt_as_valueerror
+def decode_apng_frames(payload: bytes) -> list:
+    """[(ts_ms, (h, w, 4) RGBA)] for every frame of an APNG animation,
+    composited per the APNG spec: blend_op 0 replaces the frame
+    region, blend_op 1 alpha-composites OVER it; dispose_op 1 clears
+    the region to transparent black, dispose_op 2 restores the
+    previous canvas. Timestamps accumulate fcTL delays (delay_den 0
+    reads as 100 per spec; a <20 ms effective delay clamps to 100 ms,
+    the same renderer convention as the GIF path). Raises ValueError
+    when the PNG carries no acTL (not an animation)."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = ch = depth = color = inter = None
+    plte = trns = None
+    n_frames = None
+    frames = []  # [{fctl fields, 'data': [chunks]}]
+    idat_is_frame = False
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (
+                color not in _CHANNELS
+                or depth not in _PNG_DEPTHS[color]
+                or inter != 0
+            ):
+                raise ValueError(
+                    "unsupported APNG (exotic depth/color or "
+                    "interlaced frames)"
+                )
+            ch = _CHANNELS[color]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"acTL":
+            n_frames = struct.unpack(">I", data[:4])[0]
+        elif ctype == b"fcTL":
+            (_seq, fw, fh, fx, fy, dnum, dden, dop, bop) = struct.unpack(
+                ">IIIIIHHBB", data[:26]
+            )
+            frames.append(
+                {"w": fw, "h": fh, "x": fx, "y": fy, "dnum": dnum,
+                 "dden": dden, "dispose": dop, "blend": bop, "data": []}
+            )
+            idat_is_frame = True  # an fcTL before IDAT claims it
+        elif ctype == b"IDAT":
+            if frames and idat_is_frame:
+                frames[-1]["data"].append(data)
+        elif ctype == b"fdAT":
+            if not frames:
+                raise ValueError("corrupt APNG: fdAT before any fcTL")
+            frames[-1]["data"].append(data[4:])  # strip sequence no.
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("corrupt PNG: no IHDR")
+    if n_frames is None:
+        raise ValueError("not an APNG (no acTL)")
+    if not frames:
+        raise ValueError("corrupt APNG: acTL but no fcTL frames")
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)  # transparent black
+    out, ts = [], 0
+    for fr in frames:
+        fw, fh, fx, fy = fr["w"], fr["h"], fr["x"], fr["y"]
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("corrupt APNG: frame outside canvas")
+        try:
+            raw = zlib.decompress(b"".join(fr["data"]))
+        except zlib.error as e:
+            raise ValueError(
+                f"corrupt APNG: frame inflate failed ({e})"
+            ) from e
+        img = _png_pixels(raw, fw, fh, ch, depth, 0)
+        rgba = _to_rgba(_png_expand(img, color, depth, plte, trns))
+        prev = canvas.copy() if fr["dispose"] == 2 else None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if fr["blend"] == 0:  # source: replace
+            region[:] = rgba
+        else:  # over: alpha compositing
+            sa = rgba[:, :, 3:4].astype(np.float64) / 255.0
+            da = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = sa + da * (1.0 - sa)
+            safe = np.maximum(oa, 1e-9)
+            rgb = (
+                rgba[:, :, :3] * sa
+                + region[:, :, :3] * da * (1.0 - sa)
+            ) / safe
+            region[:, :, :3] = np.clip(np.round(rgb), 0, 255)
+            region[:, :, 3] = np.clip(
+                np.round(oa[:, :, 0] * 255.0), 0, 255
+            )
+        out.append((ts, canvas.copy()))
+        dden = fr["dden"] or 100  # spec: denominator 0 reads as 100
+        delay = int(round(1000.0 * fr["dnum"] / dden))
+        ts += delay if delay >= 20 else 100
+        if fr["dispose"] == 1:
+            canvas[fy : fy + fh, fx : fx + fw] = 0
+        elif fr["dispose"] == 2 and prev is not None:
+            canvas = prev
+    return out
+
+
+def encode_apng(
+    frames,
+    delays_ms=100,
+    dispose=0,
+    blend=0,
+    rects=None,
+) -> bytes:
+    """Fixture dual: list of (h, w, 4) RGBA uint8 arrays → APNG
+    (acTL + per-frame fcTL, frame 0 in IDAT, the rest in fdAT).
+    ``delays_ms``/``dispose``/``blend`` are ints or per-frame lists;
+    optional ``rects`` [(x, y)] place partial frames on a canvas
+    sized by frame 0."""
+    n = len(frames)
+    if isinstance(delays_ms, int):
+        delays_ms = [delays_ms] * n
+    if isinstance(dispose, int):
+        dispose = [dispose] * n
+    if isinstance(blend, int):
+        blend = [blend] * n
+    rects = rects or [(0, 0)] * n
+    h, w = frames[0].shape[:2]
+    out = bytearray(PNG_SIG)
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+    out += _chunk(b"acTL", struct.pack(">II", n, 0))
+    seq = 0
+    for fi, fr in enumerate(frames):
+        fh, fw = fr.shape[:2]
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, rects[fi][0], rects[fi][1],
+            delays_ms[fi], 1000, dispose[fi], blend[fi],
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        body = np.empty((fh, fw * 4 + 1), dtype=np.uint8)
+        body[:, 0] = 0
+        body[:, 1:] = fr.reshape(fh, fw * 4)
+        z = zlib.compress(body.tobytes(), 6)
+        if fi == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def png_animation_info(payload: bytes):
+    """(n_frames, True) when the PNG carries an acTL chunk (APNG),
+    else (1, False) — a chunk-header walk, no decompression."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        if ctype == b"acTL":
+            return (
+                struct.unpack(">I", payload[pos + 8 : pos + 12])[0],
+                True,
+            )
+        if ctype in (b"IDAT", b"IEND"):
+            break
+        pos += 12 + length
+    return 1, False
 
 
 def encode_png(arr: np.ndarray) -> bytes:
@@ -2232,6 +2439,9 @@ def image_meta(payload: bytes) -> dict:
             flags.add("alpha")
         if inter == 1:
             flags.add("interlaced")
+        n_frames, animated = png_animation_info(payload)
+        if animated:
+            flags.add("animated")
     elif fmt == "gif":
         w, h = struct.unpack("<HH", payload[6:10])
         flags.add("palette")

@@ -403,10 +403,11 @@ def sample_frames(
     slices each sample's exact byte range out of mdat), so ``frame``
     is the actual coded sample and ``ts_ms`` its real stts timestamp;
     only pixel DECODE of those samples still needs ffmpeg. REAL for
-    animated GIFs too: frames are fully decoded and composited with
-    disposal semantics (``codecs.decode_gif_frames``) and each sampled
-    frame ships as PNG bytes at its cumulative GCE timestamp. Unknown
-    formats keep the byte-stride stand-in."""
+    animated GIFs and APNGs too: frames are fully decoded and
+    composited with disposal/blend semantics
+    (``codecs.decode_gif_frames`` / ``codecs.decode_apng_frames``)
+    and each sampled frame ships as PNG bytes at its cumulative
+    timestamp. Unknown formats keep the byte-stride stand-in."""
     out_schema = "media_id long, frame_idx int, ts_ms int, frame binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -433,6 +434,22 @@ def sample_frames(
                             got = _grid_samples(smp, every_ms, max_frames)
                     except ValueError:
                         got = None  # corrupt container → stand-in
+                elif C.sniff(b) == "png":
+                    try:
+                        if C.png_animation_info(b)[1]:  # APNG
+                            fr = C.decode_apng_frames(b)
+                            if fr and (
+                                kind == "video" or len(fr) > 1
+                            ):
+                                picked = _grid_samples(
+                                    fr, every_ms, max_frames
+                                )
+                                got = [
+                                    (ts, C.encode_png(img))
+                                    for ts, img in picked
+                                ]
+                    except ValueError:
+                        got = None  # corrupt stream → stand-in
                 elif C.sniff(b) == "gif":
                     try:
                         fr = C.decode_gif_frames(b)

@@ -1102,3 +1102,71 @@ def test_image_meta_negative_bmp_width_and_sofn_dims():
     assert (m["width"], m["height"]) == (6, 4)
     with _pytest.raises(ValueError):
         C.decode_jpeg(bytes(jpg))
+
+
+def test_apng_compositing_blend_and_dispose():
+    """APNG frames composite per spec: blend 0 replaces the region,
+    blend 1 alpha-composites OVER; dispose 1 clears to transparent,
+    dispose 2 restores the previous canvas; ts accumulates fcTL
+    delays (num/den with den transmitted as 1000 by the fixture)."""
+    import numpy as _np
+
+    red = _np.zeros((6, 6, 4), dtype=_np.uint8)
+    red[:] = (200, 0, 0, 255)
+    half_green = _np.zeros((2, 2, 4), dtype=_np.uint8)
+    half_green[:] = (0, 200, 0, 128)  # 50% alpha patch
+    blue = _np.zeros((2, 2, 4), dtype=_np.uint8)
+    blue[:] = (0, 0, 200, 255)
+    enc = C.encode_apng(
+        [red, half_green, blue],
+        delays_ms=[100, 50, 50],
+        dispose=[0, 2, 0],   # keep, restore-previous, keep
+        blend=[0, 1, 0],     # source, OVER, source
+        rects=[(0, 0), (2, 2), (0, 0)],
+    )
+    assert C.sniff(enc) == "png"
+    assert C.png_animation_info(enc) == (3, True)
+    frames = C.decode_apng_frames(enc)
+    assert [ts for ts, _ in frames] == [0, 100, 150]
+    assert (frames[0][1][0, 0] == (200, 0, 0, 255)).all()
+    # frame 1: 50%-alpha green OVER red at (2,2):
+    # rgb = .5*green + .5*red, alpha = 1
+    px = frames[1][1][2, 2]
+    assert abs(int(px[0]) - 100) <= 1 and abs(int(px[1]) - 100) <= 1
+    assert px[3] == 255
+    # frame 2: dispose 2 restored red, then blue painted at (0,0)
+    assert (frames[2][1][0, 0] == (0, 0, 200, 255)).all()
+    assert (frames[2][1][2, 2] == (200, 0, 0, 255)).all()
+
+    # plain PNGs report not-animated and refuse frame decode
+    import numpy as _np2
+
+    still = C.encode_png(_np.zeros((3, 3, 3), dtype=_np.uint8))
+    assert C.png_animation_info(still) == (1, False)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no acTL"):
+        C.decode_apng_frames(still)
+
+
+def test_apng_dispose_background_and_meta():
+    import numpy as _np
+
+    a = _np.full((4, 4, 4), 255, dtype=_np.uint8)
+    b = _np.zeros((2, 2, 4), dtype=_np.uint8)
+    b[:] = (9, 9, 9, 255)
+    enc = C.encode_apng(
+        [a, b, b], dispose=[1, 0, 0], rects=[(0, 0), (1, 1), (1, 1)]
+    )
+    frames = C.decode_apng_frames(enc)
+    # dispose 1 after frame 0 cleared the full canvas to transparent
+    assert (frames[1][1][0, 0] == (0, 0, 0, 0)).all()
+    assert (frames[1][1][1, 1] == (9, 9, 9, 255)).all()
+    m = C.image_meta(enc)
+    assert m["n_frames"] == 3 and "animated" in m["flags"]
+    # truncation sweep: APNG obeys the ValueError contract too
+    for cut in range(0, len(enc), 5):
+        try:
+            C.decode_apng_frames(enc[:cut])
+        except ValueError:
+            pass

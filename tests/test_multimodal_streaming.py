@@ -250,6 +250,32 @@ def test_sample_frames_image_kind_gif_and_still_skip(spark):
     assert stats[0]["duration_ms"] == 183000  # input column, not 512
 
 
+def test_sample_frames_apng_real_route(spark):
+    """APNG payloads (kind='image', the natural mapping) take the real
+    frame-sampling route: composited RGBA frames grid-sampled at fcTL
+    timestamps, shipped as PNG bytes."""
+    import numpy as _np
+
+    from open_source_search_engine_spark.sources import codecs as C
+
+    frames = []
+    for i in range(4):
+        f = _np.zeros((3, 3, 4), dtype=_np.uint8)
+        f[:] = (i * 60, 0, 0, 255)
+        frames.append(f)
+    apng = C.encode_apng(frames, delays_ms=1000)
+    df = spark.createDataFrame(
+        [(21, "image", apng, "image/apng", 3, 3, 0)], M.MEDIA_SCHEMA
+    )
+    out = sorted(
+        M.sample_frames(df, every_ms=2000, max_frames=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["ts_ms"] for r in out] == [0, 2000]
+    img = C.decode_png(bytes(out[1]["frame"]))
+    assert (img[:, :, 0] == 120).all()  # animation frame 2
+
+
 # --- streaming -------------------------------------------------------------
 
 
