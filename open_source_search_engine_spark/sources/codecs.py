@@ -98,6 +98,12 @@ def sniff(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if (
+        payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+        and len(payload) >= 6
+        and payload[4] | payload[5]  # at least one directory entry
+    ):
+        return "ico"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
     return "unknown"
@@ -592,6 +598,132 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return header + data
+
+
+# --- ICO (favicons: ICONDIR of PNG or DIB entries) --------------------------
+
+
+def _ico_entries(payload: bytes) -> list:
+    """[(width, height, bpp, offset, size)] from the ICONDIR; width/
+    height bytes of 0 mean 256 per the format."""
+    reserved, ftype, count = struct.unpack("<HHH", payload[:6])
+    if reserved != 0 or ftype not in (1, 2) or count == 0:
+        raise ValueError("corrupt ICO: bad ICONDIR")
+    out = []
+    for i in range(count):
+        e = payload[6 + 16 * i : 22 + 16 * i]
+        if len(e) < 16:
+            raise ValueError("corrupt ICO: truncated ICONDIRENTRY")
+        w, h, _colors, _res, _planes, bpp, size, off = struct.unpack(
+            "<BBBBHHII", e
+        )
+        out.append((w or 256, h or 256, bpp, off, size))
+    return out
+
+
+@_corrupt_as_valueerror
+def decode_ico(payload: bytes) -> np.ndarray:
+    """ICO bytes → uint8 (h, w, 4) RGBA of the LARGEST entry (the
+    favicon pipeline convention). Entries are either embedded PNGs
+    (decoded through the full PNG path) or DIBs — BITMAPINFOHEADER
+    with doubled height covering the XOR image + 1-bit AND mask;
+    32-bit BGRA uses its alpha channel, 24-bit BGR takes alpha from
+    the AND mask. Other DIB depths raise ValueError (disclosed — the
+    palette-DIB tail of a 1990s format)."""
+    entries = _ico_entries(payload)
+    w, h, _bpp, off, size = max(
+        entries, key=lambda e: (e[0] * e[1], e[2])
+    )
+    data = payload[off : off + size]
+    if len(data) < size:
+        raise ValueError("corrupt ICO: entry outside the file")
+    if data[:8] == PNG_SIG:
+        arr = decode_png(data)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return _to_rgba(arr)
+    (bisize, biw, bih, planes, bpp) = struct.unpack(
+        "<IiiHH", data[:16]
+    )
+    if bisize != 40:
+        raise ValueError("corrupt ICO: DIB header not BITMAPINFOHEADER")
+    ih = abs(bih) // 2  # doubled: XOR image + AND mask
+    if biw != w or ih != h:
+        # some encoders leave the directory dims stale; trust the DIB
+        w, h = biw, ih
+    if w <= 0 or h <= 0:
+        raise ValueError("corrupt ICO: bad DIB dimensions")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported ICO DIB depth {bpp}")
+    px_off = 40
+    stride = (w * (bpp // 8) + 3) & ~3
+    px = np.frombuffer(
+        data, np.uint8, count=stride * h, offset=px_off
+    ).reshape(h, stride)[::-1]  # bottom-up
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    if bpp == 32:
+        bgra = px[:, : w * 4].reshape(h, w, 4)
+        out[:, :, 0] = bgra[:, :, 2]
+        out[:, :, 1] = bgra[:, :, 1]
+        out[:, :, 2] = bgra[:, :, 0]
+        out[:, :, 3] = bgra[:, :, 3]
+        return out
+    bgr = px[:, : w * 3].reshape(h, w, 3)
+    out[:, :, 0] = bgr[:, :, 2]
+    out[:, :, 1] = bgr[:, :, 1]
+    out[:, :, 2] = bgr[:, :, 0]
+    # AND mask: 1 bit/pixel rows padded to 32 bits, bottom-up,
+    # 1 = transparent
+    mstride = ((w + 31) // 32) * 4
+    mask = np.frombuffer(
+        data, np.uint8, count=mstride * h, offset=px_off + stride * h
+    ).reshape(h, mstride)[::-1]
+    bits = np.unpackbits(mask, axis=1)[:, :w]
+    out[:, :, 3] = np.where(bits == 1, 0, 255)
+    return out
+
+
+def encode_ico(images, bpp: int = 32) -> bytes:
+    """Fixture dual: list of (h, w, 4) RGBA arrays → ICO with 32-bit
+    BGRA DIB entries (bpp=32) or 24-bit BGR + AND-mask entries
+    (bpp=24, alpha thresholded at 128)."""
+    if isinstance(images, np.ndarray):
+        images = [images]
+    entries, blobs = [], []
+    off = 6 + 16 * len(images)
+    for arr in images:
+        h, w = arr.shape[:2]
+        if bpp == 32:
+            stride = (w * 4 + 3) & ~3
+            px = np.zeros((h, stride), dtype=np.uint8)
+            bgra = arr[:, :, [2, 1, 0, 3]]
+            px[:, : w * 4] = bgra.reshape(h, w * 4)
+            body = px[::-1].tobytes()
+            mstride = ((w + 31) // 32) * 4
+            body += bytes(mstride * h)  # empty AND mask
+        else:
+            stride = (w * 3 + 3) & ~3
+            px = np.zeros((h, stride), dtype=np.uint8)
+            px[:, : w * 3] = arr[:, :, [2, 1, 0]].reshape(h, w * 3)
+            mstride = ((w + 31) // 32) * 4
+            bits = (arr[:, :, 3] < 128).astype(np.uint8)
+            pad = mstride * 8 - w
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+            mask = np.packbits(bits, axis=1)
+            body = px[::-1].tobytes() + mask[::-1].tobytes()
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, bpp, 0, len(body),
+            0, 0, 0, 0,
+        ) + body
+        entries.append(struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, bpp, len(dib), off,
+        ))
+        blobs.append(dib)
+        off += len(dib)
+    return (
+        struct.pack("<HHH", 0, 1, len(images))
+        + b"".join(entries) + b"".join(blobs)
+    )
 
 
 # --- GIF -------------------------------------------------------------------
@@ -2453,6 +2585,12 @@ def image_meta(payload: bytes) -> dict:
         h = abs(h)  # negative height = top-down row order (legal)
         if w < 0:  # negative width is never legal (review fix)
             raise ValueError("corrupt BMP: negative width")
+    elif fmt == "ico":
+        entries = _ico_entries(payload)
+        w, h, _b, _o, _s = max(
+            entries, key=lambda e: (e[0] * e[1], e[2])
+        )
+        n_frames = len(entries)  # directory sizes, not animation
     elif fmt == "jpeg":
         pos = 2
         w = h = None
@@ -2544,7 +2682,8 @@ def image_meta(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-dispatched image decode (png/bmp/gif/jpeg) → uint8 array."""
+    """Sniff-dispatched image decode (png/bmp/gif/ico/jpeg) → uint8
+    array."""
     fmt = sniff(payload)
     if fmt == "png":
         return decode_png(payload)
@@ -2552,6 +2691,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "gif":
         return decode_gif(payload)
+    if fmt == "ico":
+        return decode_ico(payload)
     if fmt == "jpeg":
         return decode_jpeg(payload)
     raise ValueError(f"not a decodable image (sniffed {fmt!r})")

@@ -100,6 +100,11 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
                 C.decode_gif(payload).astype(np.float32).ravel() / 255.0,
                 "gif",
             )
+        if fmt == "ico":
+            return (
+                C.decode_ico(payload).astype(np.float32).ravel() / 255.0,
+                "ico",
+            )
         if fmt == "wav":
             return C.decode_wav(payload)[0], "wav"
         if fmt == "jpeg":
@@ -344,7 +349,7 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
                 b = bytes(p or b"")
                 fmt = C.sniff(b)
                 try:
-                    if fmt in ("png", "bmp", "gif", "jpeg"):
+                    if fmt in ("png", "bmp", "gif", "ico", "jpeg"):
                         arr = C.decode_image(b)
                         payloads.append(
                             C.encode_png(C.resize_nearest(arr, w, h))

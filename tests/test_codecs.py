@@ -1170,3 +1170,54 @@ def test_apng_dispose_background_and_meta():
             C.decode_apng_frames(enc[:cut])
         except ValueError:
             pass
+
+
+def test_ico_round_trip_32_and_24_bit():
+    """ICO favicons: 32-bit BGRA entries use their alpha channel;
+    24-bit entries take alpha from the 1-bit AND mask; decode picks
+    the LARGEST directory entry; embedded-PNG entries route through
+    the full PNG decoder."""
+    import numpy as _np
+
+    small = _rng(60).integers(0, 256, (8, 8, 4), dtype=_np.uint8)
+    big = _rng(61).integers(0, 256, (16, 16, 4), dtype=_np.uint8)
+    enc = C.encode_ico([small, big])
+    assert C.sniff(enc) == "ico"
+    out = C.decode_ico(enc)
+    assert out.shape == (16, 16, 4)
+    assert (out == big).all()
+    assert (C.decode_image(enc) == out).all()
+
+    a24 = _rng(62).integers(0, 256, (10, 7, 4), dtype=_np.uint8)
+    a24[:, :, 3] = 255
+    a24[0, 0, 3] = 0  # transparent via AND mask
+    out24 = C.decode_ico(C.encode_ico([a24], bpp=24))
+    assert (out24[:, :, :3] == a24[:, :, :3]).all()
+    assert out24[0, 0, 3] == 0 and out24[1, 1, 3] == 255
+
+    # PNG-payload entry (the modern high-res convention)
+    png_entry = C.encode_png(big)
+    hdr = C.encode_ico([small])
+    ico_png = (
+        hdr[:6]
+        + __import__("struct").pack(
+            "<BBBBHHII", 16, 16, 0, 0, 1, 32, len(png_entry), 22
+        )
+        + png_entry
+    )
+    out_p = C.decode_ico(ico_png)
+    assert (out_p == big).all()
+
+    m = C.image_meta(enc)
+    assert (m["format"], m["width"], m["height"], m["n_frames"]) == (
+        "ico", 16, 16, 2,
+    )
+    import pytest as _pytest
+
+    for cut in range(0, len(enc), 7):  # ValueError contract
+        try:
+            C.decode_ico(enc[:cut])
+        except ValueError:
+            pass
+    with _pytest.raises(ValueError):
+        C.decode_ico(b"\x00\x00\x01\x00\x00\x00")  # zero entries
