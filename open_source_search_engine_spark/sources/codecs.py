@@ -449,6 +449,7 @@ def encode_apng(
     return bytes(out)
 
 
+@_corrupt_as_valueerror
 def png_animation_info(payload: bytes):
     """(n_frames, True) when the PNG carries an acTL chunk (APNG),
     else (1, False) — a chunk-header walk, no decompression."""
@@ -667,20 +668,36 @@ def decode_ico(payload: bytes) -> np.ndarray:
         out[:, :, 1] = bgra[:, :, 1]
         out[:, :, 2] = bgra[:, :, 0]
         out[:, :, 3] = bgra[:, :, 3]
+        if not bgra[:, :, 3].any():
+            # legacy 32-bpp icons (pre-XP tools) zero the alpha plane
+            # and carry transparency only in the AND mask — Windows
+            # and Pillow fall back to the mask then; without this the
+            # whole icon decodes fully transparent (review fix)
+            out[:, :, 3] = _ico_and_mask_alpha(
+                data, px_off + stride * h, w, h
+            )
         return out
     bgr = px[:, : w * 3].reshape(h, w, 3)
     out[:, :, 0] = bgr[:, :, 2]
     out[:, :, 1] = bgr[:, :, 1]
     out[:, :, 2] = bgr[:, :, 0]
-    # AND mask: 1 bit/pixel rows padded to 32 bits, bottom-up,
-    # 1 = transparent
+    out[:, :, 3] = _ico_and_mask_alpha(data, px_off + stride * h, w, h)
+    return out
+
+
+def _ico_and_mask_alpha(data: bytes, off: int, w: int, h: int):
+    """(h, w) alpha from the ICO AND mask: 1 bit/pixel rows padded to
+    32 bits, bottom-up, mask bit 1 = transparent."""
     mstride = ((w + 31) // 32) * 4
+    if off + mstride * h > len(data):
+        # mask omitted (some writers drop it for 32-bpp entries):
+        # everything opaque
+        return np.full((h, w), 255, dtype=np.uint8)
     mask = np.frombuffer(
-        data, np.uint8, count=mstride * h, offset=px_off + stride * h
+        data, np.uint8, count=mstride * h, offset=off
     ).reshape(h, mstride)[::-1]
     bits = np.unpackbits(mask, axis=1)[:, :w]
-    out[:, :, 3] = np.where(bits == 1, 0, 255)
-    return out
+    return np.where(bits == 1, 0, 255).astype(np.uint8)
 
 
 def encode_ico(images, bpp: int = 32) -> bytes:

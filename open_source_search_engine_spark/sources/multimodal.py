@@ -439,39 +439,27 @@ def sample_frames(
                             got = _grid_samples(smp, every_ms, max_frames)
                     except ValueError:
                         got = None  # corrupt container → stand-in
-                elif C.sniff(b) == "png":
+                elif C.sniff(b) in ("png", "gif"):
+                    # animated GIF / APNG: full decode + composite,
+                    # grid-pick, PNG-encode only the PICKED frames.
+                    # image-kind rows only yield frames for REAL
+                    # animations — a still is not a frame source —
+                    # and sniff decides the route, not the kind label
+                    # (review fixes; one shared branch so the gate
+                    # can't drift between the two formats)
                     try:
-                        if C.png_animation_info(b)[1]:  # APNG
+                        if C.sniff(b) == "gif":
+                            fr = C.decode_gif_frames(b)
+                        elif C.png_animation_info(b)[1]:
                             fr = C.decode_apng_frames(b)
-                            if fr and (
-                                kind == "video" or len(fr) > 1
-                            ):
-                                picked = _grid_samples(
-                                    fr, every_ms, max_frames
-                                )
-                                got = [
-                                    (ts, C.encode_png(img))
-                                    for ts, img in picked
-                                ]
-                    except ValueError:
-                        got = None  # corrupt stream → stand-in
-                elif C.sniff(b) == "gif":
-                    try:
-                        fr = C.decode_gif_frames(b)
-                        # image-kind rows only yield frames for REAL
-                        # animations; a still GIF is not a frame
-                        # source (review fix: the route was gated on
-                        # kind=='video' while ingests naturally label
-                        # GIFs kind=='image' — sniff decides now)
+                        else:
+                            fr = []
                         if fr and (kind == "video" or len(fr) > 1):
-                            picked = _grid_samples(
-                                fr, every_ms, max_frames
-                            )
-                            # decode is unavoidable (compositing), but
-                            # only the PICKED frames pay PNG encode
                             got = [
                                 (ts, C.encode_png(img))
-                                for ts, img in picked
+                                for ts, img in _grid_samples(
+                                    fr, every_ms, max_frames
+                                )
                             ]
                     except ValueError:
                         got = None  # corrupt stream → stand-in

@@ -1221,3 +1221,32 @@ def test_ico_round_trip_32_and_24_bit():
             pass
     with _pytest.raises(ValueError):
         C.decode_ico(b"\x00\x00\x01\x00\x00\x00")  # zero entries
+
+
+def test_ico_legacy_zero_alpha_falls_back_to_and_mask():
+    """Pre-XP 32-bpp icons zero the alpha plane and carry transparency
+    only in the AND mask — the decoder must fall back to the mask
+    instead of returning a fully transparent icon (review fix); a
+    truncated png_animation_info obeys the ValueError contract."""
+    import numpy as _np
+
+    import pytest as _pytest
+
+    icon = _rng(70).integers(0, 256, (6, 6, 4), dtype=_np.uint8)
+    icon[:, :, 3] = 200
+    enc = bytearray(C.encode_ico([icon], bpp=32))
+    out = C.decode_ico(bytes(enc))
+    assert (out[:, :, 3] == 200).all()  # real alpha respected
+    # zero the alpha plane in place: every 4th byte of the BGRA rows
+    dib_off = 6 + 16
+    px_start = dib_off + 40
+    for i in range(px_start + 3, px_start + 6 * 6 * 4, 4):
+        enc[i] = 0
+    out0 = C.decode_ico(bytes(enc))
+    assert (out0[:, :, 3] == 255).all()  # empty AND mask → opaque
+    assert (out0[:, :, :3] == out[:, :, :3]).all()
+
+    apng = C.encode_apng([_np.zeros((3, 3, 4), dtype=_np.uint8)] * 2)
+    ac = apng.find(b"acTL")
+    with _pytest.raises(ValueError):
+        C.png_animation_info(apng[: ac + 6])  # truncated inside acTL
