@@ -96,6 +96,17 @@ def sniff(payload: bytes) -> str:
         return "wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:4] == b"OggS":
+        return "ogg"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] & 0x06) != 0  # layer bits 00 is reserved
+    ):
+        return "mp3"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
     if (
@@ -2559,6 +2570,137 @@ def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
                 samples[k - 1] for k in keep if 1 <= k <= len(samples)
             ]
     return samples
+
+
+# MPEG1/2/2.5 Layer III tables (ISO 11172-3 / 13818-3)
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                    192, 224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                    128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+@_corrupt_as_valueerror
+def audio_header_meta(payload: bytes) -> dict:
+    """Header-only audio metadata — {format, sample_rate, channels,
+    duration_ms, bitrate_kbps} WITHOUT decoding samples: the admission
+    filter an audio training pipeline runs per blob (drop sub-second
+    clips, cap hours, split narrowband). WAV reads the RIFF header;
+    MP3 parses the first Layer-III frame header after any ID3v2 tag
+    (Xing/Info frame count when present, else CBR byte estimate);
+    FLAC reads STREAMINFO; OGG reads the Vorbis/Opus identification
+    header and takes duration from the LAST page's granule position.
+    Raises ValueError for non-audio/corrupt payloads."""
+    fmt = sniff(payload)
+    if fmt == "wav":
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            rate, ch, n = (
+                f.getframerate(), f.getnchannels(), f.getnframes()
+            )
+        return {
+            "format": "wav", "sample_rate": rate, "channels": ch,
+            "duration_ms": int(round(1000.0 * n / rate)) if rate else 0,
+            "bitrate_kbps": (
+                rate * ch * 8 * 2 // 1000 if rate else 0  # PCM16
+            ),
+        }
+    if fmt == "flac":
+        btype = payload[4] & 0x7F
+        if btype != 0:
+            raise ValueError("corrupt FLAC: first block not STREAMINFO")
+        info = payload[8:42]
+        if len(info) < 18:
+            raise ValueError("corrupt FLAC: truncated STREAMINFO")
+        v = int.from_bytes(info[10:18], "big")
+        rate = v >> 44
+        ch = ((v >> 41) & 7) + 1
+        total = v & ((1 << 36) - 1)
+        if rate == 0:
+            raise ValueError("corrupt FLAC: zero sample rate")
+        return {
+            "format": "flac", "sample_rate": rate, "channels": ch,
+            "duration_ms": int(round(1000.0 * total / rate)),
+            "bitrate_kbps": 0,  # lossless: not header-derivable
+        }
+    if fmt == "ogg":
+        nsegs = payload[26]
+        body = payload[27 + nsegs :]
+        last = payload.rfind(b"OggS")
+        granule = int.from_bytes(
+            payload[last + 6 : last + 14], "little"
+        )
+        if body[:7] == b"\x01vorbis":
+            ch = body[11]
+            rate = int.from_bytes(body[12:16], "little")
+            if rate == 0:
+                raise ValueError("corrupt OGG: zero sample rate")
+            dur = int(round(1000.0 * granule / rate))
+        elif body[:8] == b"OpusHead":
+            ch = body[9]
+            pre_skip = int.from_bytes(body[10:12], "little")
+            rate = 48000  # opus granules always count at 48 kHz
+            dur = int(round(1000.0 * max(0, granule - pre_skip) / 48000))
+        else:
+            raise ValueError("unsupported OGG codec (not Vorbis/Opus)")
+        return {
+            "format": "ogg", "sample_rate": rate, "channels": ch,
+            "duration_ms": dur, "bitrate_kbps": 0,
+        }
+    if fmt == "mp3":
+        pos = 0
+        if payload[:3] == b"ID3":  # syncsafe 28-bit tag length
+            sz = 0
+            for b in payload[6:10]:
+                sz = (sz << 7) | (b & 0x7F)
+            pos = 10 + sz
+        # scan for the first frame sync (junk between tag and audio
+        # is common in the wild)
+        while pos + 4 <= len(payload):
+            if payload[pos] == 0xFF and (payload[pos + 1] & 0xE0) == 0xE0:
+                break
+            pos += 1
+        if pos + 4 > len(payload):
+            raise ValueError("corrupt MP3: no frame sync")
+        b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+        version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3   # 1=Layer III
+        if version == 1 or layer != 1:
+            raise ValueError(
+                "unsupported MPEG audio (only Layer III parsed)"
+            )
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("corrupt MP3: free/bad bitrate or rate")
+        table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+        kbps = table[br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        mono = ((b3 >> 6) & 3) == 3
+        ch = 1 if mono else 2
+        spf = 1152 if version == 3 else 576  # Layer III samples/frame
+        # Xing/Info (VBR) header: frame count gives exact duration
+        side = (
+            (17 if mono else 32) if version == 3 else (9 if mono else 17)
+        )
+        tag_off = pos + 4 + side
+        dur = None
+        if payload[tag_off : tag_off + 4] in (b"Xing", b"Info"):
+            flags = int.from_bytes(
+                payload[tag_off + 4 : tag_off + 8], "big"
+            )
+            if flags & 1:
+                n_frames = int.from_bytes(
+                    payload[tag_off + 8 : tag_off + 12], "big"
+                )
+                dur = int(round(1000.0 * n_frames * spf / rate))
+        if dur is None:  # CBR estimate over the audio bytes
+            dur = int(round((len(payload) - pos) * 8.0 / kbps))
+        return {
+            "format": "mp3", "sample_rate": rate, "channels": ch,
+            "duration_ms": dur, "bitrate_kbps": kbps,
+        }
+    raise ValueError(f"not a parseable audio payload (sniffed {fmt!r})")
 
 
 @_corrupt_as_valueerror

@@ -278,10 +278,17 @@ def audio_stats(df: DataFrame) -> DataFrame:
                 f = C.audio_features(x, rate)
                 if tag != "wav":
                     # the fake sample stream's length says nothing
-                    # about the clip; the input row's duration column
-                    # does (review fix: every non-WAV row reported
-                    # <= 512 ms and a too-short filter dropped them)
-                    f["duration_ms"] = int(dur or 0)
+                    # about the clip. Real duration preference:
+                    # container headers (MP3/FLAC/OGG frame counts and
+                    # granules parse WITHOUT decoding) > the input
+                    # row's duration column (review fix: every non-WAV
+                    # row previously reported <= 512 ms)
+                    try:
+                        f["duration_ms"] = C.audio_header_meta(b)[
+                            "duration_ms"
+                        ]
+                    except ValueError:
+                        f["duration_ms"] = int(dur or 0)
                 rows.append((int(mid), tag) + tuple(f[c] for c in cols))
             yield pd.DataFrame(
                 rows, columns=("media_id", "codec") + cols

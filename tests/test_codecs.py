@@ -1250,3 +1250,83 @@ def test_ico_legacy_zero_alpha_falls_back_to_and_mask():
     ac = apng.find(b"acTL")
     with _pytest.raises(ValueError):
         C.png_animation_info(apng[: ac + 6])  # truncated inside acTL
+
+
+def test_audio_header_meta_wav_mp3_flac_ogg():
+    """Header-only audio metadata: WAV via RIFF, MP3 via the first
+    Layer-III frame header (ID3v2 skipped, Xing frame count when
+    present), FLAC via STREAMINFO, OGG via the Vorbis id header +
+    last-page granule. No sample decoding anywhere."""
+    import struct as _struct
+
+    import numpy as _np
+
+    wav = C.encode_wav(_np.zeros(8000, _np.float32), 16000)
+    m = C.audio_header_meta(wav)
+    assert (m["format"], m["sample_rate"], m["duration_ms"]) == (
+        "wav", 16000, 500,
+    )
+
+    # MP3: ID3v2 tag (10 bytes, zero length) + one MPEG1 L3 frame at
+    # 128 kbps / 44100 stereo with an Xing header claiming 38 frames
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG1, L3, 128k, 44100
+    side = bytes(32)
+    xing = b"Xing" + _struct.pack(">II", 1, 38)
+    frame = hdr + side + xing + bytes(300)
+    mp3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 0]) + frame
+    m = C.audio_header_meta(mp3)
+    assert m["format"] == "mp3" and m["sample_rate"] == 44100
+    assert m["bitrate_kbps"] == 128 and m["channels"] == 2
+    assert m["duration_ms"] == round(1000 * 38 * 1152 / 44100)
+    assert C.sniff(mp3) == "mp3"
+
+    # CBR estimate when no Xing: duration = bytes*8/kbps
+    mp3_cbr = hdr + bytes(1600 - 4)
+    m = C.audio_header_meta(mp3_cbr)
+    assert m["duration_ms"] == round(1600 * 8 / 128)
+
+    # FLAC STREAMINFO: 44100 Hz, 2ch, 88200 samples = 2000 ms
+    v = (44100 << 44) | (1 << 41) | (15 << 36) | 88200
+    streaminfo = bytes(10) + v.to_bytes(8, "big") + bytes(16)
+    flac = (
+        b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo
+    )
+    m = C.audio_header_meta(flac)
+    assert (m["format"], m["sample_rate"], m["channels"]) == (
+        "flac", 44100, 2,
+    )
+    assert m["duration_ms"] == 2000
+    assert C.sniff(flac) == "flac"
+
+    # OGG-Vorbis: id header page + a last page whose granule = 24000
+    # samples at 8000 Hz = 3000 ms
+    def page(granule, body):
+        return (
+            b"OggS" + bytes([0, 2]) + granule.to_bytes(8, "little")
+            + bytes(12) + bytes([1, len(body)]) + body
+        )
+
+    ident = b"\x01vorbis" + bytes(4) + bytes([1]) + (8000).to_bytes(
+        4, "little"
+    ) + bytes(9)
+    ogg = page(0, ident) + page(24000, b"\x05vorbis")
+    m = C.audio_header_meta(ogg)
+    assert (m["format"], m["sample_rate"], m["channels"]) == (
+        "ogg", 8000, 1,
+    )
+    assert m["duration_ms"] == 3000
+    assert C.sniff(ogg) == "ogg"
+
+    import pytest as _pytest
+
+    for bad in (b"fLaC\x00\x00\x00\x04abcd", b"OggS" + bytes(30),
+                b"ID3" + bytes(20), b"not audio"):
+        with _pytest.raises(ValueError):
+            C.audio_header_meta(bad)
+    for enc in (mp3, flac, ogg):  # truncation contract
+        for cut in range(0, len(enc), 3):
+            try:
+                C.audio_header_meta(enc[:cut])
+            except ValueError:
+                pass
