@@ -117,6 +117,8 @@ def sniff(payload: bytes) -> str:
         return "ico"
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"  # EBML: WebM / Matroska
     return "unknown"
 
 
@@ -2838,6 +2840,152 @@ def image_meta(payload: bytes) -> dict:
         "n_frames": int(n_frames),
         "flags": ",".join(sorted(flags)),
     }
+
+
+def _ebml_vint(buf: bytes, pos: int, is_id: bool):
+    """(value, data_bits, next_pos) for one EBML variable-length
+    integer. IDs keep the length-marker bit (matching the spec's
+    element-ID constants); sizes strip it."""
+    if pos >= len(buf) or buf[pos] == 0:
+        raise ValueError("corrupt EBML: invalid varint")
+    n = 9 - buf[pos].bit_length()
+    raw = buf[pos : pos + n]
+    if len(raw) < n:
+        raise ValueError("corrupt EBML: truncated varint")
+    val = int.from_bytes(raw, "big")
+    if not is_id:
+        val &= (1 << (7 * n)) - 1
+    return val, 7 * n, pos + n
+
+
+def _ebml_children(buf: bytes, start: int, end: int):
+    """Yield (element_id, payload_start, payload_end) for the EBML
+    elements in buf[start:end]; an all-ones (unknown) size extends to
+    the enclosing end (streamed Segments use this)."""
+    pos = start
+    while pos < end:
+        eid, _, pos = _ebml_vint(buf, pos, is_id=True)
+        size, bits, pos = _ebml_vint(buf, pos, is_id=False)
+        if size == (1 << bits) - 1:  # unknown size
+            size = end - pos
+        yield eid, pos, min(pos + size, end)
+        pos += size
+
+
+def _ebml_uint(buf: bytes, s: int, e: int) -> int:
+    return int.from_bytes(buf[s:e], "big")
+
+
+def _ebml_float(buf: bytes, s: int, e: int) -> float:
+    n = e - s
+    if n == 4:
+        return struct.unpack(">f", buf[s:e])[0]
+    if n == 8:
+        return struct.unpack(">d", buf[s:e])[0]
+    raise ValueError(f"corrupt EBML: float of {n} bytes")
+
+
+@_corrupt_as_valueerror
+def video_header_meta(payload: bytes) -> dict:
+    """Header-only video metadata — {format, width, height,
+    duration_ms, codec} without touching coded frames: the video leg
+    of the pre-decode admission filter. MP4 reads mvhd (timescale +
+    duration), the first trak's tkhd 16.16-fixed dims, and the stsd
+    sample-entry fourcc; WebM/Matroska walks the EBML tree for
+    Info.TimecodeScale/Duration and the first video TrackEntry's
+    PixelWidth/PixelHeight/CodecID."""
+    fmt = sniff(payload)
+    if fmt == "mp4":
+        moov = _mp4_child(payload, 0, len(payload), b"moov")
+        if not moov:
+            raise ValueError("corrupt MP4: no moov")
+        mvhd = _mp4_child(payload, *moov, b"mvhd")
+        if not mvhd:
+            raise ValueError("corrupt MP4: no mvhd")
+        s, _e = mvhd
+        if payload[s] == 1:  # version 1: 64-bit times
+            timescale = _ebml_uint(payload, s + 20, s + 24)
+            duration = _ebml_uint(payload, s + 24, s + 32)
+        else:
+            timescale = _ebml_uint(payload, s + 12, s + 16)
+            duration = _ebml_uint(payload, s + 16, s + 20)
+        if timescale == 0:
+            raise ValueError("corrupt MP4: zero timescale")
+        trak = _mp4_child(payload, *moov, b"trak")
+        w = h = 0
+        codec = ""
+        if trak:
+            tkhd = _mp4_child(payload, *trak, b"tkhd")
+            if tkhd:
+                ts, _te = tkhd
+                off = ts + (96 if payload[ts] == 1 else 84) - 8
+                w = _ebml_uint(payload, off, off + 4) >> 16
+                h = _ebml_uint(payload, off + 4, off + 8) >> 16
+            stbl = trak
+            for tag in (b"mdia", b"minf", b"stbl", b"stsd"):
+                stbl = _mp4_child(payload, *stbl, tag)
+                if not stbl:
+                    break
+            if stbl:
+                ss, se = stbl
+                if se - ss >= 16:
+                    codec = payload[ss + 12 : ss + 16].decode(
+                        "ascii", "replace"
+                    )
+        return {
+            "format": "mp4", "width": int(w), "height": int(h),
+            "duration_ms": int(round(1000.0 * duration / timescale)),
+            "codec": codec,
+        }
+    if fmt == "webm":
+        tscale, dur_units = 1_000_000, None
+        w = h = 0
+        codec = ""
+        for eid, s, e in _ebml_children(payload, 0, len(payload)):
+            if eid != 0x18538067:  # Segment
+                continue
+            for eid2, s2, e2 in _ebml_children(payload, s, e):
+                if eid2 == 0x1549A966:  # Info
+                    for eid3, s3, e3 in _ebml_children(payload, s2, e2):
+                        if eid3 == 0x2AD7B1:
+                            tscale = _ebml_uint(payload, s3, e3)
+                        elif eid3 == 0x4489:
+                            dur_units = _ebml_float(payload, s3, e3)
+                elif eid2 == 0x1654AE6B:  # Tracks
+                    for eid3, s3, e3 in _ebml_children(payload, s2, e2):
+                        if eid3 != 0xAE or w:  # first video TrackEntry
+                            continue
+                        ttype, tcodec, tw, th = 0, "", 0, 0
+                        for eid4, s4, e4 in _ebml_children(
+                            payload, s3, e3
+                        ):
+                            if eid4 == 0x83:
+                                ttype = _ebml_uint(payload, s4, e4)
+                            elif eid4 == 0x86:
+                                tcodec = payload[s4:e4].decode(
+                                    "ascii", "replace"
+                                )
+                            elif eid4 == 0xE0:  # Video
+                                for eid5, s5, e5 in _ebml_children(
+                                    payload, s4, e4
+                                ):
+                                    if eid5 == 0xB0:
+                                        tw = _ebml_uint(payload, s5, e5)
+                                    elif eid5 == 0xBA:
+                                        th = _ebml_uint(payload, s5, e5)
+                        if ttype == 1:
+                            w, h, codec = tw, th, tcodec
+        if tscale == 0:
+            raise ValueError("corrupt WebM: zero timecode scale")
+        dur_ms = (
+            int(round(dur_units * tscale / 1e6))
+            if dur_units is not None else 0
+        )
+        return {
+            "format": "webm", "width": int(w), "height": int(h),
+            "duration_ms": dur_ms, "codec": codec,
+        }
+    raise ValueError(f"not a parseable video payload (sniffed {fmt!r})")
 
 
 def decode_image(payload: bytes) -> np.ndarray:

@@ -187,15 +187,15 @@ def media_meta(df: DataFrame) -> DataFrame:
     n_frames, flags) via ``codecs.image_meta`` — NO pixel decode. The
     pre-decode admission filter a 100 TB image pipeline runs on every
     blob (drop sub-icon sizes, cap megapixels, split animations);
-    covers WebP header parsing beyond the decodable formats. Image
-    rows whose headers don't parse come back as format='unknown' with
-    zero dims rather than failing the batch. Rows of kind 'video' are
-    included for the GIF-labeled-as-video case (review fix: kind
-    gating must not disagree with payload sniffing) but emit nothing
-    when the payload isn't a parseable image container."""
+    covers WebP header parsing beyond the decodable formats, and
+    video containers via ``codecs.video_header_meta`` (MP4 mvhd/tkhd/
+    stsd, WebM EBML Info/Tracks) with real durations. Rows whose
+    headers don't parse come back as format='unknown' with zero dims
+    rather than failing the batch; kind gating never disagrees with
+    payload sniffing (an image-labeled MP4 still parses as one)."""
     out_schema = (
         "media_id long, format string, width int, height int, "
-        "n_frames int, flags string"
+        "n_frames int, duration_ms int, flags string"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -203,27 +203,36 @@ def media_meta(df: DataFrame) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for mid, p, kind in zip(
-                pdf["media_id"], pdf["payload"], pdf["kind"]
-            ):
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p or b"")
                 try:
-                    m = C.image_meta(bytes(p or b""))
+                    m = C.image_meta(b)
+                    m["duration_ms"] = 0
+                    m.setdefault("flags", "")
                 except ValueError:
-                    if kind != "image":
-                        continue  # a real video (mp4...) isn't 'unknown'
-                    m = {
-                        "format": "unknown", "width": 0, "height": 0,
-                        "n_frames": 0, "flags": "",
-                    }
+                    try:
+                        v = C.video_header_meta(b)
+                        m = {
+                            "format": v["format"], "width": v["width"],
+                            "height": v["height"], "n_frames": 0,
+                            "duration_ms": v["duration_ms"],
+                            "flags": v["codec"],
+                        }
+                    except ValueError:
+                        m = {
+                            "format": "unknown", "width": 0,
+                            "height": 0, "n_frames": 0,
+                            "duration_ms": 0, "flags": "",
+                        }
                 rows.append(
                     (int(mid), m["format"], m["width"], m["height"],
-                     m["n_frames"], m["flags"])
+                     m["n_frames"], m["duration_ms"], m["flags"])
                 )
             yield pd.DataFrame(
                 rows,
                 columns=(
                     "media_id", "format", "width", "height",
-                    "n_frames", "flags",
+                    "n_frames", "duration_ms", "flags",
                 ),
             )
 

@@ -1330,3 +1330,64 @@ def test_audio_header_meta_wav_mp3_flac_ogg():
                 C.audio_header_meta(enc[:cut])
             except ValueError:
                 pass
+
+
+def _ebml(eid: int, body: bytes) -> bytes:
+    """EBML element with a 2-byte size field (marker bit 0x40)."""
+    idlen = (eid.bit_length() + 7) // 8
+    assert len(body) < (1 << 14) - 1
+    return (
+        eid.to_bytes(idlen, "big")
+        + (0x4000 | len(body)).to_bytes(2, "big")
+        + body
+    )
+
+
+def test_video_header_meta_mp4_and_webm():
+    """Video pre-decode metadata: MP4 from mvhd/tkhd/stsd (16.16
+    dims, real timescale duration, sample-entry fourcc); WebM from
+    the EBML tree (TimecodeScale x Duration, first video TrackEntry's
+    PixelWidth/Height/CodecID)."""
+    enc = C.encode_mp4(
+        [b"x" * 8] * 5, durations_ms=200, width=320, height=180
+    )
+    m = C.video_header_meta(enc)
+    assert (m["format"], m["width"], m["height"]) == ("mp4", 320, 180)
+    assert m["duration_ms"] == 1000  # 5 x 200 ms
+    assert m["codec"] == "mp4v"
+    assert C.sniff(enc) == "mp4"
+
+    import struct as _struct
+
+    video = _ebml(0xB0, (640).to_bytes(2, "big")) + _ebml(
+        0xBA, (360).to_bytes(2, "big")
+    )
+    track = _ebml(
+        0xAE,
+        _ebml(0x83, b"\x01") + _ebml(0x86, b"V_VP9")
+        + _ebml(0xE0, video),
+    )
+    info = _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big")) + _ebml(
+        0x4489, _struct.pack(">d", 12_500.0)  # 12.5 s in 1 ms units
+    )
+    segment = _ebml(
+        0x18538067,
+        _ebml(0x1549A966, info) + _ebml(0x1654AE6B, track),
+    )
+    webm = _ebml(0x1A45DFA3, b"") + segment
+    assert C.sniff(webm) == "webm"
+    m = C.video_header_meta(webm)
+    assert (m["format"], m["width"], m["height"]) == ("webm", 640, 360)
+    assert m["codec"] == "V_VP9"
+    assert m["duration_ms"] == 12500
+
+    import pytest as _pytest
+
+    for bad in (b"\x1a\x45\xdf\xa3\x00", enc[:60], b"nope"):
+        with _pytest.raises(ValueError):
+            C.video_header_meta(bad)
+    for cut in range(0, len(webm), 3):  # ValueError contract
+        try:
+            C.video_header_meta(webm[:cut])
+        except ValueError:
+            pass

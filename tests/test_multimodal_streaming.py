@@ -276,6 +276,28 @@ def test_sample_frames_apng_real_route(spark):
     assert (img[:, :, 0] == 120).all()  # animation frame 2
 
 
+def test_media_meta_video_route(spark):
+    """Video rows get real container metadata: MP4 dims/duration/codec
+    from mvhd/tkhd/stsd; unparseable video payloads yield 'unknown'
+    rows (never batch failures)."""
+    from open_source_search_engine_spark.sources import codecs as C
+
+    mp4 = C.encode_mp4([b"y" * 16] * 4, durations_ms=500,
+                       width=128, height=96)
+    df = spark.createDataFrame(
+        [
+            (31, "video", mp4, "video/mp4", 128, 96, 2000),
+            (32, "video", b"\x00" * 40, "video/x", 0, 0, 0),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in M.media_meta(df).collect()}
+    r = out[31]
+    assert (r["format"], r["width"], r["height"]) == ("mp4", 128, 96)
+    assert r["duration_ms"] == 2000 and r["flags"] == "mp4v"
+    assert out[32]["format"] == "unknown"
+
+
 # --- streaming -------------------------------------------------------------
 
 
