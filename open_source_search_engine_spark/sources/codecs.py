@@ -58,7 +58,7 @@ def _corrupt_as_valueerror(fn):
             raise
         except (
             IndexError, KeyError, struct.error, zlib.error,
-            wave.Error, EOFError,
+            wave.Error, EOFError, OverflowError,
         ) as exc:
             raise ValueError(
                 f"corrupt payload in {fn.__name__}: {exc!r}"
@@ -2405,6 +2405,29 @@ def _mp4_boxes(buf: bytes, start: int, end: int):
         pos += size
 
 
+def _mp4_video_trak(buf: bytes, moov) -> tuple:
+    """((trak_start, trak_end), (mdia_start, mdia_end)) for the trak
+    whose hdlr is tagged 'vide' — falling back to the first trak with
+    an mdia when none is (the shared selection demux_mp4 and
+    video_header_meta both need; an audio-first mux must not win)."""
+    traks = [(s, e) for t, s, e in _mp4_boxes(buf, *moov) if t == b"trak"]
+    if not traks:
+        raise ValueError("corrupt MP4: no trak in moov")
+    chosen = None
+    for ts_, te_ in traks:
+        mdia = _mp4_child(buf, ts_, te_, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(buf, *mdia, b"hdlr")
+        if hdlr and buf[hdlr[0] + 8 : hdlr[0] + 12] == b"vide":
+            return (ts_, te_), mdia
+        if chosen is None:
+            chosen = ((ts_, te_), mdia)
+    if chosen is None:
+        raise ValueError("corrupt MP4: no mdia in any trak")
+    return chosen
+
+
 def _mp4_child(buf: bytes, start: int, end: int, tag: bytes):
     for t, s, e in _mp4_boxes(buf, start, end):
         if t == tag:
@@ -2440,22 +2463,7 @@ def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
     moov = _mp4_child(buf, 0, len(buf), b"moov")
     if moov is None:
         raise ValueError("corrupt MP4: no moov box")
-    traks = [(s, e) for t, s, e in _mp4_boxes(buf, *moov) if t == b"trak"]
-    if not traks:
-        raise ValueError("corrupt MP4: no trak in moov")
-    chosen = None
-    for ts_, te_ in traks:
-        mdia = _mp4_child(buf, ts_, te_, b"mdia")
-        if mdia is None:
-            continue
-        hdlr = _mp4_child(buf, *mdia, b"hdlr")
-        if hdlr and buf[hdlr[0] + 8:hdlr[0] + 12] == b"vide":
-            chosen = mdia
-            break
-        if chosen is None:
-            chosen = mdia
-    if chosen is None:
-        raise ValueError("corrupt MP4: no mdia in any trak")
+    _trak, chosen = _mp4_video_trak(buf, moov)
     mdhd = _mp4_child(buf, *chosen, b"mdhd")
     if mdhd is None or mdhd[1] - mdhd[0] < 24:
         raise ValueError("corrupt MP4: missing/truncated mdhd")
@@ -2574,6 +2582,19 @@ def demux_mp4(payload: bytes, keyframes_only: bool = False) -> list:
     return samples
 
 
+def _clamp_ms(x) -> int:
+    """Clamp a computed duration to a non-negative int32: corrupt
+    headers (an OGG continued-packet granule of -1 reads as 2^64-1, a
+    multi-GB CBR estimate, a WebM +inf Duration) must yield a bounded
+    value for the Arrow 'duration_ms int' columns, not overflow the
+    batch cast (review fix)."""
+    try:
+        v = int(round(x))
+    except (OverflowError, ValueError):  # inf / nan
+        return 2**31 - 1
+    return max(0, min(v, 2**31 - 1))
+
+
 # MPEG1/2/2.5 Layer III tables (ISO 11172-3 / 13818-3)
 _MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
                     192, 224, 256, 320)
@@ -2597,14 +2618,15 @@ def audio_header_meta(payload: bytes) -> dict:
     fmt = sniff(payload)
     if fmt == "wav":
         with wave.open(io.BytesIO(payload), "rb") as f:
-            rate, ch, n = (
-                f.getframerate(), f.getnchannels(), f.getnframes()
+            rate, ch, n, sw = (
+                f.getframerate(), f.getnchannels(), f.getnframes(),
+                f.getsampwidth(),
             )
         return {
             "format": "wav", "sample_rate": rate, "channels": ch,
-            "duration_ms": int(round(1000.0 * n / rate)) if rate else 0,
+            "duration_ms": _clamp_ms(1000.0 * n / rate) if rate else 0,
             "bitrate_kbps": (
-                rate * ch * 8 * 2 // 1000 if rate else 0  # PCM16
+                rate * ch * 8 * sw // 1000 if rate else 0  # real PCM width
             ),
         }
     if fmt == "flac":
@@ -2622,7 +2644,7 @@ def audio_header_meta(payload: bytes) -> dict:
             raise ValueError("corrupt FLAC: zero sample rate")
         return {
             "format": "flac", "sample_rate": rate, "channels": ch,
-            "duration_ms": int(round(1000.0 * total / rate)),
+            "duration_ms": _clamp_ms(1000.0 * total / rate),
             "bitrate_kbps": 0,  # lossless: not header-derivable
         }
     if fmt == "ogg":
@@ -2637,12 +2659,12 @@ def audio_header_meta(payload: bytes) -> dict:
             rate = int.from_bytes(body[12:16], "little")
             if rate == 0:
                 raise ValueError("corrupt OGG: zero sample rate")
-            dur = int(round(1000.0 * granule / rate))
+            dur = _clamp_ms(1000.0 * granule / rate)
         elif body[:8] == b"OpusHead":
             ch = body[9]
             pre_skip = int.from_bytes(body[10:12], "little")
             rate = 48000  # opus granules always count at 48 kHz
-            dur = int(round(1000.0 * max(0, granule - pre_skip) / 48000))
+            dur = _clamp_ms(1000.0 * max(0, granule - pre_skip) / 48000)
         else:
             raise ValueError("unsupported OGG codec (not Vorbis/Opus)")
         return {
@@ -2695,9 +2717,9 @@ def audio_header_meta(payload: bytes) -> dict:
                 n_frames = int.from_bytes(
                     payload[tag_off + 8 : tag_off + 12], "big"
                 )
-                dur = int(round(1000.0 * n_frames * spf / rate))
+                dur = _clamp_ms(1000.0 * n_frames * spf / rate)
         if dur is None:  # CBR estimate over the audio bytes
-            dur = int(round((len(payload) - pos) * 8.0 / kbps))
+            dur = _clamp_ms((len(payload) - pos) * 8.0 / kbps)
         return {
             "format": "mp3", "sample_rate": rate, "channels": ch,
             "duration_ms": dur, "bitrate_kbps": kbps,
@@ -2911,7 +2933,10 @@ def video_header_meta(payload: bytes) -> dict:
             duration = _ebml_uint(payload, s + 16, s + 20)
         if timescale == 0:
             raise ValueError("corrupt MP4: zero timescale")
-        trak = _mp4_child(payload, *moov, b"trak")
+        # the 'vide' trak, not the first one — an audio-first mux must
+        # not report 0x0 dims and 'mp4a' (review fix; shared helper
+        # with demux_mp4)
+        trak, mdia = _mp4_video_trak(payload, moov)
         w = h = 0
         codec = ""
         if trak:
@@ -2921,8 +2946,8 @@ def video_header_meta(payload: bytes) -> dict:
                 off = ts + (96 if payload[ts] == 1 else 84) - 8
                 w = _ebml_uint(payload, off, off + 4) >> 16
                 h = _ebml_uint(payload, off + 4, off + 8) >> 16
-            stbl = trak
-            for tag in (b"mdia", b"minf", b"stbl", b"stsd"):
+            stbl = mdia
+            for tag in (b"minf", b"stbl", b"stsd"):
                 stbl = _mp4_child(payload, *stbl, tag)
                 if not stbl:
                     break
@@ -2934,7 +2959,7 @@ def video_header_meta(payload: bytes) -> dict:
                     )
         return {
             "format": "mp4", "width": int(w), "height": int(h),
-            "duration_ms": int(round(1000.0 * duration / timescale)),
+            "duration_ms": _clamp_ms(1000.0 * duration / timescale),
             "codec": codec,
         }
     if fmt == "webm":
@@ -2978,7 +3003,7 @@ def video_header_meta(payload: bytes) -> dict:
         if tscale == 0:
             raise ValueError("corrupt WebM: zero timecode scale")
         dur_ms = (
-            int(round(dur_units * tscale / 1e6))
+            _clamp_ms(dur_units * tscale / 1e6)
             if dur_units is not None else 0
         )
         return {

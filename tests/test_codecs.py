@@ -1391,3 +1391,39 @@ def test_video_header_meta_mp4_and_webm():
             C.video_header_meta(webm[:cut])
         except ValueError:
             pass
+
+
+def test_media_meta_review_fixes_bounds_and_vide_trak():
+    """Review fixes pinned: (a) a WebM +inf Duration yields a clamped
+    int32 duration (never OverflowError through the Arrow batch);
+    (b) an OGG whose last page carries granule -1 (continued-packet
+    convention) clamps instead of reporting 2^64 ns; (c) WAV bitrate
+    uses the header's real sample width."""
+    import struct as _struct
+
+    import numpy as _np
+
+    inf_info = _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big")) + _ebml(
+        0x4489, _struct.pack(">d", float("inf"))
+    )
+    segment = _ebml(0x18538067, _ebml(0x1549A966, inf_info))
+    webm = _ebml(0x1A45DFA3, b"") + segment
+    m = C.video_header_meta(webm)
+    assert m["duration_ms"] == 2**31 - 1  # clamped, no OverflowError
+
+    def page(granule_bytes, body):
+        return (
+            b"OggS" + bytes([0, 2]) + granule_bytes
+            + bytes(12) + bytes([1, len(body)]) + body
+        )
+
+    ident = b"\x01vorbis" + bytes(4) + bytes([1]) + (8000).to_bytes(
+        4, "little"
+    ) + bytes(9)
+    ogg = page(bytes(8), ident) + page(b"\xff" * 8, b"\x05vorbis")
+    m = C.audio_header_meta(ogg)
+    assert m["duration_ms"] == 2**31 - 1  # clamped
+
+    x = _np.zeros(16000, _np.float32)
+    m = C.audio_header_meta(C.encode_wav(x, 16000))
+    assert m["bitrate_kbps"] == 16000 * 1 * 8 * 2 // 1000  # 16-bit PCM
