@@ -1427,3 +1427,23 @@ def test_media_meta_review_fixes_bounds_and_vide_trak():
     x = _np.zeros(16000, _np.float32)
     m = C.audio_header_meta(C.encode_wav(x, 16000))
     assert m["bitrate_kbps"] == 16000 * 1 * 8 * 2 // 1000  # 16-bit PCM
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=st.binary(max_size=400))
+def test_every_parser_valueerror_contract_on_random_bytes(data):
+    """Random bytes into EVERY public parse/decode surface: each call
+    either succeeds or raises ValueError — never any other exception
+    type (the Arrow per-row routing contract, fuzz-checked)."""
+    C.sniff(data)  # never raises at all
+    for fn in (
+        C.image_meta, C.audio_header_meta, C.video_header_meta,
+        C.decode_png, C.decode_gif, C.decode_gif_frames,
+        C.decode_apng_frames, C.png_animation_info, C.gif_frame_count,
+        C.decode_ico, C.decode_bmp, C.decode_jpeg, C.decode_wav,
+        C.demux_mp4, C.decode_image,
+    ):
+        try:
+            fn(data)
+        except ValueError:
+            pass
