@@ -405,6 +405,36 @@ def build_segments(
             print(f"[segdbg] {label}: {time.time() - t:.1f}s",
                   file=sys.stderr, flush=True)
 
+    # resume safety: committed-segment numbers only mean anything
+    # under the SAME split — resuming an 8-way build as 4-way would
+    # no-op the loop and silently drop docs of hash classes 4..7,
+    # and 4-way → 8-way re-indexes committed ranges, double-counting
+    # (review fix). The split config is pinned on first build.
+    import json
+
+    split_cfg_path = os.path.join(store.root, "segment_split.json")
+    split_cfg = {
+        "n_segments": int(n_segments),
+        "split": "custom" if segment_col is not None else "xxhash64_pmod",
+    }
+    if os.path.exists(split_cfg_path):
+        with open(split_cfg_path) as fh:
+            prev_cfg = json.load(fh)
+        if prev_cfg != split_cfg:
+            raise ValueError(
+                f"segment split mismatch: store was built with "
+                f"{prev_cfg}, this run requests {split_cfg} — resuming "
+                "under a different split silently loses or duplicates "
+                "documents; rebuild into a fresh store or pass the "
+                "original n_segments/segment_col"
+            )
+    else:
+        os.makedirs(store.root, exist_ok=True)
+        tmp = split_cfg_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(split_cfg, fh)
+        os.replace(tmp, split_cfg_path)
+
     done = store.committed_segments(spark)
     for seg in range(n_segments):
         if seg in done:
@@ -435,7 +465,13 @@ def build_segments(
         if field_postings is not None:
             from ..tokenizer import term_id
 
-            fp = field_postings.filter(seg_expr == seg).select(
+            # tf=0 rows would emit F.sequence(1, 0) = [1, 0] — TWO
+            # positions for a zero-tf posting, mis-framing the
+            # positions blob for every later posting in the block
+            # (review fix); a zero-tf posting carries no signal anyway
+            fp = field_postings.filter(F.col("tf") > 0).filter(
+                seg_expr == seg
+            ).select(
                 "docid",
                 "term",
                 F.col("tf").cast("int").alias("tf"),
@@ -492,8 +528,12 @@ def build_segments(
             part_hi=seg,
             status="committed",
             rows=rows,
-            docs=int(stats["docs"]),
-            sum_doclen=int(stats["sum_dl"]),
+            # an empty segment (hash class with zero docs on a small
+            # or skew-split corpus) sums to NULL — int(None) killed
+            # the build AFTER the parquet write; the streaming path
+            # already guards this (incremental.py, review fix)
+            docs=int(stats["docs"] or 0),
+            sum_doclen=int(stats["sum_dl"] or 0),
             wall_ms=int((time.time() - t0) * 1000),
         )
         if fail_after_segment is not None and seg >= fail_after_segment:

@@ -187,9 +187,7 @@ def _make_bucket_scorer(
                 np.full(docids.size, row.termid in required, dtype=np.int64)
             )
         if not docid_parts:
-            return pd.DataFrame({"docid": [], "score": []}).astype(
-                {"docid": np.int64, "score": np.float64}
-            )
+            return empty
         all_req = np.concatenate(req_parts)
         uniq, inv, scores = _scatter_scores(docid_parts, score_parts)
         if n_required:
@@ -834,6 +832,28 @@ class PackedIndex:
 
         cut = self._seed_cut(termids, scorer(float("-inf")), k, round_to)
 
+        if self.jvm_prune and cut > float("-inf"):
+            # disk-backed stores get the same JVM-side bucket prune as
+            # wand_topk so pruned buckets' POSITIONAL blobs (the
+            # largest in the store) never leave disk (review fix). The
+            # plain bound stays upper-bound-valid per kind with the
+            # exact adjustments the in-scorer check applies: density/
+            # diversity scores ≤ plain × MULT_MAX (divide the cut),
+            # proximity ≤ plain + prox_w (subtract it), phrase scores
+            # a SUBSET of matches so the plain bound already dominates.
+            if kind == "density":
+                cut_eff = cut / _DENS_MULT_MAX
+            elif kind == "diversity":
+                cut_eff = cut / _DIV_MULT_MAX
+            elif kind == "proximity":
+                cut_eff = cut - prox_w
+            else:
+                cut_eff = cut
+            blocks = self._prune_buckets_jvm(
+                {"blocks": blocks, "idf": idf, "cut": cut_eff,
+                 "required": required}
+            )
+
         result = blocks.groupBy("bucket").applyInPandas(
             scorer(cut), schema=SCORE_SCHEMA
         )
@@ -910,7 +930,14 @@ class PackedIndex:
         terms = list(dict.fromkeys(terms))
         body_rows = self._term_rows(terms)
         if not body_rows:
-            return self.spark.createDataFrame([], SCORE_SCHEMA)
+            # match the non-empty path's schema: label_map outputs
+            # re-label docid as a string (review fix — an empty
+            # bigint frame broke unions with labelled results)
+            return self.spark.createDataFrame(
+                [],
+                "docid string, score double"
+                if label_map is not None else SCORE_SCHEMA,
+            )
         n = float(self.n_docs)
         idf_of_term = {
             r["term"]: float(

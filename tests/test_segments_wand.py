@@ -526,3 +526,68 @@ def test_wand_diversity_matches_relational_formula(spark, pos_store):
     )
     want = [tuple(r) for r in scored.collect()]
     assert got == want
+
+
+def test_empty_segment_and_split_mismatch_guard(spark, tmp_path_factory):
+    """Round-4 engine review fixes: (a) a segment whose hash class
+    holds zero docs commits a (0, 0) manifest row instead of dying on
+    int(None) after its parquet write; (b) resuming a store under a
+    DIFFERENT n_segments raises instead of silently dropping or
+    double-counting documents."""
+    root = str(tmp_path_factory.mktemp("tiny"))
+    tiny = _docs(spark).limit(3)  # 3 docs over 8 segments → empties
+    st = build_segments(
+        spark, tiny, SegmentStore(root), n_segments=8, n_buckets=4
+    )
+    m = st.manifest(spark)
+    rows = {int(r["part_lo"]): r for r in m.collect()}
+    assert len(rows) == 8  # every segment committed, incl. empty ones
+    assert sum(int(r["docs"]) for r in rows.values()) == 3
+    assert any(int(r["docs"]) == 0 for r in rows.values())
+
+    with pytest.raises(ValueError, match="segment split mismatch"):
+        build_segments(
+            spark, tiny, SegmentStore(root), n_segments=4, n_buckets=4
+        )
+    # same split resumes as a no-op (all segments committed)
+    build_segments(
+        spark, tiny, SegmentStore(root), n_segments=8, n_buckets=4
+    )
+
+
+def test_field_boosted_empty_schema_and_tf0_filter(
+    spark, tmp_path_factory
+):
+    """(a) field_boosted_topk with label_map returns an empty STRING
+    docid frame when no term is indexed (schema-consistent with the
+    labelled non-empty path); (b) tf=0 field-posting rows are dropped
+    at build instead of emitting the [1, 0] F.sequence artifact that
+    mis-frames the positions blob."""
+    import pyspark.sql.functions as SF
+
+    root = str(tmp_path_factory.mktemp("fld"))
+    docs = _docs(spark).limit(40)
+    fp = docs.select(
+        "docid",
+        SF.concat(SF.lit("title:"), SF.lit("join")).alias("term"),
+        SF.when(SF.col("docid") % 2 == 0, 2).otherwise(0)
+        .cast("long").alias("tf"),  # half the rows are tf=0
+    )
+    st = build_segments(
+        spark, docs, SegmentStore(root), n_segments=1, n_buckets=4,
+        with_positions=True, field_postings=fp,
+    )
+    pidx = PackedIndex(spark, st)
+    # phrase scoring decodes the positions stream end to end — a
+    # mis-framed blob would produce wrong ranks or decode errors
+    out = pidx.wand_phrase_topk(["join", "filter"], k=5).collect()
+    assert all(r["score"] > 0 for r in out)
+
+    labels = docs.select(
+        "docid", SF.concat(SF.lit("u"), "docid").alias("label")
+    )
+    empty = pidx.field_boosted_topk(
+        ["zzznotaterm"], "title", 2.0, label_map=labels
+    )
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["docid"] == "string"
