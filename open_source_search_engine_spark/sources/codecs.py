@@ -101,10 +101,16 @@ def sniff(payload: bytes) -> str:
     if payload[:4] == b"OggS":
         return "ogg"
     if payload[:3] == b"ID3" or (
-        len(payload) >= 2
+        # a bare 0xFF+sync prefix is too weak (b'\xff\xd8' — a
+        # truncated JPEG — would sniff as mp3): also require a valid
+        # bitrate index (not free/bad 0|15) and sample-rate index
+        # (not reserved 3) in the frame header's third byte
+        len(payload) >= 3
         and payload[0] == 0xFF
         and (payload[1] & 0xE0) == 0xE0
         and (payload[1] & 0x06) != 0  # layer bits 00 is reserved
+        and (payload[2] >> 4) not in (0, 15)  # bitrate index
+        and ((payload[2] >> 2) & 3) != 3  # sample-rate index
     ):
         return "mp3"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
@@ -964,18 +970,38 @@ def decode_gif(payload: bytes) -> np.ndarray:
         if b0 != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{b0:02x}")
         idx, pal, left, top, pos = _gif_image_block(payload, pos, gct)
-        # header background index (falling back to 0 when it points
-        # past the palette) — matching decode_gif_frames, so both
-        # render paths show the SAME first frame (review fix)
-        bg_idx = bg if bg < pal.shape[0] else 0
-        canvas = np.full((h, w), bg_idx, dtype=np.uint8)
-        canvas[top : top + idx.shape[0], left : left + idx.shape[1]] = (
-            idx[: max(0, h - top), : max(0, w - left)]
+        # the spec defines the background-color index against the
+        # GLOBAL color table; resolving it via a frame-local palette
+        # painted the wrong background (round-4 ADVICE). Compose in
+        # RGB: background from gct (black when absent/out-of-range,
+        # matching decode_gif_frames' bg_rgb), frame pixels via the
+        # frame's own palette.
+        bg_rgb = (
+            gct[bg] if gct is not None and bg < gct.shape[0]
+            else np.zeros(3, np.uint8)
         )
-        rgb = pal[canvas]
+        rgb = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
+        clipped = idx[: max(0, h - top), : max(0, w - left)]
+        rgb[top : top + clipped.shape[0], left : left + clipped.shape[1]] = (
+            pal[clipped]
+        )
         if transp is None:
             return rgb
-        alpha = np.where(canvas == transp, 0, 255).astype(np.uint8)
+        # transparency: frame pixels carrying the transparent index
+        # are clear; the uncovered background is clear iff the header
+        # bg index IS the transparent index (same index space — the
+        # GCE transparent index applies to the active palette, but bg
+        # comparison keeps the pre-fix first-frame semantics)
+        ic = np.full((h, w), -1, dtype=np.int16)
+        ic[top : top + clipped.shape[0], left : left + clipped.shape[1]] = (
+            clipped.astype(np.int16)
+        )
+        bg_clear = (
+            gct is not None and bg < gct.shape[0] and int(bg) == int(transp)
+        )
+        alpha = np.where(
+            (ic == int(transp)) | ((ic == -1) & bg_clear), 0, 255
+        ).astype(np.uint8)
         return np.concatenate([rgb, alpha[:, :, None]], axis=2)
     raise ValueError("corrupt GIF: no image descriptor")
 
@@ -2650,7 +2676,19 @@ def audio_header_meta(payload: bytes) -> dict:
     if fmt == "ogg":
         nsegs = payload[26]
         body = payload[27 + nsegs :]
+        # the last page's granule position gives the duration — but a
+        # bare rfind can false-sync on 'OggS' bytes INSIDE compressed
+        # packet data (round-4 ADVICE): validate the candidate as a
+        # real page header (version byte 0, header_type flags fit in
+        # bits 0-2, full 27-byte header present) and scan backwards to
+        # the previous match on failure.
         last = payload.rfind(b"OggS")
+        while last > 0 and not (
+            last + 27 <= len(payload)
+            and payload[last + 4] == 0  # stream_structure_version
+            and payload[last + 5] <= 0x07  # header_type flag bits
+        ):
+            last = payload.rfind(b"OggS", 0, last)
         granule = int.from_bytes(
             payload[last + 6 : last + 14], "little"
         )

@@ -63,7 +63,7 @@ USE_FAKE_CODEC = True  # fallback for JPEG/MP4 only — see docstring
 def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
     """Decode a media payload to (float32 sample array, codec tag).
 
-    REAL for PNG / GIF / BMP / JPEG (baseline + progressive; pixels
+    REAL for PNG / GIF / BMP / ICO / JPEG (baseline + progressive; pixels
     flattened to [0, 1]) and WAV (mono samples in [-1, 1]) via
     ``sources/codecs.py``; formats the stdlib cannot decode (MP4,
     WebP pixels — headers DO parse via ``codecs.image_meta``) fall
@@ -72,7 +72,8 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
     plug Pillow/ffmpeg into this branch in production.
 
     The codec tag makes the route OBSERVABLE (round-4 ADVICE fix):
-    ``png``/``bmp``/``gif``/``wav``/``jpeg`` = the real decoder ran;
+    ``png``/``bmp``/``gif``/``ico``/``wav``/``jpeg`` = the real
+    decoder ran;
     ``fake`` = unknown format on the disclosed fake path; ``fallback``
     = a payload that SNIFFED as a real format but failed to decode
     (truncated PNG, ADPCM WAV, …) — a data-quality failure that would
