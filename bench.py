@@ -368,6 +368,100 @@ def bench_query_batch(
     }
 
 
+def run_batch(sf_dir: str, passes: int = 4) -> None:
+    """Batched multi-query execution evidence (round-4 verdict #3):
+    the SAME 20-query workload BENCH/concurrency.md drove through 4
+    client threads (3.32 QPS, CPU-saturated), fused into ONE Spark
+    job via ``PackedIndex.wand_topk_batch`` — query_id carried through
+    the bucket scorer, shared term blocks decoded once, one
+    rank-per-query top-k. Reports batch QPS next to a same-window
+    sequential and 4-thread leg so the comparison doesn't lean on a
+    different host window. Rank-identity vs per-query results is
+    pinned in tests/test_wand_batch.py (this function measures, the
+    test proves)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from open_source_search_engine_spark.operators.segments import (
+        SegmentStore,
+    )
+    from open_source_search_engine_spark.operators.wand import PackedIndex
+    from open_source_search_engine_spark.session import get_spark
+
+    cores = 8
+    spark = get_spark(
+        "bench-batch", cores=cores,
+        extra_conf={"spark.scheduler.mode": "FAIR"},
+    )
+    cal_pre = _calibrate()
+    build = bench_build(spark, sf_dir, positional=False)
+    pidx = PackedIndex(spark, SegmentStore(build["_store_root"]))
+    jobs = [
+        (f"{name}_{p}", (terms, mode, neg))
+        for p in range(passes)
+        for (name, terms, mode, neg) in QUERY_SET
+    ]
+    batch_spec = dict(jobs)
+    for _, terms, mode, neg in QUERY_SET:  # warm (codegen, caches)
+        pidx.wand_topk(terms, k=10, mode=mode, neg_terms=neg).collect()
+    pidx.wand_topk_batch(batch_spec, k=10).collect()  # warm batch plan
+
+    def run_one(j, pool=None):
+        if pool is not None:
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", pool
+            )
+        terms, mode, neg = j
+        pidx.wand_topk(terms, k=10, mode=mode, neg_terms=neg).collect()
+
+    legs = {}
+    t0 = time.time()
+    for _qid, j in jobs:
+        run_one(j)
+    wall = time.time() - t0
+    legs["sequential"] = {"wall_s": round(wall, 2),
+                          "qps": round(len(jobs) / wall, 2)}
+
+    import threading
+
+    def pooled(item):
+        return run_one(item[1], pool=threading.current_thread().name)
+
+    t0 = time.time()
+    with ThreadPoolExecutor(4) as ex:
+        list(ex.map(pooled, jobs))
+    wall = time.time() - t0
+    legs["threads_4"] = {"wall_s": round(wall, 2),
+                         "qps": round(len(jobs) / wall, 2)}
+
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        pidx.wand_topk_batch(batch_spec, k=10).collect()
+        walls.append(time.time() - t0)
+    wall = statistics.median(walls)
+    legs["batched_one_job"] = {
+        "wall_s": round(wall, 2),
+        "qps": round(len(jobs) / wall, 2),
+        "runs": [round(x, 2) for x in walls],
+    }
+    report = {
+        "sf": _sf_of(sf_dir),
+        "cores": cores,
+        "n_queries": len(jobs),
+        "n_docs": build["n_docs"],
+        "batch_vs_threads4_speedup": round(
+            legs["batched_one_job"]["qps"] / legs["threads_4"]["qps"], 2
+        ),
+        "calibration_pre": cal_pre,
+        "calibration_post": _calibrate(),
+        "legs": legs,
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/batch_queries.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
 def run_concurrency(
     sf_dir: str, threads_list=(1, 4, 8), passes: int = 4
 ) -> None:
@@ -749,6 +843,9 @@ def main() -> None:
         return
     if "--concurrency" in args:
         run_concurrency(SF_DIR)
+        return
+    if "--batch" in args:
+        run_batch(SF_DIR)
         return
     cores = CPUS
     if "--cores" in args:

@@ -321,18 +321,40 @@ def spell_suggest(spark, sf_dir):
     """Spelling suggestion (D17; ref: ``Speller.cpp: getRecommendation``
     — candidates from the indexed dictionary ranked by popularity).
     Edit-distance ≤ 2 against the term dictionary, ranked by
-    (distance, df). The dictionary scan is the term_stats table — at
-    10^12 docs that is millions of rows, not postings-scale, and the
-    levenshtein prune is a single map over it."""
+    (distance, df).
+
+    Round-4 verdict #7: the O(|vocab|·|q|²) full-DP levenshtein over
+    EVERY dictionary row was the cost at a 10⁸-term web vocabulary.
+    Now two cheap codegen prefilters run first, both IMPLIED by
+    dist ≤ 2 so the answer set cannot change (pinned by the unchanged
+    oracle):
+    - length band: dist ≥ |len(t) − len(q)|, so |Δlen| ≤ 2;
+    - missing-character count: a distinct char of q entirely absent
+      from t costs ≥ 1 edit each (edits touch one occurrence apiece,
+      and different absent chars need disjoint edits), so at most 2
+      of q's distinct chars may be absent. (A first/last-character
+      test is NOT implied — "coins"/"join" differ at both ends at
+      dist 2 — so it is deliberately not used.)
+    The survivors then pay a THRESHOLD levenshtein (banded DP, -1
+    past the bound — O(|q|·threshold) per row instead of O(|q|²)).
+    """
     idx = cached_index(spark, sf_dir)
-    dist = F.levenshtein(F.col("term"), F.lit(SPELL_INPUT))
+    q = SPELL_INPUT
+    band = F.abs(F.length("term") - F.lit(len(q))) <= 2
+    missing = None
+    for c in sorted(set(q)):
+        m = F.when(F.instr("term", c) == 0, 1).otherwise(0)
+        missing = m if missing is None else missing + m
+    dist = F.levenshtein(F.col("term"), F.lit(q), 2)
     return (
-        idx.term_stats.select(
+        idx.term_stats.filter(band)
+        .filter(missing <= 2)
+        .select(
             "term",
             F.col("df").cast("long").alias("df"),
             dist.cast("long").alias("dist"),
         )
-        .filter(F.col("dist") <= 2)
+        .filter(F.col("dist") >= 0)  # threshold form returns -1 past 2
         .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
         .limit(5)
     )

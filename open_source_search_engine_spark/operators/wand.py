@@ -88,15 +88,12 @@ def _topk_truncate(uniq: np.ndarray, scores: np.ndarray, k: int):
     return uniq[keep], scores[keep]
 
 
-def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
-    """Per-bucket WAND upper bound (JVM-side): for each (bucket,
-    termid) the max block ``idf · tfnorm_ub``, summed over terms —
-    THE bound both the disk-store prune semi-join and ``prune_stats``
-    apply. One definition on purpose: a K1/B or bound change applied
-    to one copy but not the other would make the diagnostic report
-    pruning the query path doesn't do (or worse, vice versa).
-    ``with_bytes`` additionally carries the blob byte sums the
-    diagnostic reports. Returns (bucket, ub, nterms[, nb])."""
+def _bucket_term_bounds(blocks, idf: dict, with_bytes: bool = False):
+    """Per-(bucket, termid) WAND bound contribution: the max block
+    ``idf · tfnorm_ub`` — the first aggregate both the per-bucket
+    bound (``_bucket_upper_bounds``) and the multi-query batch prune
+    (``wand_topk_batch``) build on. Returns (bucket, termid,
+    t_ub[, nb])."""
     idf_map = F.create_map(
         *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
     )
@@ -106,10 +103,6 @@ def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
         bm_tf + _K1_1MB + _K1B * bm_dl * F.col("inv_avgdl")
     )
     first = [F.max(idf_map[F.col("termid")] * tfnorm_ub).alias("t_ub")]
-    second = [
-        F.sum("t_ub").alias("ub"),
-        F.countDistinct("termid").alias("nterms"),
-    ]
     if with_bytes:
         nbytes = (
             F.octet_length("docids")
@@ -117,11 +110,30 @@ def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
             + F.octet_length("dls")
         )
         first.append(F.sum(nbytes).alias("nb"))
-        second.append(F.sum("nb").alias("nb"))
     return (
         blocks.filter(F.col("termid").isin(list(idf)))
         .groupBy("bucket", "termid")
         .agg(*first)
+    )
+
+
+def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
+    """Per-bucket WAND upper bound (JVM-side): for each (bucket,
+    termid) the max block ``idf · tfnorm_ub``, summed over terms —
+    THE bound both the disk-store prune semi-join and ``prune_stats``
+    apply. One definition on purpose: a K1/B or bound change applied
+    to one copy but not the other would make the diagnostic report
+    pruning the query path doesn't do (or worse, vice versa).
+    ``with_bytes`` additionally carries the blob byte sums the
+    diagnostic reports. Returns (bucket, ub, nterms[, nb])."""
+    second = [
+        F.sum("t_ub").alias("ub"),
+        F.countDistinct("termid").alias("nterms"),
+    ]
+    if with_bytes:
+        second.append(F.sum("nb").alias("nb"))
+    return (
+        _bucket_term_bounds(blocks, idf, with_bytes)
         .groupBy("bucket")
         .agg(*second)
     )
@@ -203,6 +215,106 @@ def _make_bucket_scorer(
         return pd.DataFrame({"docid": uniq, "score": scores})
 
     return score_bucket
+
+
+BATCH_SCORE_SCHEMA = "query_id string, docid long, score double"
+
+
+def _make_batch_scorer(qspecs: list[tuple], k: int):
+    """Multi-query bucket scorer: scores Q queries against ONE pass
+    over the bucket's blocks (round-4 verdict #3 — thread-level query
+    overlap saturates at ~3.3 QPS because each query is its own job;
+    a training-data pipeline issuing thousands of eval/hard-negative
+    queries wants them batched into one job).
+
+    ``qspecs``: [(query_id, idf_by_termid, required, neg_ids, cut)].
+    Semantics per query are IDENTICAL to ``_make_bucket_scorer`` —
+    same block-max bucket prune against the per-query τ cut, same
+    scatter-add scoring, same tie-inclusive top-k truncation — but
+    blocks shared between queries DECODE ONCE, and the whole batch is
+    one FlatMapGroupsInPandas stage instead of Q job submissions."""
+
+    def score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "docid": [], "score": []}
+        ).astype({"query_id": object, "docid": np.int64,
+                  "score": np.float64})
+        tids = pdf["termid"].to_numpy()
+        tid_set = set(tids.tolist())
+        inv_avgdl = float(pdf["inv_avgdl"].iloc[0])
+        # per-term bucket bound from the scalar blockmax columns —
+        # computed once, reused by every query's prune check
+        bm_tf = pdf["blockmax_tf"].to_numpy(np.float64)
+        bm_dl = pdf["blockmin_dl"].to_numpy(np.float64)
+        bm = (bm_tf * _K1P1) / (bm_tf + _K1_1MB + _K1B * bm_dl * inv_avgdl)
+        tub: dict[int, float] = {}
+        for t, v in zip(tids, bm):
+            ti = int(t)
+            if v > tub.get(ti, 0.0):
+                tub[ti] = v
+        survivors, needed = [], set()
+        for qid, idf, required, neg_ids, cut in qspecs:
+            if required and not required.issubset(tid_set):
+                continue
+            pos_here = [t for t in idf if t in tid_set]
+            if not pos_here:
+                continue
+            if cut > float("-inf") and (
+                sum(idf[t] * tub[t] for t in pos_here) < cut
+            ):
+                continue
+            survivors.append((qid, idf, required, neg_ids))
+            needed.update(pos_here)
+            needed.update(t for t in neg_ids if t in tid_set)
+        if not survivors:
+            return empty
+        # decode each needed block ONCE (the batch win: a term shared
+        # by 20 queries pays one varbyte decode, not 20)
+        dec: dict[int, list] = {}
+        for row in pdf.itertuples(index=False):
+            ti = int(row.termid)
+            if ti not in needed:
+                continue
+            docids = unpack_docids(row.docids).astype(np.int64)
+            tfs = unpack_ints(row.tfs).astype(np.float64)
+            dls = unpack_ints(row.dls).astype(np.float64)
+            tfnorm = (tfs * _K1P1) / (
+                tfs + _K1_1MB + _K1B * dls * inv_avgdl
+            )
+            dec.setdefault(ti, []).append((docids, tfnorm))
+        out = []
+        for qid, idf, required, neg_ids in survivors:
+            docid_parts, score_parts, req_parts = [], [], []
+            for t, w in idf.items():
+                for d, tf in dec.get(t, []):
+                    docid_parts.append(d)
+                    score_parts.append(w * tf)
+                    req_parts.append(
+                        np.full(d.size, t in required, dtype=np.int64)
+                    )
+            if not docid_parts:
+                continue
+            uniq, inv, scores = _scatter_scores(docid_parts, score_parts)
+            if required:
+                reqcnt = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(reqcnt, inv, np.concatenate(req_parts))
+                keep = reqcnt == len(required)
+                uniq, scores = uniq[keep], scores[keep]
+            negs = [d for t in neg_ids for d, _tf in dec.get(t, [])]
+            if negs:
+                bad = np.unique(np.concatenate(negs))
+                keep = ~np.isin(uniq, bad)
+                uniq, scores = uniq[keep], scores[keep]
+            uniq, scores = _topk_truncate(uniq, scores, k)
+            if uniq.size:
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "docid": uniq, "score": scores}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return score_batch
 
 
 # Per-posting rank multipliers (Posdb.h densityRank/wordSpamRank
@@ -774,6 +886,123 @@ class PackedIndex:
             result.select("docid", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("docid"))
             .limit(k)
+        )
+
+    def wand_topk_batch(
+        self,
+        queries: dict[str, list[str] | tuple],
+        k: int = 10,
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """Score MANY queries in ONE Spark job (round-4 verdict #3).
+
+        ``queries``: {query_id: terms} for AND queries, or
+        {query_id: (terms, mode, neg_terms)} for the full shape set.
+        Returns (query_id, docid, score) — per query RANK-IDENTICAL
+        to ``wand_topk`` (pinned in tests/test_wand_batch.py): same
+        per-query seed-τ cuts, same block-max prune, same scoring and
+        tie rules; only the execution is fused. The thread-overlap
+        route saturates at ~3.3 QPS on 8 cores because each query
+        pays its own job submission and its narrow stages idle cores
+        (BENCH/concurrency.md); batching carries a query_id through
+        the bucket scorer instead — one FlatMapGroupsInPandas pass
+        decodes shared term blocks once and fills every core, then
+        one rank-per-query top-k (a window over ≤ Q·buckets·k rows)
+        replaces Q TakeOrderedAndProjects.
+
+        Scale shape: Q queries' termids union into ONE scan filter;
+        on a disk-backed bucketed store the JVM prune generalizes by
+        collecting the per-(bucket, termid) scalar bounds once
+        (buckets × |terms| rows) and keeping the UNION of each
+        query's surviving buckets — a pruned bucket's blobs still
+        never leave disk unless SOME query needs them.
+        """
+        from pyspark.sql.window import Window
+
+        norm: list[tuple] = []
+        for qid, spec in queries.items():
+            if isinstance(spec, (list,)):
+                norm.append((str(qid), list(spec), "and", None))
+            else:
+                terms, mode, neg = spec
+                norm.append((str(qid), list(terms), mode, neg))
+        # ONE driver round-trip for every term in the batch (the
+        # per-query ctx calls below then hit the memoized cache)
+        all_terms = list(
+            dict.fromkeys(
+                t
+                for _qid, terms, _m, neg in norm
+                for t in list(terms) + list(neg or [])
+            )
+        )
+        self._term_rows(all_terms)
+        qspecs: list[tuple] = []
+        for qid, terms, mode, neg in norm:
+            ctx = self._query_ctx(terms, k, mode, neg, round_to, None)
+            if ctx is None:
+                continue  # AND query with a term the corpus lacks
+            qspecs.append(
+                (qid, ctx["idf"], ctx["required"], ctx["neg_ids"],
+                 ctx["cut"])
+            )
+        if not qspecs:
+            return self.spark.createDataFrame([], BATCH_SCORE_SCHEMA)
+        idf_all: dict[int, float] = {}
+        for _qid, idf, _req, _neg, _cut in qspecs:
+            idf_all.update(idf)  # idf is term-global (no weights here)
+        all_tids = sorted(
+            set(idf_all)
+            | {t for _qid, _i, _r, neg, _c in qspecs for t in neg}
+        )
+        blocks = self.packed.filter(
+            F.col("termid").isin(all_tids)
+        ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
+
+        if self.jvm_prune:
+            # batch form of _prune_buckets_jvm: ONE scalar aggregate
+            # over (bucket, termid) bounds, then per-query survivor
+            # sets unioned driver-side — bounds rows number
+            # buckets × |batch terms|, a few KB
+            brows = _bucket_term_bounds(blocks, idf_all).collect()
+            by_bucket: dict[int, dict[int, float]] = {}
+            for r in brows:
+                by_bucket.setdefault(int(r["bucket"]), {})[
+                    int(r["termid"])
+                ] = float(r["t_ub"])
+            surv: set[int] = set()
+            for b, bounds in by_bucket.items():
+                for _qid, idf, required, _neg, cut in qspecs:
+                    if required and not required.issubset(bounds.keys()):
+                        continue
+                    if cut > float("-inf") and (
+                        sum(
+                            idf[t] * bounds[t]
+                            for t in idf
+                            if t in bounds
+                        )
+                        < cut
+                    ):
+                        continue
+                    surv.add(b)
+                    break
+            if not surv:
+                return self.spark.createDataFrame([], BATCH_SCORE_SCHEMA)
+            blocks = blocks.filter(F.col("bucket").isin(sorted(surv)))
+
+        result = blocks.groupBy("bucket").applyInPandas(
+            _make_batch_scorer(qspecs, k), schema=BATCH_SCORE_SCHEMA
+        )
+        score = (
+            F.round(F.col("score"), round_to) if round_to else F.col("score")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("docid")
+        )
+        return (
+            result.select("query_id", "docid", score.alias("score"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
         )
 
     # --- positional query modes (need a with_positions store) -----------

@@ -1,0 +1,87 @@
+"""Batched multi-query WAND (round-4 verdict task #3): Q queries in
+ONE job must be RANK-IDENTICAL per query to the per-query
+``wand_topk`` path, on both the in-memory cache path and the
+disk-backed bucketed store (JVM batch prune)."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_SMOKE
+
+from open_source_search_engine_spark.operators.segments import (
+    SegmentStore,
+    build_segments,
+    save_bucketed,
+)
+from open_source_search_engine_spark.operators.wand import PackedIndex
+
+# the bench QUERY_SET shapes plus edge cases: a term the corpus lacks
+# (AND -> empty), an OR with one missing term, heavy term overlap
+# across queries (the shared-decode path)
+BATCH = {
+    "and2": (["join", "filter"], "and", None),
+    "and3": (["join", "filter", "window"], "and", None),
+    "or2": (["join", "filter"], "or", None),
+    "single": (["aggregate"], "and", None),
+    "not": (["join"], "and", ["window"]),
+    "missing_and": (["join", "zzzznotaterm"], "and", None),
+    "missing_or": (["join", "zzzznotaterm"], "or", None),
+    "overlap": (["join", "window"], "and", None),
+}
+
+
+def _docs(spark):
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    return df.withColumnRenamed("doc_id", "docid").select("docid", "text")
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_batch"))
+    return build_segments(
+        spark, _docs(spark), SegmentStore(root), n_segments=3, n_buckets=8
+    )
+
+
+def _check_batch_matches_per_query(pidx):
+    batch = pidx.wand_topk_batch(BATCH, k=10)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["docid"], r["score"]))
+    for qid, (terms, mode, neg) in BATCH.items():
+        want = [
+            (r["docid"], r["score"])
+            for r in pidx.wand_topk(
+                terms, k=10, mode=mode, neg_terms=neg
+            ).collect()
+        ]
+        assert got.get(qid, []) == want, qid
+    # nothing extra leaked in
+    assert set(got) <= set(BATCH)
+
+
+def test_batch_matches_per_query_cache_path(spark, store):
+    _check_batch_matches_per_query(PackedIndex(spark, store))
+
+
+def test_batch_matches_per_query_bucketed_jvm_prune(
+    spark, store, tmp_path_factory
+):
+    out = str(tmp_path_factory.mktemp("idx_batch_bt"))
+    name = save_bucketed(spark, store, "batch_bt", path=out)
+    pidx = PackedIndex(spark, store, packed=spark.table(name))
+    assert pidx.jvm_prune
+    _check_batch_matches_per_query(pidx)
+
+
+def test_batch_of_one_and_all_missing(spark, store):
+    pidx = PackedIndex(spark, store)
+    one = pidx.wand_topk_batch({"q": ["join", "filter"]}, k=5)
+    want = [
+        (r["docid"], r["score"])
+        for r in pidx.wand_topk(["join", "filter"], k=5).collect()
+    ]
+    assert [(r["docid"], r["score"]) for r in one.collect()] == want
+    nothing = pidx.wand_topk_batch({"q": ["zzzznotaterm"]}, k=5)
+    assert nothing.count() == 0
+    assert nothing.columns == ["query_id", "docid", "score"]
