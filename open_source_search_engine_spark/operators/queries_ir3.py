@@ -316,7 +316,7 @@ LIMIT 5
 """
 
 
-@register("spell_suggest", SPELL_SQL)
+@register("spell_suggest", SPELL_SQL, extended=True)
 def spell_suggest(spark, sf_dir):
     """Spelling suggestion (D17; ref: ``Speller.cpp: getRecommendation``
     — candidates from the indexed dictionary ranked by popularity).
@@ -388,7 +388,7 @@ LIMIT 10 OFFSET 10
 """
 
 
-@register("scroll_page2", SCROLL_SQL)
+@register("scroll_page2", SCROLL_SQL, extended=True)
 def scroll_page2(spark, sf_dir):
     """Deep pagination (D18; ref: ``Msg40`` re-query with a larger
     firstResultNum). Page 2 = top-20 minus top-10 by docid anti-join:
@@ -401,6 +401,68 @@ def scroll_page2(spark, sf_dir):
     return (
         top20.join(top10.select("docid"), "docid", "left_anti")
         .orderBy(F.desc("score"), F.asc("docid"))
+    )
+
+
+# --- D17+D18 combined family slot ------------------------------------------
+
+SUGGEST_PAGED_INPUT = "stat"  # 11 dist≤3 candidates at sf0.01 — page 2
+#                               is non-trivial for the driver's hash gate
+
+SUGGEST_PAGED_SQL = f"""
+WITH {TOK_CTE},
+ts AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+cand AS (
+  SELECT term, CAST(df AS BIGINT) AS df,
+         CAST(levenshtein(term, '{SUGGEST_PAGED_INPUT}') AS BIGINT) AS dist
+  FROM ts
+  WHERE levenshtein(term, '{SUGGEST_PAGED_INPUT}') <= 3
+)
+SELECT term, df, dist FROM cand
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 3 OFFSET 3
+"""
+
+
+@register("suggest_paged", SUGGEST_PAGED_SQL)
+def suggest_paged(spark, sf_dir):
+    """Combined D17+D18 driver slot (round-4 verdict #4: rotate the
+    2.x fringe subsystems into the primary tier by consolidating this
+    pair the way the bm25/wand matrix was folded): page 2 of the
+    spelling suggestions for a misspelled query.
+
+    Exercises BOTH family code paths in one oracle-paired query —
+    D17's dictionary suggestion machinery (length-band +
+    missing-character prefilters, both implied by dist ≤ 3, then the
+    THRESHOLD levenshtein; ``Speller.cpp: getRecommendation``) and
+    D18's scale-safe paging shape (two bounded TakeOrderedAndProject
+    passes + anti-join — never a global single-partition window;
+    ``Msg40`` re-query-with-offset). The single-behavior variants
+    stay oracle-paired in the extended tier (``spell_suggest``,
+    ``scroll_page2``)."""
+    idx = cached_index(spark, sf_dir)
+    q = SUGGEST_PAGED_INPUT
+    band = F.abs(F.length("term") - F.lit(len(q))) <= 3
+    missing = None
+    for c in sorted(set(q)):
+        m = F.when(F.instr("term", c) == 0, 1).otherwise(0)
+        missing = m if missing is None else missing + m
+    dist = F.levenshtein(F.col("term"), F.lit(q), 3)
+    cand = (
+        idx.term_stats.filter(band)
+        .filter(missing <= 3)
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            dist.cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+    order = [F.asc("dist"), F.desc("df"), F.asc("term")]
+    top6 = cand.orderBy(*order).limit(6)
+    top3 = cand.orderBy(*order).limit(3)
+    return top6.join(top3.select("term"), "term", "left_anti").select(
+        "term", "df", "dist"
     )
 
 

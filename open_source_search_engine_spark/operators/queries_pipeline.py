@@ -287,7 +287,6 @@ def doc_enrich(spark, sf_dir):
 @register(
     "section_boilerplate",
     P.section_boilerplate_sql(block=2, min_docs=3),
-    extended=True,
 )
 def section_boilerplate(spark, sf_dir):
     """Per-site repeated-section voting (ref: Sections.cpp SEC_DUP) —
@@ -304,7 +303,7 @@ def section_boilerplate(spark, sf_dir):
 # --- directory taxonomy (Catdb.cpp / Categories.cpp analogue) ---------------
 
 
-@register("category_rollup", CATEGORY_ROLLUP_SQL, extended=True)
+@register("category_rollup", CATEGORY_ROLLUP_SQL)
 def category_rollup(spark, sf_dir):
     """DMOZ-style directory browse: per-category direct + subtree doc
     counts via ancestor-explode + one groupBy shuffle (ref: Catdb.cpp

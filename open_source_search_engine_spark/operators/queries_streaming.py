@@ -26,6 +26,6 @@ def events_windowed(spark, sf_dir):
     return windowed_event_counts(_events(spark, sf_dir))
 
 
-@register("events_sessionized", SESSIONIZED_SQL)
+@register("events_sessionized", SESSIONIZED_SQL, extended=True)
 def events_sessionized(spark, sf_dir):
     return sessionized_events(_events(spark, sf_dir))

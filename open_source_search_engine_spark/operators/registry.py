@@ -29,7 +29,12 @@ from .index_build import cached_index
 #   merge into meta_filters; the four per-doc text-analysis ops merge
 #   into doc_enrich; facet_by_source/lang fold into facet_rollup —
 #   the same facet_counts path, and the rollup is its GROUPING SETS
-#   superset) so the cap covers the whole operator inventory.
+#   superset; since r5 the D17/D18 pair folds into suggest_paged —
+#   page 2 of the spelling suggestions exercises both code paths —
+#   and I5's session window rides the tumbling-window primary) so
+#   the cap covers the whole operator inventory, including the 2.x
+#   fringe subsystems (section_boilerplate, category_rollup —
+#   promoted r5 per the round-4 verdict).
 # - EXTENDED: the consolidated-away variants, still oracle-paired and
 #   run by the SAME comparator in pytest (tests/test_driver_contract)
 #   — nothing formerly verified lost its oracle check, only its

@@ -31,6 +31,14 @@ FAMILY_PRIMARY = {
     "D5": "wand_and",          # OR = same two code paths as the AND rows
     "D12": "facet_rollup",     # facet_by_source/lang = same facet_counts
     "E3": "site_inlink_rank",  # inlink_counts variants ride the same path
+    # round-5 rotation (r4 verdict #4): the D17/D18 pair folded into
+    # ONE combined slot (page 2 of spelling suggestions exercises both
+    # code paths) and I5's session window rides the tumbling-window
+    # primary — freeing driver slots for the two 2.x fringe
+    # subsystems (section_boilerplate, category_rollup)
+    "D17": "suggest_paged",
+    "D18": "suggest_paged",
+    "I5": "events_windowed",
 }
 
 
