@@ -606,6 +606,8 @@ def run_scaling(
     hi: int = 8,
     mult: int = 600,
     repeats: int = 3,
+    max_attempts: int = 7,
+    drift_bound: float = 0.15,
 ) -> None:
     """North-rule evidence: same build job at local[lo] and local[hi]
     (fresh JVM each), throughput at both + scaling efficiency.
@@ -615,81 +617,132 @@ def run_scaling(
     enough parallel work to expose core-count scaling (sandbox stand-in
     for the N vs 4N executor-cluster criterion).
 
+    CALIBRATION-GATED (round-4 verdict #6 — best-of-with-calibration
+    left the criterion hostage to window selection): every leg run is
+    BRACKETED by the single-thread numpy probe; a run whose pre/post
+    probes drift more than ``drift_bound`` (the host moved under the
+    measurement) is REJECTED and re-run, up to ``max_attempts`` per
+    leg, until ≥ ``repeats`` accepted runs exist per leg. The headline
+    efficiency is the MEDIAN of accepted runs — no best-of selection.
+    Best-of and all-raw-runs stay in the report for continuity with
+    r1-r4 and as the noise-model cross-check.
+
     N=2 vs 4N=8 (not 8 vs 32): this sandbox VM's 32 vCPUs are
     host-oversubscribed — measured total throughput (pure numpy
     multiprocessing, no Spark) PEAKS near 16-way and DEGRADES at
     32-way, i.e. the host provides ~9-10 cores of real compute.
     Within that envelope, 2 vs 8 is the honest 4x-parallelism
-    comparison. Legs are interleaved and the median of ``repeats``
-    is used — the host shows 1.5-2x run-to-run noise.
+    comparison. Legs are interleaved so a slow window hits both.
     """
-    times: dict[int, list[float]] = {lo: [], hi: []}
-    qtimes: dict[int, list[float]] = {lo: [], hi: []}
-    cals: dict[int, list[int]] = {lo: [], hi: []}
-    n_qbatch = 0
-    for _ in range(repeats):
-        for cores in (lo, hi):
-            cals[cores].append(_calibrate())
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_CPUS=str(cores),
-                BENCH_SCALING_QUERIES="1",
-            )
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cores",
-                 str(cores), "--build-only", "--mult", str(mult)],
-                capture_output=True, text=True, env=env, timeout=1800,
-            )
-            line = [
-                ln for ln in p.stdout.strip().splitlines()
-                if ln.startswith("{")
-            ][-1]
-            q = json.loads(line)["queries"]
-            times[cores].append(q["t_build_packed"])
-            if "t_query_batch" in q:
-                qtimes[cores].append(q["t_query_batch"])
-                n_qbatch = q["n_queries_batch"]
-                qb_params = (q.get("qb_passes"), q.get("qb_threads"))
-            n_docs = q["n_docs"]
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    n_qbatch, qb_params, n_docs = 0, (None, None), 0
 
-    # Noise model: this host's speed drifts 1.5-2x between runs (see
-    # BENCH/BASELINE.md); interference only ever SLOWS a leg, so the
-    # MINIMUM observed time per leg is the least-biased estimate of
-    # its true time (the timeit convention). Medians and all raw runs
-    # are reported alongside.
-    t_lo, t_hi = min(times[lo]), min(times[hi])
-    r_lo, r_hi = n_docs / t_lo, n_docs / t_hi
-    eff = (r_hi / r_lo) / (hi / lo)
+    def leg(cores: int) -> dict:
+        nonlocal n_qbatch, qb_params, n_docs
+        cal_pre = _calibrate()
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cores),
+            BENCH_SCALING_QUERIES="1",
+        )
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cores",
+             str(cores), "--build-only", "--mult", str(mult)],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        cal_post = _calibrate()
+        line = [
+            ln for ln in p.stdout.strip().splitlines()
+            if ln.startswith("{")
+        ][-1]
+        q = json.loads(line)["queries"]
+        if "t_query_batch" in q:
+            n_qbatch = q["n_queries_batch"]
+            qb_params = (q.get("qb_passes"), q.get("qb_threads"))
+        n_docs = q["n_docs"]
+        drift = abs(cal_pre - cal_post) / max(cal_pre, cal_post)
+        return {
+            "t_build": q["t_build_packed"],
+            "t_query_batch": q.get("t_query_batch"),
+            "cal_pre": cal_pre,
+            "cal_post": cal_post,
+            "drift": round(drift, 3),
+            "accepted": drift <= drift_bound,
+        }
+
+    def n_acc(cores: int) -> int:
+        return sum(1 for r in runs[cores] if r["accepted"])
+
+    for _ in range(max_attempts):
+        for cores in (lo, hi):
+            if n_acc(cores) < repeats and len(runs[cores]) < max_attempts:
+                runs[cores].append(leg(cores))
+        if n_acc(lo) >= repeats and n_acc(hi) >= repeats:
+            break
+
+    acc = {c: [r["t_build"] for r in runs[c] if r["accepted"]]
+           for c in (lo, hi)}
+    allt = {c: [r["t_build"] for r in runs[c]] for c in (lo, hi)}
+    # gated headline: median of calibration-accepted runs only. If a
+    # leg never produced an accepted run within max_attempts (the host
+    # never stabilized), fall back to all runs and FLAG it — the report
+    # then documents a failed gate rather than crashing or hiding it.
+    gating_degraded = not (acc[lo] and acc[hi])
+    med_lo = statistics.median(acc[lo] or allt[lo])
+    med_hi = statistics.median(acc[hi] or allt[hi])
+    eff_gated = (med_lo / med_hi) / (hi / lo)
+    # continuity estimators over ALL runs (r1-r4 comparison)
+    t_lo, t_hi = min(allt[lo]), min(allt[hi])
+    r_lo, r_hi = n_docs / med_lo, n_docs / med_hi
     report = {
         "sf": _sf_of(sf_dir),
         "mult": mult,
         "n_docs": n_docs,
         "cores_lo": lo,
         "cores_hi": hi,
-        "t_build_lo_runs": [round(t, 1) for t in times[lo]],
-        "t_build_hi_runs": [round(t, 1) for t in times[hi]],
-        "calibration_lo": cals[lo],
-        "calibration_hi": cals[hi],
-        "t_build_lo": round(t_lo, 1),
-        "t_build_hi": round(t_hi, 1),
+        "gating_rule": (
+            f"reject any run whose pre/post single-thread calibration "
+            f"probes drift > {drift_bound:.0%}; require >= {repeats} "
+            f"accepted runs per leg (interleaved, fresh JVM each); "
+            f"score the MEDIAN of accepted runs — no best-of selection"
+        ),
+        "runs_lo": runs[lo],
+        "runs_hi": runs[hi],
+        "accepted_lo": len(acc[lo]),
+        "accepted_hi": len(acc[hi]),
+        "gating_degraded": gating_degraded,
+        "t_build_lo_accepted_median": round(med_lo, 1),
+        "t_build_hi_accepted_median": round(med_hi, 1),
         "docs_per_sec_lo": round(r_lo, 2),
         "docs_per_sec_hi": round(r_hi, 2),
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_median": round(
-            (statistics.median(times[lo]) / statistics.median(times[hi]))
+        "scaling_efficiency_gated_median": round(eff_gated, 3),
+        # legacy estimators, all runs (continuity with r1-r4 reports)
+        "t_build_lo_runs": [round(t, 1) for t in allt[lo]],
+        "t_build_hi_runs": [round(t, 1) for t in allt[hi]],
+        "scaling_efficiency_best": round(
+            (t_lo / t_hi) / (hi / lo), 3
+        ),
+        "scaling_efficiency_median_all": round(
+            (statistics.median(allt[lo]) / statistics.median(allt[hi]))
             / (hi / lo),
             3,
         ),
     }
-    if qtimes[lo] and qtimes[hi]:
-        tq_lo, tq_hi = min(qtimes[lo]), min(qtimes[hi])
+    qacc = {
+        c: [r["t_query_batch"] for r in runs[c]
+            if r["accepted"] and r["t_query_batch"]]
+        for c in (lo, hi)
+    }
+    if qacc[lo] and qacc[hi]:
+        tq_lo = statistics.median(qacc[lo])
+        tq_hi = statistics.median(qacc[hi])
         report.update(
             {
                 "n_queries_batch": n_qbatch,
                 "qb_passes": qb_params[0],
                 "qb_threads": qb_params[1],
-                "t_query_batch_lo_runs": [round(t, 1) for t in qtimes[lo]],
-                "t_query_batch_hi_runs": [round(t, 1) for t in qtimes[hi]],
+                "t_query_batch_lo_runs": [round(t, 1) for t in qacc[lo]],
+                "t_query_batch_hi_runs": [round(t, 1) for t in qacc[hi]],
                 "qps_lo": round(n_qbatch / tq_lo, 2),
                 "qps_hi": round(n_qbatch / tq_hi, 2),
                 "query_scaling_efficiency": round(
@@ -743,7 +796,7 @@ WAND top-k queries (the {len(QUERY_SET)} QUERY_SET shapes ×
 threads — the single-node stand-in for concurrent users on a serving
 cluster) runs against the just-built {r["n_docs"]:,}-doc store:
 
-| parallelism | batch wall (s, all runs) | QPS (best) |
+| parallelism | batch wall (s, accepted runs) | QPS (median) |
 |---|---|---|
 | local[{r["cores_lo"]}] (N) | {r["t_query_batch_lo_runs"]} | {r["qps_lo"]} |
 | local[{r["cores_hi"]}] (4N) | {r["t_query_batch_hi_runs"]} | {r["qps_hi"]} |
@@ -758,29 +811,44 @@ gains from added cores rather than serializing.
 """
 
 
+def _leg_rows(runs: list[dict]) -> str:
+    return "; ".join(
+        f"{x['t_build']:.1f}s cal {x['cal_pre']}→{x['cal_post']} "
+        f"({'ok' if x['accepted'] else 'REJ ' + str(x['drift'])})"
+        for x in runs
+    )
+
+
 def _write_baseline_md(r: dict) -> None:
     md = f"""# BENCH/BASELINE.md — measured numbers (written by bench.py --scaling)
 
-## Index-build throughput & scaling (north rule)
+## Index-build throughput & scaling (north rule) — calibration-gated
 
 Same job — full packed-index build (tokenize → explode → salted
 groupBy → delta+varbyte pack via applyInPandas → work-sized resumable segments
 + manifest) — run at two parallelism levels in fresh JVMs on identical
 input ({r["n_docs"]:,} docs = sf{r["sf"]} corpus deterministically
-replicated ×{r["mult"]}). {len(r["t_build_lo_runs"])} interleaved
-fresh-JVM runs per level; best-of-runs scored (noise model below).
+replicated ×{r["mult"]}).
 
-| parallelism | build wall (s, all runs) | best | docs/sec (best) | calibration/leg |
-|---|---|---|---|---|
-| local[{r["cores_lo"]}] (N) | {r["t_build_lo_runs"]} | {r["t_build_lo"]} | {r["docs_per_sec_lo"]:,} | {r["calibration_lo"]} |
-| local[{r["cores_hi"]}] (4N) | {r["t_build_hi_runs"]} | {r["t_build_hi"]} | {r["docs_per_sec_hi"]:,} | {r["calibration_hi"]} |
+**Gating rule (round-4 verdict #6, replaces best-of selection):**
+{r["gating_rule"]}.
 
-**Scaling efficiency (rate_4N / rate_N) / 4 = {r["scaling_efficiency"]}**
-(north-rule target ≥ 0.8; median-based value {r["scaling_efficiency_median"]}).
-Best-of-runs is the estimator because host interference only ever slows
-a leg (timeit convention); the calibration column is a single-thread
-numpy probe (iterations / 3 s) run immediately before each leg — it
-shows the 30-70% host-speed drift that makes single runs unreliable.
+| parallelism | accepted runs | median (s) | docs/sec (median) |
+|---|---|---|---|
+| local[{r["cores_lo"]}] (N) | {r["accepted_lo"]} of {len(r["runs_lo"])} | {r["t_build_lo_accepted_median"]} | {r["docs_per_sec_lo"]:,} |
+| local[{r["cores_hi"]}] (4N) | {r["accepted_hi"]} of {len(r["runs_hi"])} | {r["t_build_hi_accepted_median"]} | {r["docs_per_sec_hi"]:,} |
+
+**Scaling efficiency (median of accepted runs) =
+{r["scaling_efficiency_gated_median"]}** (north-rule target ≥ 0.8).
+Continuity estimators over ALL runs (the r1–r4 scoring):
+best-of {r["scaling_efficiency_best"]}, median
+{r["scaling_efficiency_median_all"]}.
+
+Every run, with its bracketing calibrations (single-thread numpy
+probe, iterations/3 s — the 30-70% host-drift detector):
+
+- local[{r["cores_lo"]}]: {_leg_rows(r["runs_lo"])}
+- local[{r["cores_hi"]}]: {_leg_rows(r["runs_hi"])}
 
 {_qps_section(r)}## Why N=2 vs 4N=8 (not 8 vs 32)
 
@@ -826,8 +894,9 @@ per-segment independence).
 
 {r["n_docs"]:,} docs end-to-end (tokenize → postings → salted pack →
 varbyte segments + manifest): {r["docs_per_sec_hi"]:,} docs/sec at
-local[{r["cores_hi"]}] ({r["t_build_hi"]} s build),
-{r["docs_per_sec_lo"]:,} docs/sec at local[{r["cores_lo"]}].
+local[{r["cores_hi"]}] ({r["t_build_hi_accepted_median"]} s build,
+accepted-run median), {r["docs_per_sec_lo"]:,} docs/sec at
+local[{r["cores_lo"]}].
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
