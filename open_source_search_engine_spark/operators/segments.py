@@ -173,7 +173,51 @@ def _append_manifest_row(manifest_dir: str, **vals) -> None:
     )
 
 
-def _pack_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+# Sub-block granularity (postings per packed block row). One row per
+# whole (termid, bucket) termlist gives block-max pruning nothing
+# finer than a bucket to skip — and docid-hash bucketing makes every
+# bucket a fair sample of the score distribution, so bucket-level τ
+# pruning correctly never fires on a homogeneous corpus. Fixed-size
+# sub-blocks are the Ding & Suel Block-Max WAND granule: per-block
+# (max tf, min dl) extrema separate docid RANGES, which is where real
+# corpora carry score asymmetry (crawl-order quality/length locality),
+# and the skip fraction then GROWS with the corpus (termlists get more
+# blocks; τ rises with n). 1024 postings ≈ 1-4 KB of blob per row —
+# row overhead stays ~1%, while a 10⁹-posting head termlist becomes
+# 10⁶ independently prunable rows.
+BLOCK_POSTINGS = 1024
+
+
+def _split_blocks(
+    starts: np.ndarray, ends: np.ndarray, block_postings: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split (termid, bucket) runs [starts, ends) into fixed-size
+    sub-blocks of at most ``block_postings`` postings (vectorized —
+    no per-run Python loop). Shared by the build packer and the
+    compaction merge so both emit the same layout."""
+    if block_postings <= 0 or not len(starts):
+        return starts, ends
+    counts = ends - starts
+    reps = -(-counts // block_postings)  # ceil division
+    total = int(reps.sum())
+    if total == len(starts):  # nothing exceeds one block
+        return starts, ends
+    base = np.repeat(starts, reps)
+    # within-run block ordinal: global index minus each run's offset
+    run_offsets = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    ordinal = np.arange(total, dtype=np.int64) - np.repeat(
+        run_offsets, reps
+    )
+    sub_starts = base + ordinal * block_postings
+    sub_ends = np.minimum(
+        sub_starts + block_postings, np.repeat(ends, reps)
+    )
+    return sub_starts, sub_ends
+
+
+def _pack_frame(
+    pdf: pd.DataFrame, block_postings: int = BLOCK_POSTINGS
+) -> pd.DataFrame:
     """Pack EVERY (termid, bucket) group inside one pandas frame.
 
     The round-1 shape grouped by the FULL (termid, bucket) key and
@@ -198,6 +242,7 @@ def _pack_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     change = np.flatnonzero((tid[1:] != tid[:-1]) | (bkt[1:] != bkt[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(tid)]))
+    starts, ends = _split_blocks(starts, ends, block_postings)
     out = {
         "termid": tid[starts].astype(np.int64),
         "bucket": bkt[starts].astype(np.int32),
@@ -256,6 +301,7 @@ def pack_postings(
     n_buckets: int = 8,
     n_term_groups: int = 64,
     with_positions: bool = False,
+    block_postings: int = BLOCK_POSTINGS,
 ) -> DataFrame:
     """exploded postings(termid, docid, tf, doclen) → packed blocks.
 
@@ -282,7 +328,9 @@ def pack_postings(
     return (
         with_bucket.select(*cols)
         .groupBy("tgrp", "bucket")
-        .applyInPandas(_pack_frame, schema=schema)
+        .applyInPandas(
+            lambda pdf: _pack_frame(pdf, block_postings), schema=schema
+        )
     )
 
 
@@ -422,6 +470,7 @@ def build_segments(
     segment_col=None,
     with_positions: bool = False,
     field_postings: DataFrame | None = None,
+    block_postings: int = BLOCK_POSTINGS,
 ) -> SegmentStore:
     """Segmented, resumable packed-index build.
 
@@ -549,7 +598,8 @@ def build_segments(
                 F.max("tf").alias("max_tf"),
             )
         packed = pack_postings(
-            all_postings, n_buckets, with_positions=with_positions
+            all_postings, n_buckets, with_positions=with_positions,
+            block_postings=block_postings,
         )
         # posting-row count rides along the write via an Observation —
         # no separate read-back job.
@@ -701,9 +751,16 @@ def _check_pos_layout(packed: DataFrame) -> bool:
     return has_pos
 
 
-def _merge_packed_blocks(packed: DataFrame, has_pos: bool) -> DataFrame:
-    """k-way merge of per-segment blocks into one block per
-    (termid, bucket) — the RdbMerge/RdbList::merge_r analogue shared
+def _merge_packed_blocks(
+    packed: DataFrame,
+    has_pos: bool,
+    block_postings: int = BLOCK_POSTINGS,
+) -> DataFrame:
+    """k-way merge of per-segment blocks into contiguous fixed-size
+    sub-blocks per (termid, bucket) (``block_postings`` postings each
+    — the same granule the build packer emits, so compaction restores
+    TIGHT per-range block maxima instead of one loose whole-termlist
+    bound) — the RdbMerge/RdbList::merge_r analogue shared
     by whole-store ``compact_segments`` and the in-place tier merge
     ``maybe_compact``. Docids are disjoint across segments (doc-
     partitioned), so the merge is a decode + resort + repack inside
@@ -766,6 +823,7 @@ def _merge_packed_blocks(packed: DataFrame, has_pos: bool) -> DataFrame:
         )
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(tid)]))
+        starts, ends = _split_blocks(starts, ends, block_postings)
         out = {
             "termid": tid[starts].astype(np.int64),
             "bucket": bkt[starts].astype(np.int32),

@@ -88,20 +88,35 @@ def _topk_truncate(uniq: np.ndarray, scores: np.ndarray, k: int):
     return uniq[keep], scores[keep]
 
 
+def _tfnorm_ub_col():
+    """JVM expression for a block's tfnorm upper bound from its
+    scalar extrema — tfnorm is increasing in tf and decreasing in dl,
+    so the (blockmax_tf, blockmin_dl) corner bounds every posting in
+    the block. ONE definition shared by the per-(bucket, termid)
+    aggregate, the row-level (sub-block) prune filter, and
+    ``prune_stats`` — drift between them would make the query path
+    prune differently from what the diagnostic reports."""
+    bm_tf = F.col("blockmax_tf").cast("double")
+    bm_dl = F.col("blockmin_dl").cast("double")
+    return (bm_tf * _K1P1) / (
+        bm_tf + _K1_1MB + _K1B * bm_dl * F.col("inv_avgdl")
+    )
+
+
+def _idf_map_expr(idf: dict):
+    return F.create_map(
+        *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
+    )
+
+
 def _bucket_term_bounds(blocks, idf: dict, with_bytes: bool = False):
     """Per-(bucket, termid) WAND bound contribution: the max block
     ``idf · tfnorm_ub`` — the first aggregate both the per-bucket
     bound (``_bucket_upper_bounds``) and the multi-query batch prune
     (``wand_topk_batch``) build on. Returns (bucket, termid,
     t_ub[, nb])."""
-    idf_map = F.create_map(
-        *[x for t, v in idf.items() for x in (F.lit(t), F.lit(v))]
-    )
-    bm_tf = F.col("blockmax_tf").cast("double")
-    bm_dl = F.col("blockmin_dl").cast("double")
-    tfnorm_ub = (bm_tf * _K1P1) / (
-        bm_tf + _K1_1MB + _K1B * bm_dl * F.col("inv_avgdl")
-    )
+    idf_map = _idf_map_expr(idf)
+    tfnorm_ub = _tfnorm_ub_col()
     first = [F.max(idf_map[F.col("termid")] * tfnorm_ub).alias("t_ub")]
     if with_bytes:
         nbytes = (
@@ -139,6 +154,43 @@ def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
     )
 
 
+def _block_survivors(blocks, idf: dict, cut: float, n_required: int):
+    """Row-level (sub-block) Ding & Suel survivor set, pure JVM.
+
+    A block row of term t bounds every doc in its docid range by
+    ``idf_t · tfnorm_ub(row) + Σ_{t'≠t} tmax(bucket, t')``; below the
+    τ seed cut, no doc in that range can reach the top-k (its total
+    score is provably < cut, and cut is the k-th score of REAL seed
+    docs, so ≥ k docs beat it — see _make_bucket_scorer for the same
+    argument at bucket granularity). Negative-term rows never prune:
+    their docid sets must stay complete for the anti-filter.
+
+    Returns ``blocks`` + helper columns ``bucket_ub`` / ``nterms`` /
+    ``row_keep``; callers filter on bucket survival + row_keep and
+    drop the helpers. Shared by ``_prune_buckets_jvm`` and
+    ``prune_stats`` so the diagnostic cannot drift from the plan.
+    """
+    tb = _bucket_term_bounds(blocks, idf)
+    agg = tb.groupBy("bucket").agg(
+        F.sum("t_ub").alias("bucket_ub"),
+        F.countDistinct("termid").alias("nterms"),
+    )
+    row_ub = _idf_map_expr(idf)[F.col("termid")] * _tfnorm_ub_col()
+    return (
+        blocks.join(F.broadcast(tb), ["bucket", "termid"], "left")
+        .join(F.broadcast(agg), "bucket", "left")
+        .withColumn(
+            "row_keep",
+            F.col("t_ub").isNull()  # neg/field rows: always decode
+            | (
+                row_ub + (F.col("bucket_ub") - F.col("t_ub"))
+                >= F.lit(cut)
+            ),
+        )
+        .drop("t_ub")
+    )
+
+
 def _make_bucket_scorer(
     idf_by_termid: dict[int, float],
     required: set[int],
@@ -167,6 +219,7 @@ def _make_bucket_scorer(
         pos_mask = ~np.isin(tids, list(neg_termids)) if neg_termids else (
             np.ones(len(tids), dtype=bool)
         )
+        row_keep = None
         if cut > float("-inf"):
             bm_tf = pdf["blockmax_tf"].to_numpy(np.float64)
             bm_dl = pdf["blockmin_dl"].to_numpy(np.float64)
@@ -175,15 +228,30 @@ def _make_bucket_scorer(
                 bm_tf + _K1_1MB + _K1B * bm_dl * inv_avgdl
             )
             idfs = np.array([idf_by_termid.get(int(t), 0.0) for t in tids])
+            row_ub = idfs * bm
             per_term = {}
-            for t, v in zip(tids[pos_mask], (idfs * bm)[pos_mask]):
+            for t, v in zip(tids[pos_mask], row_ub[pos_mask]):
                 per_term[t] = max(per_term.get(t, 0.0), v)
-            if sum(per_term.values()) < cut:
+            total_ub = sum(per_term.values())
+            if total_ub < cut:
                 return empty
+            # Sub-block skip (Ding & Suel block-max granularity): a
+            # block of term t bounds every doc in its docid range by
+            # row_ub + Σ_{t'≠t} tmax(t'); below the τ seed no doc in
+            # it can reach the top-k (cut is the k-th score of REAL
+            # seed docs), so its blobs are never varbyte-decoded.
+            # Negative-term rows always decode — their docid sets
+            # must stay complete for the anti-filter.
+            tmax = np.array(
+                [per_term.get(int(t), 0.0) for t in tids]
+            )
+            row_keep = (row_ub + (total_ub - tmax) >= cut) | ~pos_mask
 
         docid_parts, score_parts, req_parts = [], [], []
         neg_docids = []
-        for row in pdf.itertuples(index=False):
+        for i, row in enumerate(pdf.itertuples(index=False)):
+            if row_keep is not None and not row_keep[i]:
+                continue
             docids = unpack_docids(row.docids).astype(np.int64)
             if row.termid in neg_termids:
                 neg_docids.append(docids)
@@ -253,27 +321,52 @@ def _make_batch_scorer(qspecs: list[tuple], k: int):
             if v > tub.get(ti, 0.0):
                 tub[ti] = v
         survivors, needed = [], set()
+        keep_rows = np.zeros(len(tids), dtype=bool)
         for qid, idf, required, neg_ids, cut in qspecs:
             if required and not required.issubset(tid_set):
                 continue
             pos_here = [t for t in idf if t in tid_set]
             if not pos_here:
                 continue
-            if cut > float("-inf") and (
-                sum(idf[t] * tub[t] for t in pos_here) < cut
-            ):
+            total_q = sum(idf[t] * tub[t] for t in pos_here)
+            if cut > float("-inf") and total_q < cut:
                 continue
             survivors.append((qid, idf, required, neg_ids))
             needed.update(pos_here)
             needed.update(t for t in neg_ids if t in tid_set)
+            # sub-block skip, per query (same bound as the single-
+            # query scorer): a row of term t is needed by q only if
+            # idf_q[t]·bm_row + Σ_{t'≠t} tmax_q(t') can reach cut_q.
+            # A row survives the batch when ANY query needs it; a
+            # query scoring a block another query kept only adds true
+            # sub-cut contributions that the top-k then drops, so
+            # per-query results stay rank-identical to wand_topk.
+            member = np.isin(tids, pos_here)
+            if cut > float("-inf"):
+                idf_arr = np.array(
+                    [idf.get(int(t), 0.0) for t in tids]
+                )
+                tmax_arr = np.array(
+                    [
+                        idf.get(int(t), 0.0) * tub.get(int(t), 0.0)
+                        for t in tids
+                    ]
+                )
+                keep_rows |= member & (
+                    idf_arr * bm + (total_q - tmax_arr) >= cut
+                )
+            else:
+                keep_rows |= member
+            if neg_ids:
+                keep_rows |= np.isin(tids, list(neg_ids))
         if not survivors:
             return empty
         # decode each needed block ONCE (the batch win: a term shared
         # by 20 queries pays one varbyte decode, not 20)
         dec: dict[int, list] = {}
-        for row in pdf.itertuples(index=False):
+        for i, row in enumerate(pdf.itertuples(index=False)):
             ti = int(row.termid)
-            if ti not in needed:
+            if ti not in needed or not keep_rows[i]:
                 continue
             docids = unpack_docids(row.docids).astype(np.int64)
             tfs = unpack_ints(row.tfs).astype(np.float64)
@@ -838,14 +931,15 @@ class PackedIndex:
         blocks, idf, cut = ctx["blocks"], ctx["idf"], ctx["cut"]
         if cut == float("-inf"):
             return blocks
-        surv = _bucket_upper_bounds(blocks, idf).filter(
-            F.col("ub") >= F.lit(cut)
-        )
+        flagged = _block_survivors(blocks, idf, cut, len(ctx["required"]))
+        keep = (F.col("bucket_ub") >= F.lit(cut)) & F.col("row_keep")
         if ctx["required"]:
-            surv = surv.filter(F.col("nterms") == len(ctx["required"]))
-        return blocks.join(
-            F.broadcast(surv.select("bucket")), "bucket", "left_semi"
-        )
+            keep = keep & (F.col("nterms") == len(ctx["required"]))
+        # neg-term rows carry a null bucket_ub only when their bucket
+        # has NO positive-term rows — such a bucket can't produce a
+        # match anyway, so the null-kills-it semantics of `keep` are
+        # right; inside a live bucket they survive via row_keep.
+        return flagged.filter(keep).drop("bucket_ub", "nterms", "row_keep")
 
     def wand_topk(
         self,
@@ -1221,16 +1315,20 @@ class PackedIndex:
         mode: str = "and",
         neg_terms: list[str] | None = None,
     ) -> dict:
-        """Diagnostic: block-max pruning effectiveness for a query —
-        how many buckets (and what fraction of blob bytes) the τ cut
-        skips without decoding. Pure-JVM aggregate over the blockmax
-        columns; mirrors exactly the test the scorer applies."""
+        """Diagnostic: block-max pruning effectiveness for a query at
+        BOTH granules — buckets (the semi-join / partition granule)
+        and sub-block rows (the Ding & Suel granule the scorer and
+        the JVM row filter actually skip at). Pure-JVM aggregates over
+        the scalar blockmax columns via the SAME ``_block_survivors``
+        test the query path applies — shared so the diagnostic can't
+        drift from the plan."""
         ctx = self._query_ctx(terms, k, mode, neg_terms)
         if ctx is None:
             return {"buckets": 0, "buckets_scored": 0,
-                    "bytes_total": 0, "bytes_scored": 0, "cut": None}
-        # the SAME bound aggregate the query path's prune semi-join
-        # uses — shared so the diagnostic can't drift from it
+                    "blocks": 0, "blocks_scored": 0,
+                    "bytes_total": 0, "bytes_scored": 0,
+                    "bytes_total_blocks": 0,
+                    "bytes_scored_blocks": 0, "cut": None}
         per_bucket = _bucket_upper_bounds(
             ctx["blocks"], ctx["idf"], with_bytes=True
         )
@@ -1241,10 +1339,47 @@ class PackedIndex:
             r for r in rows
             if float(r["ub"]) >= cut and (need is None or r["nterms"] == need)
         ]
+        nb = (
+            F.octet_length("docids")
+            + F.octet_length("tfs")
+            + F.octet_length("dls")
+        )
+        if cut == float("-inf"):
+            blk = ctx["blocks"].agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.count(F.lit(1)).alias("blocks_scored"),
+                F.sum(nb).alias("bytes_total_blocks"),
+                F.sum(nb).alias("bytes_scored_blocks"),
+            ).first()
+        else:
+            keep = (F.col("bucket_ub") >= F.lit(cut)) & F.col("row_keep")
+            if need is not None:
+                keep = keep & (F.col("nterms") == need)
+            keep = F.coalesce(keep, F.lit(False))
+            blk = (
+                _block_survivors(ctx["blocks"], ctx["idf"], cut, need or 0)
+                .agg(
+                    F.count(F.lit(1)).alias("blocks"),
+                    F.sum(keep.cast("long")).alias("blocks_scored"),
+                    F.sum(nb).alias("bytes_total_blocks"),
+                    F.sum(
+                        F.when(keep, nb).otherwise(F.lit(0))
+                    ).alias("bytes_scored_blocks"),
+                )
+                .first()
+            )
         return {
             "buckets": len(rows),
             "buckets_scored": len(scored),
+            "blocks": int(blk["blocks"] or 0),
+            "blocks_scored": int(blk["blocks_scored"] or 0),
             "bytes_total": int(sum(r["nb"] for r in rows)),
             "bytes_scored": int(sum(r["nb"] for r in scored)),
+            # block-level totals span ALL fetched rows (incl. negative
+            # terms, which always decode) — the bucket-level pair above
+            # spans positive-term rows only, so use matching pairs when
+            # computing skip fractions
+            "bytes_total_blocks": int(blk["bytes_total_blocks"] or 0),
+            "bytes_scored_blocks": int(blk["bytes_scored_blocks"] or 0),
             "cut": cut,
         }

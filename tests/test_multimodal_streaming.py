@@ -309,12 +309,11 @@ def test_events_windowed_oracle(spark, duck_correct):
 
 
 def test_events_sessionized_oracle(spark, duck_correct):
-    import __spark_entry__ as m
+    # extended tier since the r5 rotation — resolve via both tiers
+    from conftest import query_and_oracle
 
-    sdf = m.queries()["events_sessionized"](spark, SF_CORRECT)
-    assert_df_matches_duckdb(
-        sdf, duck_correct, m.oracle_sql()["events_sessionized"]
-    )
+    fn, sql = query_and_oracle("events_sessionized")
+    assert_df_matches_duckdb(fn(spark, SF_CORRECT), duck_correct, sql)
 
 
 def test_windowed_streaming_matches_batch(spark, tmp_path):

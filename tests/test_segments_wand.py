@@ -453,12 +453,24 @@ def test_bucketed_table_no_shuffle(spark, store, tmp_path_factory):
             tuple(r)
             for r in bm25_topk(idx, ["join", "filter"], k=10).collect()
         ]
-        # jvm_prune ON: ub aggregate + left-semi join in the plan; the
-        # only Exchanges are over scalar (bucket, t_ub) rows + the
-        # broadcast of surviving bucket ids — never blob columns
+        # jvm_prune ON: per-(bucket, termid) bound aggregate broadcast-
+        # joined back for the row-level (sub-block) filter; the only
+        # Exchanges are broadcasts of scalar (bucket, termid, t_ub) /
+        # (bucket, ub, nterms) rows — never blob columns. The bound
+        # aggregate's own scan must read ONLY scalar columns (pruned
+        # sub-blocks' blobs stay on disk).
         res = pidx.wand_topk(["join", "filter"], k=10)
         plan = res._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BroadcastExchange" in plan, plan
+        agg_scans = [
+            seg for seg in plan.split("FileScan parquet")[1:]
+            if "blockmax_tf" in seg.split("ReadSchema")[1][:400]
+        ]
+        assert agg_scans and all(
+            "docids" not in seg.split("ReadSchema")[1][:400]
+            for seg in agg_scans
+        ), plan
         assert [tuple(r) for r in res.collect()] == want
 
         # jvm_prune OFF: zero Exchange of any kind — the bucketed scan
