@@ -50,8 +50,14 @@ CHECKS = {
         ("FlatMapGroupsInPandas", "per-bucket scorer fed straight off the scan"),
     ],
     "wand_bucketed_jvmprune": [
-        ("LeftSemi", "blockmax ub semi-join prunes buckets BEFORE blob I/O"),
-        ("BroadcastHashJoin", "surviving bucket ids broadcast, blobs unmoved"),
+        ("BroadcastHashJoin", "scalar (bucket, termid, t_ub) bound rows "
+                              "broadcast back onto the blob scan — blobs "
+                              "unmoved"),
+        ("bucket_ub", "row-level (sub-block) Ding & Suel filter in-plan "
+                      "(bound aggregate joined back): pruned sub-blocks' "
+                      "blobs never cross Arrow"),
+        ("blockmax_tf", "bound aggregate reads only the scalar extrema "
+                        "columns"),
     ],
     "field_boost_packed": [
         ("FlatMapGroupsInPandas", "hashgroup scorer over build-time field streams"),

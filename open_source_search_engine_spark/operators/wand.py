@@ -1068,12 +1068,13 @@ class PackedIndex:
                 for _qid, idf, required, _neg, cut in qspecs:
                     if required and not required.issubset(bounds.keys()):
                         continue
+                    # bounds[] rows already carry idf (t_ub =
+                    # idf·tfnorm_ub from _bucket_term_bounds) — do NOT
+                    # multiply idf again: idf² UNDERSTATES the bound
+                    # for idf<1 terms (df ≳ 0.37·N stopwords) and
+                    # would prune buckets holding true top-k docs
                     if cut > float("-inf") and (
-                        sum(
-                            idf[t] * bounds[t]
-                            for t in idf
-                            if t in bounds
-                        )
+                        sum(bounds[t] for t in idf if t in bounds)
                         < cut
                     ):
                         continue

@@ -85,3 +85,55 @@ def test_batch_of_one_and_all_missing(spark, store):
     nothing = pidx.wand_topk_batch({"q": ["zzzznotaterm"]}, k=5)
     assert nothing.count() == 0
     assert nothing.columns == ["query_id", "docid", "score"]
+
+
+def test_batch_jvm_prune_stopword_idf_below_one(spark, tmp_path_factory):
+    """Regression: the batch bucket prune multiplied idf into bounds
+    that already carried it (idf²). For a stopword with df ≈ N the
+    idf is ~0.002, so idf² understated every bucket's bound by ~500×
+    and the disk-backed batch path pruned ALL buckets — returning
+    empty while wand_topk returned k docs. Pinned here with a term in
+    every document (idf < 1 ⇔ df ≳ 0.37·N, Robertson/Zaragoza)."""
+    import pandas as pd
+
+    from open_source_search_engine_spark.operators.segments import (
+        SegmentStore,
+        build_segments,
+        save_bucketed,
+    )
+    from open_source_search_engine_spark.operators.wand import PackedIndex
+
+    rows = [
+        (d, "common filler" + " pad" * (d % 7)) for d in range(256)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["docid", "text"])
+    )
+    root = str(tmp_path_factory.mktemp("idx_stopword"))
+    store = build_segments(
+        spark, docs, SegmentStore(root), n_segments=1, n_buckets=4
+    )
+    path = str(tmp_path_factory.mktemp("idx_stopword_bt")) + "/t"
+    save_bucketed(spark, store, "packed_stopword_bt", path)
+    try:
+        pidx = PackedIndex(
+            spark, store, packed=spark.table("packed_stopword_bt")
+        )
+        assert pidx.jvm_prune
+        want = [
+            (r["docid"], r["score"])
+            for r in pidx.wand_topk(["common"], k=10).collect()
+        ]
+        assert len(want) == 10
+        got = sorted(
+            (
+                (r["docid"], r["score"])
+                for r in pidx.wand_topk_batch(
+                    {"q": ["common"]}, k=10
+                ).collect()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS packed_stopword_bt")
