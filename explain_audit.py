@@ -59,6 +59,20 @@ CHECKS = {
         ("blockmax_tf", "bound aggregate reads only the scalar extrema "
                         "columns"),
     ],
+    "wand_batch_bucketed_jvmprune": [
+        ("BroadcastHashJoin", "the (bucket, termid, thr) threshold map "
+                              "— a few KB of scalars folded driver-side "
+                              "from ONE bound aggregate — broadcast onto "
+                              "the blob scan"),
+        ("isnull(thr", "row filter keeps NULL-thr rows (neg terms, "
+                       "no-seed queries) and drops sub-blocks below "
+                       "every interested query's threshold before "
+                       "Arrow; the bound aggregate feeding the "
+                       "thresholds runs as a separate eager job whose "
+                       "scalar-only ReadSchema is audited on the "
+                       "single-query plan above (same "
+                       "_bucket_term_bounds path)"),
+    ],
     "field_boost_packed": [
         ("FlatMapGroupsInPandas", "hashgroup scorer over build-time field streams"),
         ("BroadcastHashJoin", "docid→url label join broadcast"),
@@ -185,6 +199,14 @@ def main() -> None:
     plans["wand_bucketed"] = bidx.wand_topk(["join", "filter"], k=10)
     bidx.jvm_prune = True
     plans["wand_bucketed_jvmprune"] = bidx.wand_topk(["join", "filter"], k=10)
+    # the multi-query batch over the same store: the driver-side fold
+    # of per-(bucket, termid) bounds into row thresholds must land in
+    # the JVM plan as a broadcast join + row filter (sub-block prune
+    # parity with the single-query path, round 5)
+    plans["wand_batch_bucketed_jvmprune"] = bidx.wand_topk_batch(
+        {"a": ["join", "filter"], "b": (["join"], "and", ["window"])},
+        k=10,
+    )
 
     # hashgroup (anchor) boost served from build-time field streams
     from open_source_search_engine_spark.operators.linkextract import (

@@ -1005,11 +1005,15 @@ class PackedIndex:
         replaces Q TakeOrderedAndProjects.
 
         Scale shape: Q queries' termids union into ONE scan filter;
-        on a disk-backed bucketed store the JVM prune generalizes by
-        collecting the per-(bucket, termid) scalar bounds once
-        (buckets × |terms| rows) and keeping the UNION of each
-        query's surviving buckets — a pruned bucket's blobs still
-        never leave disk unless SOME query needs them.
+        on a disk-backed bucketed store the JVM prune generalizes to
+        SUB-BLOCK granularity by collecting the per-(bucket, termid)
+        scalar bounds once (buckets × |terms| rows) and folding them
+        driver-side into the weakest row-level threshold any query
+        still needs per (bucket, termid) — a block row below every
+        interested query's threshold is dropped in the JVM plan and
+        never crosses Arrow into the Python scorer (same row-level
+        guarantee as the single-query ``_block_survivors`` path; the
+        bound aggregate itself reads only scalar columns).
         """
         from pyspark.sql.window import Window
 
@@ -1053,19 +1057,32 @@ class PackedIndex:
         ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
 
         if self.jvm_prune:
-            # batch form of _prune_buckets_jvm: ONE scalar aggregate
-            # over (bucket, termid) bounds, then per-query survivor
-            # sets unioned driver-side — bounds rows number
-            # buckets × |batch terms|, a few KB
+            # batch form of _block_survivors: ONE scalar aggregate
+            # over (bucket, termid) bounds (a few KB — buckets ×
+            # |batch terms| rows), then a driver-side fold into the
+            # weakest row-level threshold any query still needs per
+            # (bucket, termid). Rows below EVERY interested query's
+            # threshold are dropped by a broadcast inner join +
+            # filter in the JVM plan, so — exactly like the
+            # single-query path — a pruned sub-block's blob bytes
+            # never cross Arrow into the batch scorer (which would
+            # re-derive the same skip per query and drop them at
+            # decode time anyway; see keep_rows in _make_batch_scorer
+            # — that check stays, making the plan-level filter a pure
+            # transfer/decode win, not a semantics change).
             brows = _bucket_term_bounds(blocks, idf_all).collect()
             by_bucket: dict[int, dict[int, float]] = {}
             for r in brows:
                 by_bucket.setdefault(int(r["bucket"]), {})[
                     int(r["termid"])
                 ] = float(r["t_ub"])
-            surv: set[int] = set()
+            ninf = float("-inf")
+            # (bucket, termid) -> min over surviving queries of the
+            # row bound that could still reach that query's cut;
+            # -inf = kept unconditionally (no-seed query or neg term)
+            thr: dict[tuple[int, int], float] = {}
             for b, bounds in by_bucket.items():
-                for _qid, idf, required, _neg, cut in qspecs:
+                for _qid, idf, required, neg, cut in qspecs:
                     if required and not required.issubset(bounds.keys()):
                         continue
                     # bounds[] rows already carry idf (t_ub =
@@ -1073,16 +1090,55 @@ class PackedIndex:
                     # multiply idf again: idf² UNDERSTATES the bound
                     # for idf<1 terms (df ≳ 0.37·N stopwords) and
                     # would prune buckets holding true top-k docs
-                    if cut > float("-inf") and (
-                        sum(bounds[t] for t in idf if t in bounds)
-                        < cut
-                    ):
+                    bucket_ub = sum(
+                        bounds[t] for t in idf if t in bounds
+                    )
+                    if cut > ninf and bucket_ub < cut:
                         continue
-                    surv.add(b)
-                    break
-            if not surv:
+                    for t in idf:
+                        if t not in bounds:
+                            continue
+                        # same bound as _block_survivors' row_keep: a
+                        # row of t serves q only if row_ub + Σ_{t'≠t}
+                        # tmax(b, t') can reach cut — i.e. row_ub ≥
+                        # cut − (bucket_ub − t_ub). The max row per
+                        # (b, t) always survives its own threshold
+                        # (bucket_ub ≥ cut ⟺ t_ub ≥ need), so every
+                        # surviving query still sees all its termids.
+                        need = (
+                            ninf
+                            if cut == ninf
+                            else cut - (bucket_ub - bounds[t])
+                        )
+                        key = (b, t)
+                        thr[key] = min(thr.get(key, need), need)
+                    for t in neg:
+                        # neg docid sets must stay complete for the
+                        # anti-filter wherever q is evaluated
+                        thr[(b, t)] = ninf
+            if not thr:
                 return self.spark.createDataFrame([], BATCH_SCORE_SCHEMA)
-            blocks = blocks.filter(F.col("bucket").isin(sorted(surv)))
+            thr_df = self.spark.createDataFrame(
+                [
+                    (b, t, None if v == ninf else v)
+                    for (b, t), v in thr.items()
+                ],
+                schema="bucket int, termid long, thr double",
+            )
+            row_ub = (
+                _idf_map_expr(idf_all)[F.col("termid")] * _tfnorm_ub_col()
+            )
+            # inner join doubles as the bucket prune (thr only holds
+            # surviving buckets) AND drops terms no surviving query
+            # needs in that bucket; NULL thr (neg rows — row_ub is
+            # NULL there too — and no-seed queries) keeps the row
+            blocks = (
+                blocks.join(
+                    F.broadcast(thr_df), ["bucket", "termid"], "inner"
+                )
+                .filter(F.col("thr").isNull() | (row_ub >= F.col("thr")))
+                .drop("thr")
+            )
 
         result = blocks.groupBy("bucket").applyInPandas(
             _make_batch_scorer(qspecs, k), schema=BATCH_SCORE_SCHEMA

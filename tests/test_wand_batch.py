@@ -137,3 +137,40 @@ def test_batch_jvm_prune_stopword_idf_below_one(spark, tmp_path_factory):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS packed_stopword_bt")
+
+
+def test_batch_jvm_prune_is_subblock_in_plan(
+    spark, store, tmp_path_factory
+):
+    """The disk-backed batch prune must be ROW-level in the JVM plan
+    (round-5: parity with the single-query _block_survivors path), not
+    bucket-level only: pruned sub-blocks' blobs must never cross Arrow
+    into the batch scorer. Pinned by plan shape — the per-(bucket,
+    termid) threshold map is broadcast-joined and the row filter
+    references it — plus the bound aggregate reading only scalar
+    columns (the blobs of pruned rows stay on disk)."""
+    out = str(tmp_path_factory.mktemp("idx_batch_plan"))
+    name = save_bucketed(spark, store, "batch_plan_bt", path=out)
+    try:
+        pidx = PackedIndex(spark, store, packed=spark.table(name))
+        assert pidx.jvm_prune
+        batch = pidx.wand_topk_batch(
+            {"a": ["join", "filter"], "b": (["join"], "and", ["window"])},
+            k=5,
+        )
+        plan = batch._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "isnull(thr" in plan, plan  # NULL-thr keep-always rows
+        # the bound aggregate itself runs as a separate eager job
+        # (driver-side fold), so its scalar-only ReadSchema property
+        # is pinned on the shared _bucket_term_bounds path by
+        # test_segments_wand's single-query plan test; here assert
+        # the main scan still gets the termid pushdown under the join
+        scans = plan.split("FileScan parquet")[1:]
+        assert scans and any(
+            "termid" in seg.split("PushedFilters")[1][:200]
+            for seg in scans
+            if "PushedFilters" in seg
+        ), plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
