@@ -908,7 +908,10 @@ def main() -> None:
         repeats = 3
         if "--repeats" in args:
             repeats = int(args[args.index("--repeats") + 1])
-        run_scaling(SF_DIR, repeats=repeats)
+        mult = 600
+        if "--mult" in args:
+            mult = int(args[args.index("--mult") + 1])
+        run_scaling(SF_DIR, repeats=repeats, mult=mult)
         return
     if "--concurrency" in args:
         run_concurrency(SF_DIR)
