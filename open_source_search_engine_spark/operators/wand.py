@@ -154,7 +154,7 @@ def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
     )
 
 
-def _block_survivors(blocks, idf: dict, cut: float, n_required: int):
+def _block_survivors(blocks, idf: dict, cut: float):
     """Row-level (sub-block) Ding & Suel survivor set, pure JVM.
 
     A block row of term t bounds every doc in its docid range by
@@ -167,8 +167,11 @@ def _block_survivors(blocks, idf: dict, cut: float, n_required: int):
 
     Returns ``blocks`` + helper columns ``bucket_ub`` / ``nterms`` /
     ``row_keep``; callers filter on bucket survival + row_keep and
-    drop the helpers. Shared by ``_prune_buckets_jvm`` and
-    ``prune_stats`` so the diagnostic cannot drift from the plan.
+    drop the helpers — including the AND-mode constraint (``nterms ==
+    |required|``), which this function deliberately does NOT apply:
+    ``prune_stats`` needs the unfiltered rows to count what the filter
+    would drop. Shared by ``_prune_buckets_jvm`` and ``prune_stats``
+    so the diagnostic cannot drift from the plan.
     """
     tb = _bucket_term_bounds(blocks, idf)
     agg = tb.groupBy("bucket").agg(
@@ -286,6 +289,14 @@ def _make_bucket_scorer(
 
 
 BATCH_SCORE_SCHEMA = "query_id string, docid long, score double"
+
+# Ceiling on the batch-prune bound matrix (buckets × batch terms
+# cells) the driver will collect and fold. ~8 MB of float64 per
+# matrix copy at the cap; past it wand_topk_batch skips the
+# plan-level prune instead of OOMing the driver — with that many
+# live (bucket, term) pairs the min-over-queries threshold decays
+# toward keep-everything and the broadcast would dominate anyway.
+_BATCH_PRUNE_MAX_CELLS = 1_000_000
 
 
 def _make_batch_scorer(qspecs: list[tuple], k: int):
@@ -931,7 +942,7 @@ class PackedIndex:
         blocks, idf, cut = ctx["blocks"], ctx["idf"], ctx["cut"]
         if cut == float("-inf"):
             return blocks
-        flagged = _block_survivors(blocks, idf, cut, len(ctx["required"]))
+        flagged = _block_survivors(blocks, idf, cut)
         keep = (F.col("bucket_ub") >= F.lit(cut)) & F.col("row_keep")
         if ctx["required"]:
             keep = keep & (F.col("nterms") == len(ctx["required"]))
@@ -982,6 +993,116 @@ class PackedIndex:
             .limit(k)
         )
 
+    def _fold_batch_thresholds(
+        self, blocks: DataFrame, idf_all: dict[int, float], qspecs: list
+    ):
+        """Fold per-(bucket, termid) bounds into the weakest row-level
+        threshold any batch query still needs — the multi-query form
+        of ``_block_survivors``'s row bound, as a pandas DataFrame
+        (bucket, termid, thr) ready to broadcast; thr is NA where the
+        row must be kept unconditionally (neg terms, no-seed queries).
+
+        Returns None when the bound matrix exceeds
+        ``_BATCH_PRUNE_MAX_CELLS`` (caller skips the plan-level prune:
+        a thr table that size couldn't broadcast, and with that many
+        live (bucket, term) pairs the min-over-queries threshold
+        decays toward keep-everything anyway) and an EMPTY frame when
+        no bucket can serve any query (caller returns no rows).
+
+        The fold is vectorized per QUERY over the dense buckets ×
+        terms matrix — O(Σ_q buckets·|q|) numpy work, never a Python
+        loop over buckets (a 64k-bucket × 2000-query batch would be
+        billions of interpreted iterations)."""
+        ninf = float("-inf")
+        bpdf = (
+            _bucket_term_bounds(blocks, idf_all)
+            .limit(_BATCH_PRUNE_MAX_CELLS + 1)
+            .toPandas()
+        )
+        if len(bpdf) > _BATCH_PRUNE_MAX_CELLS:
+            return None
+        if bpdf.empty:
+            return bpdf.assign(thr=[])[["bucket", "termid", "thr"]]
+        piv = bpdf.pivot(index="bucket", columns="termid", values="t_ub")
+        nb, nt = piv.shape
+        if nb * nt > _BATCH_PRUNE_MAX_CELLS:
+            return None
+        buckets = piv.index.to_numpy(np.int64)
+        tids = piv.columns.to_numpy(np.int64)
+        M = piv.to_numpy(np.float64)  # NaN where (bucket, term) absent
+        present = ~np.isnan(M)
+        col_of = {int(t): j for j, t in enumerate(tids)}
+        # thr[i, j]: min over surviving queries of the row bound that
+        # could still reach that query's cut (same bound as
+        # _block_survivors' row_keep: row_ub ≥ cut − (bucket_ub −
+        # t_ub); the max row per (b, t) always survives its own
+        # threshold, so every surviving query still sees all its
+        # termids). +inf = untouched, −inf = keep unconditionally.
+        thr = np.full((nb, nt), np.inf)
+        touched = np.zeros((nb, nt), dtype=bool)
+        # neg termids absent from idf_all have no matrix column; their
+        # keep-rows are accumulated per live bucket separately
+        neg_extra: dict[int, np.ndarray] = {}
+        for _qid, idf, required, neg, cut in qspecs:
+            cols = [col_of[t] for t in idf if t in col_of]
+            if not cols:
+                continue
+            if required:
+                rcols = [col_of[t] for t in required if t in col_of]
+                if len(rcols) < len(required):
+                    continue  # a required term has no blocks at all
+                alive = present[:, rcols].all(axis=1)
+            else:
+                alive = np.ones(nb, dtype=bool)
+            sub = M[:, cols]
+            # bounds already carry idf (t_ub = idf·tfnorm_ub from
+            # _bucket_term_bounds) — do NOT multiply idf again: idf²
+            # UNDERSTATES the bound for idf<1 terms (df ≳ 0.37·N
+            # stopwords) and would prune buckets holding true top-k
+            bucket_ub = np.nansum(sub, axis=1)
+            if cut > ninf:
+                alive = alive & (bucket_ub >= cut)
+            if not alive.any():
+                continue
+            ix = np.ix_(alive, cols)
+            if cut == ninf:
+                need = np.full((int(alive.sum()), len(cols)), -np.inf)
+            else:
+                need = cut - (bucket_ub[alive, None] - sub[alive])
+                need = np.where(np.isnan(need), np.inf, need)
+            pm = present[ix]
+            thr[ix] = np.where(pm, np.minimum(thr[ix], need), thr[ix])
+            touched[ix] |= pm
+            for t in neg:
+                # neg docid sets must stay complete for the
+                # anti-filter wherever q is evaluated
+                j = col_of.get(t)
+                if j is not None:
+                    thr[alive, j] = -np.inf
+                    touched[alive, j] = True
+                else:
+                    m = neg_extra.get(t)
+                    neg_extra[t] = alive | m if m is not None else alive
+        bi, tj = np.nonzero(touched)
+        vals = thr[bi, tj]
+        out_b = [buckets[bi].astype(np.int32)]
+        out_t = [tids[tj]]
+        out_v = [np.where(np.isneginf(vals), np.nan, vals)]
+        for t, mask in neg_extra.items():
+            nbm = int(mask.sum())
+            out_b.append(buckets[mask].astype(np.int32))
+            out_t.append(np.full(nbm, t, dtype=np.int64))
+            out_v.append(np.full(nbm, np.nan))
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate(out_b),
+                "termid": np.concatenate(out_t),
+                # nullable Float64: NaN must reach Spark as NULL (the
+                # plan filter tests isNull; a float NaN would not be)
+                "thr": pd.array(np.concatenate(out_v), dtype="Float64"),
+            }
+        )
+
     def wand_topk_batch(
         self,
         queries: dict[str, list[str] | tuple],
@@ -1007,13 +1128,16 @@ class PackedIndex:
         Scale shape: Q queries' termids union into ONE scan filter;
         on a disk-backed bucketed store the JVM prune generalizes to
         SUB-BLOCK granularity by collecting the per-(bucket, termid)
-        scalar bounds once (buckets × |terms| rows) and folding them
-        driver-side into the weakest row-level threshold any query
-        still needs per (bucket, termid) — a block row below every
-        interested query's threshold is dropped in the JVM plan and
-        never crosses Arrow into the Python scorer (same row-level
-        guarantee as the single-query ``_block_survivors`` path; the
-        bound aggregate itself reads only scalar columns).
+        scalar bounds once (buckets × |terms| rows, Arrow transfer,
+        vectorized numpy fold, capped at _BATCH_PRUNE_MAX_CELLS —
+        past the cap the plan filter is skipped, see
+        ``_fold_batch_thresholds``) and folding them driver-side into
+        the weakest row-level threshold any query still needs per
+        (bucket, termid) — a block row below every interested query's
+        threshold is dropped in the JVM plan and never crosses Arrow
+        into the Python scorer (same row-level guarantee as the
+        single-query ``_block_survivors`` path; the bound aggregate
+        itself reads only scalar columns).
         """
         from pyspark.sql.window import Window
 
@@ -1058,87 +1182,53 @@ class PackedIndex:
 
         if self.jvm_prune:
             # batch form of _block_survivors: ONE scalar aggregate
-            # over (bucket, termid) bounds (a few KB — buckets ×
-            # |batch terms| rows), then a driver-side fold into the
-            # weakest row-level threshold any query still needs per
-            # (bucket, termid). Rows below EVERY interested query's
-            # threshold are dropped by a broadcast inner join +
-            # filter in the JVM plan, so — exactly like the
-            # single-query path — a pruned sub-block's blob bytes
-            # never cross Arrow into the batch scorer (which would
-            # re-derive the same skip per query and drop them at
-            # decode time anyway; see keep_rows in _make_batch_scorer
-            # — that check stays, making the plan-level filter a pure
-            # transfer/decode win, not a semantics change).
-            brows = _bucket_term_bounds(blocks, idf_all).collect()
-            by_bucket: dict[int, dict[int, float]] = {}
-            for r in brows:
-                by_bucket.setdefault(int(r["bucket"]), {})[
-                    int(r["termid"])
-                ] = float(r["t_ub"])
-            ninf = float("-inf")
-            # (bucket, termid) -> min over surviving queries of the
-            # row bound that could still reach that query's cut;
-            # -inf = kept unconditionally (no-seed query or neg term)
-            thr: dict[tuple[int, int], float] = {}
-            for b, bounds in by_bucket.items():
-                for _qid, idf, required, neg, cut in qspecs:
-                    if required and not required.issubset(bounds.keys()):
-                        continue
-                    # bounds[] rows already carry idf (t_ub =
-                    # idf·tfnorm_ub from _bucket_term_bounds) — do NOT
-                    # multiply idf again: idf² UNDERSTATES the bound
-                    # for idf<1 terms (df ≳ 0.37·N stopwords) and
-                    # would prune buckets holding true top-k docs
-                    bucket_ub = sum(
-                        bounds[t] for t in idf if t in bounds
-                    )
-                    if cut > ninf and bucket_ub < cut:
-                        continue
-                    for t in idf:
-                        if t not in bounds:
-                            continue
-                        # same bound as _block_survivors' row_keep: a
-                        # row of t serves q only if row_ub + Σ_{t'≠t}
-                        # tmax(b, t') can reach cut — i.e. row_ub ≥
-                        # cut − (bucket_ub − t_ub). The max row per
-                        # (b, t) always survives its own threshold
-                        # (bucket_ub ≥ cut ⟺ t_ub ≥ need), so every
-                        # surviving query still sees all its termids.
-                        need = (
-                            ninf
-                            if cut == ninf
-                            else cut - (bucket_ub - bounds[t])
-                        )
-                        key = (b, t)
-                        thr[key] = min(thr.get(key, need), need)
-                    for t in neg:
-                        # neg docid sets must stay complete for the
-                        # anti-filter wherever q is evaluated
-                        thr[(b, t)] = ninf
-            if not thr:
+            # over (bucket, termid) bounds (buckets × |batch terms|
+            # rows), then a driver-side fold into the weakest
+            # row-level threshold any query still needs per (bucket,
+            # termid). Rows below EVERY interested query's threshold
+            # are dropped by a broadcast inner join + filter in the
+            # JVM plan, so — exactly like the single-query path — a
+            # pruned sub-block's blob bytes never cross Arrow into
+            # the batch scorer (which would re-derive the same skip
+            # per query and drop them at decode time anyway; see
+            # keep_rows in _make_batch_scorer — that check stays,
+            # making the plan-level filter a pure transfer/decode
+            # win, not a semantics change).
+            #
+            # The fold's working set is the buckets × terms bound
+            # matrix, which grows with BOTH corpus size and batch
+            # width; past _BATCH_PRUNE_MAX_CELLS the prune is skipped
+            # outright rather than collected: with thousands of
+            # queries nearly every block serves SOMEONE (thr = min
+            # over queries decays toward keep-everything), so the
+            # plan filter stops paying for its own broadcast — and a
+            # thr table that size could not broadcast anyway. The
+            # in-scorer per-query prune still applies either way.
+            thr_pdf = self._fold_batch_thresholds(blocks, idf_all, qspecs)
+            if thr_pdf is not None and thr_pdf.empty:
                 return self.spark.createDataFrame([], BATCH_SCORE_SCHEMA)
-            thr_df = self.spark.createDataFrame(
-                [
-                    (b, t, None if v == ninf else v)
-                    for (b, t), v in thr.items()
-                ],
-                schema="bucket int, termid long, thr double",
-            )
-            row_ub = (
-                _idf_map_expr(idf_all)[F.col("termid")] * _tfnorm_ub_col()
-            )
-            # inner join doubles as the bucket prune (thr only holds
-            # surviving buckets) AND drops terms no surviving query
-            # needs in that bucket; NULL thr (neg rows — row_ub is
-            # NULL there too — and no-seed queries) keeps the row
-            blocks = (
-                blocks.join(
-                    F.broadcast(thr_df), ["bucket", "termid"], "inner"
+            if thr_pdf is not None:
+                thr_df = self.spark.createDataFrame(
+                    thr_pdf, schema="bucket int, termid long, thr double"
                 )
-                .filter(F.col("thr").isNull() | (row_ub >= F.col("thr")))
-                .drop("thr")
-            )
+                row_ub = (
+                    _idf_map_expr(idf_all)[F.col("termid")]
+                    * _tfnorm_ub_col()
+                )
+                # inner join doubles as the bucket prune (thr only
+                # holds surviving buckets) AND drops terms no
+                # surviving query needs in that bucket; NULL thr (neg
+                # rows — row_ub is NULL there too — and no-seed
+                # queries) keeps the row
+                blocks = (
+                    blocks.join(
+                        F.broadcast(thr_df), ["bucket", "termid"], "inner"
+                    )
+                    .filter(
+                        F.col("thr").isNull() | (row_ub >= F.col("thr"))
+                    )
+                    .drop("thr")
+                )
 
         result = blocks.groupBy("bucket").applyInPandas(
             _make_batch_scorer(qspecs, k), schema=BATCH_SCORE_SCHEMA
@@ -1414,7 +1504,7 @@ class PackedIndex:
                 keep = keep & (F.col("nterms") == need)
             keep = F.coalesce(keep, F.lit(False))
             blk = (
-                _block_survivors(ctx["blocks"], ctx["idf"], cut, need or 0)
+                _block_survivors(ctx["blocks"], ctx["idf"], cut)
                 .agg(
                     F.count(F.lit(1)).alias("blocks"),
                     F.sum(keep.cast("long")).alias("blocks_scored"),
