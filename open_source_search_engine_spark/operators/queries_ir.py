@@ -156,6 +156,42 @@ register(
 )(_wand(["join"], neg=["window"]))
 
 
+# --- D4/D8 batched: multi-query WAND in ONE job (round-4 verdict #3) ------
+# wand_topk_batch fuses Q queries into one scan + one bucket-scorer
+# pass + one rank-per-query top-k; per query it is rank-identical to
+# wand_topk (pinned in tests/test_wand_batch.py). The oracle is the
+# UNION ALL of the same per-query BM25 SQL each single-query row uses
+# — so the fused execution is held to exactly the per-query contract.
+
+_BATCH_QSET: dict[str, list | tuple] = {
+    "and2": ["join", "filter"],
+    "or2": (["join", "window"], "or", None),
+    "not1": (["join"], "and", ["window"]),
+}
+
+
+def _wand_batch(spark, sf_dir):
+    return _packed_index(spark, sf_dir).wand_topk_batch(_BATCH_QSET, k=10)
+
+
+def _batch_oracle(qset: dict) -> str:
+    legs = []
+    for qid, spec in qset.items():
+        terms, mode, neg = (
+            (spec, "and", None) if isinstance(spec, list) else spec
+        )
+        sql = bm25_oracle_sql(terms, mode=mode, neg_terms=neg)
+        legs.append(
+            f"SELECT '{qid}' AS query_id, docid, score FROM ({sql})"
+        )
+    return " UNION ALL ".join(legs)
+
+
+register("wand_batch", _batch_oracle(_BATCH_QSET), extended=True)(
+    _wand_batch
+)
+
+
 # --- C4: per-posting density/spam rank scoring (packed path) --------------
 # The packed dens/spam streams (segments.py) carry one rank byte per
 # posting; the scorer multiplies BM25 by ((8+dens)/16)·((16-spam)/16).
