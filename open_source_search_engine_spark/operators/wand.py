@@ -63,6 +63,34 @@ _K1B = K1 * B
 # rule cannot drift between them
 _TIE_GRID_EPS = 1e-4
 
+# Columns each bucket-scorer kind actually reads. FlatMapGroupsInPandas
+# is OPAQUE to Catalyst column pruning — without an explicit select,
+# every packed column of the store (on a positional store that means
+# the positions/dens/spam/divs blobs, the LARGEST columns) is read off
+# parquet and Arrow-transferred into Python for a plain-BM25 query
+# that never touches them. The projection is applied AFTER the JVM
+# prune so the pruned plan keeps its helper columns until filtered.
+_SCORER_BASE_COLS = [
+    "bucket", "termid", "docids", "tfs", "dls",
+    "blockmax_tf", "blockmin_dl", "inv_avgdl",
+]
+_SCORER_EXTRA_COLS = {
+    "density": ["dens", "spam"],
+    "diversity": ["divs"],
+    "phrase": ["positions"],
+    "proximity": ["positions"],
+}
+
+
+def _project_scorer_cols(blocks: DataFrame, kind: str | None = None):
+    """Project ``blocks`` down to the columns the ``kind`` scorer
+    reads (plain BM25 when kind is None). On a disk-backed store this
+    prunes the parquet ReadSchema — a pruned stream's bytes never
+    leave disk; on the cached store it cuts the Arrow transfer."""
+    have = set(blocks.columns)
+    cols = _SCORER_BASE_COLS + _SCORER_EXTRA_COLS.get(kind, [])
+    return blocks.select(*[c for c in cols if c in have])
+
 
 def _scatter_scores(docid_parts: list, score_parts: list):
     """Concatenate per-block (docids, partial-score) arrays and
@@ -982,8 +1010,10 @@ class PackedIndex:
         scorer = _make_bucket_scorer(
             ctx["idf"], ctx["required"], ctx["neg_ids"], k, cut=ctx["cut"]
         )
-        result = ctx["blocks"].groupBy("bucket").applyInPandas(
-            scorer, schema=SCORE_SCHEMA
+        result = (
+            _project_scorer_cols(ctx["blocks"])
+            .groupBy("bucket")
+            .applyInPandas(scorer, schema=SCORE_SCHEMA)
         )
 
         score = F.round(F.col("score"), round_to) if round_to else F.col("score")
@@ -1230,8 +1260,12 @@ class PackedIndex:
                     .drop("thr")
                 )
 
-        result = blocks.groupBy("bucket").applyInPandas(
-            _make_batch_scorer(qspecs, k), schema=BATCH_SCORE_SCHEMA
+        result = (
+            _project_scorer_cols(blocks)
+            .groupBy("bucket")
+            .applyInPandas(
+                _make_batch_scorer(qspecs, k), schema=BATCH_SCORE_SCHEMA
+            )
         )
         score = (
             F.round(F.col("score"), round_to) if round_to else F.col("score")
@@ -1324,8 +1358,10 @@ class PackedIndex:
                  "required": required}
             )
 
-        result = blocks.groupBy("bucket").applyInPandas(
-            scorer(cut), schema=SCORE_SCHEMA
+        result = (
+            _project_scorer_cols(blocks, kind)
+            .groupBy("bucket")
+            .applyInPandas(scorer(cut), schema=SCORE_SCHEMA)
         )
         score = (
             F.round(F.col("score"), round_to) if round_to else F.col("score")
@@ -1435,9 +1471,13 @@ class PackedIndex:
             termids, _make_field_scorer(body_idf, field_widf, k), k, round_to
         )
 
-        result = blocks.groupBy("bucket").applyInPandas(
-            _make_field_scorer(body_idf, field_widf, k, cut),
-            schema=SCORE_SCHEMA,
+        result = (
+            _project_scorer_cols(blocks)
+            .groupBy("bucket")
+            .applyInPandas(
+                _make_field_scorer(body_idf, field_widf, k, cut),
+                schema=SCORE_SCHEMA,
+            )
         )
         score = (
             F.round(F.col("score"), round_to) if round_to else F.col("score")

@@ -463,14 +463,24 @@ def test_bucketed_table_no_shuffle(spark, store, tmp_path_factory):
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, plan
         assert "BroadcastExchange" in plan, plan
-        agg_scans = [
-            seg for seg in plan.split("FileScan parquet")[1:]
-            if "blockmax_tf" in seg.split("ReadSchema")[1][:400]
+        scans = [
+            seg.split("ReadSchema")[1][:400]
+            for seg in plan.split("FileScan parquet")[1:]
         ]
-        assert agg_scans and all(
-            "docids" not in seg.split("ReadSchema")[1][:400]
-            for seg in agg_scans
-        ), plan
+        blob_scans = [s for s in scans if "docids" in s]
+        scalar_scans = [
+            s for s in scans if "docids" not in s and "blockmax_tf" in s
+        ]
+        # exactly ONE scan touches blob columns (the scorer's), and it
+        # is projected to the scorer's columns — the packed metadata
+        # columns (n, first/last_docid) must not survive into it
+        # (FlatMapGroupsInPandas is opaque to Catalyst pruning; the
+        # explicit _project_scorer_cols select is what cuts them)
+        assert len(blob_scans) == 1, plan
+        assert "first_docid" not in blob_scans[0], plan
+        # the bound aggregate's scan(s) read ONLY scalar columns
+        # (pruned sub-blocks' blobs stay on disk)
+        assert scalar_scans, plan
         assert [tuple(r) for r in res.collect()] == want
 
         # jvm_prune OFF: zero Exchange of any kind — the bucketed scan
