@@ -368,17 +368,52 @@ def bench_query_batch(
     }
 
 
+def _distinct_batch_jobs(pidx, passes: int) -> list:
+    """Build ``passes × 5`` DISTINCT queries over terms verifiably in
+    the store (top-df vocabulary, deterministic order). Earlier this
+    bench replayed the 5 QUERY_SET shapes ``passes`` times verbatim,
+    which (a) handed the fused batch a maximal shared-decode win no
+    20-distinct-query workload would see and (b) let the one
+    corpus-absent QUERY_SET term reduce to a batch no-op while the
+    per-query legs still paid a job for it — both structurally
+    flattering the batch leg (round-5 review finding). Every leg now
+    runs these same 20 distinct, non-empty queries."""
+    from pyspark.sql import functions as F
+
+    need = passes * 5
+    vocab = [
+        r["term"]
+        for r in pidx.term_stats.orderBy(F.desc("df"), F.asc("term"))
+        .limit(need)
+        .collect()
+    ]
+    if len(vocab) < need:  # tiny fixture corpus: wrap around
+        vocab = (vocab * ((need // max(len(vocab), 1)) + 1))[:need]
+    jobs = []
+    for p in range(passes):
+        v = vocab[p * 5 : p * 5 + 5]
+        jobs += [
+            (f"and2_{p}", ([v[0], v[1]], "and", None)),
+            (f"and3_{p}", ([v[0], v[1], v[2]], "and", None)),
+            (f"or2_{p}", ([v[1], v[2]], "or", None)),
+            (f"single_{p}", ([v[3]], "and", None)),
+            (f"not_{p}", ([v[0]], "and", [v[4]])),
+        ]
+    return jobs
+
+
 def run_batch(sf_dir: str, passes: int = 4) -> None:
-    """Batched multi-query execution evidence (round-4 verdict #3):
-    the SAME 20-query workload BENCH/concurrency.md drove through 4
-    client threads (3.32 QPS, CPU-saturated), fused into ONE Spark
-    job via ``PackedIndex.wand_topk_batch`` — query_id carried through
-    the bucket scorer, shared term blocks decoded once, one
-    rank-per-query top-k. Reports batch QPS next to a same-window
-    sequential and 4-thread leg so the comparison doesn't lean on a
-    different host window. Rank-identity vs per-query results is
-    pinned in tests/test_wand_batch.py (this function measures, the
-    test proves)."""
+    """Batched multi-query execution evidence (round-4 verdict #3): a
+    20-query workload (the concurrency bench's size) fused into ONE
+    Spark job via ``PackedIndex.wand_topk_batch`` — query_id carried
+    through the bucket scorer, shared term blocks decoded once, one
+    rank-per-query top-k. The 20 queries are DISTINCT and built from
+    the store's own head vocabulary (``_distinct_batch_jobs``), and
+    all three legs run exactly the same list. Reports batch QPS next
+    to a same-window sequential and 4-thread leg so the comparison
+    doesn't lean on a different host window. Rank-identity vs
+    per-query results is pinned in tests/test_wand_batch.py (this
+    function measures, the test proves)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from open_source_search_engine_spark.operators.segments import (
@@ -395,13 +430,9 @@ def run_batch(sf_dir: str, passes: int = 4) -> None:
     cal_pre = _calibrate()
     build = bench_build(spark, sf_dir, positional=False)
     pidx = PackedIndex(spark, SegmentStore(build["_store_root"]))
-    jobs = [
-        (f"{name}_{p}", (terms, mode, neg))
-        for p in range(passes)
-        for (name, terms, mode, neg) in QUERY_SET
-    ]
+    jobs = _distinct_batch_jobs(pidx, passes)
     batch_spec = dict(jobs)
-    for _, terms, mode, neg in QUERY_SET:  # warm (codegen, caches)
+    for _, (terms, mode, neg) in jobs:  # warm (codegen, caches)
         pidx.wand_topk(terms, k=10, mode=mode, neg_terms=neg).collect()
     pidx.wand_topk_batch(batch_spec, k=10).collect()  # warm batch plan
 

@@ -339,24 +339,37 @@ def spell_suggest(spark, sf_dir):
     past the bound — O(|q|·threshold) per row instead of O(|q|²)).
     """
     idx = cached_index(spark, sf_dir)
-    q = SPELL_INPUT
-    band = F.abs(F.length("term") - F.lit(len(q))) <= 2
-    missing = None
-    for c in sorted(set(q)):
-        m = F.when(F.instr("term", c) == 0, 1).otherwise(0)
-        missing = m if missing is None else missing + m
-    dist = F.levenshtein(F.col("term"), F.lit(q), 2)
     return (
-        idx.term_stats.filter(band)
-        .filter(missing <= 2)
-        .select(
+        _spell_candidates(idx, SPELL_INPUT, 2)
+        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(5)
+    )
+
+
+def _spell_candidates(idx, q: str, max_dist: int):
+    """Shared D17 candidate generator: (term, df, dist) rows within
+    ``max_dist`` edits of ``q``, prefiltered as spell_suggest's
+    docstring derives. The missing-character filter is skipped when q
+    has ≤ max_dist distinct characters — it would be a tautology
+    (every term trivially misses ≤ max_dist of them) paying per-row
+    instr() work for zero pruning."""
+    band = F.abs(F.length("term") - F.lit(len(q))) <= max_dist
+    cand = idx.term_stats.filter(band)
+    if len(set(q)) > max_dist:
+        missing = None
+        for c in sorted(set(q)):
+            m = F.when(F.instr("term", c) == 0, 1).otherwise(0)
+            missing = m if missing is None else missing + m
+        cand = cand.filter(missing <= max_dist)
+    dist = F.levenshtein(F.col("term"), F.lit(q), max_dist)
+    return (
+        cand.select(
             "term",
             F.col("df").cast("long").alias("df"),
             dist.cast("long").alias("dist"),
         )
-        .filter(F.col("dist") >= 0)  # threshold form returns -1 past 2
-        .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-        .limit(5)
+        # threshold levenshtein returns -1 past max_dist
+        .filter(F.col("dist") >= 0)
     )
 
 
@@ -432,32 +445,18 @@ def suggest_paged(spark, sf_dir):
     spelling suggestions for a misspelled query.
 
     Exercises BOTH family code paths in one oracle-paired query —
-    D17's dictionary suggestion machinery (length-band +
-    missing-character prefilters, both implied by dist ≤ 3, then the
-    THRESHOLD levenshtein; ``Speller.cpp: getRecommendation``) and
-    D18's scale-safe paging shape (two bounded TakeOrderedAndProject
+    D17's dictionary suggestion machinery via the shared
+    ``_spell_candidates`` prefilter+threshold-levenshtein pipeline
+    (for this input the missing-character filter is correctly elided:
+    'stat' has only 3 distinct chars, so "≤ 3 missing" would pass
+    every row; ``Speller.cpp: getRecommendation``) and D18's
+    scale-safe paging shape (two bounded TakeOrderedAndProject
     passes + anti-join — never a global single-partition window;
     ``Msg40`` re-query-with-offset). The single-behavior variants
     stay oracle-paired in the extended tier (``spell_suggest``,
     ``scroll_page2``)."""
     idx = cached_index(spark, sf_dir)
-    q = SUGGEST_PAGED_INPUT
-    band = F.abs(F.length("term") - F.lit(len(q))) <= 3
-    missing = None
-    for c in sorted(set(q)):
-        m = F.when(F.instr("term", c) == 0, 1).otherwise(0)
-        missing = m if missing is None else missing + m
-    dist = F.levenshtein(F.col("term"), F.lit(q), 3)
-    cand = (
-        idx.term_stats.filter(band)
-        .filter(missing <= 3)
-        .select(
-            "term",
-            F.col("df").cast("long").alias("df"),
-            dist.cast("long").alias("dist"),
-        )
-        .filter(F.col("dist") >= 0)
-    )
+    cand = _spell_candidates(idx, SUGGEST_PAGED_INPUT, 3)
     order = [F.asc("dist"), F.desc("df"), F.asc("term")]
     top6 = cand.orderBy(*order).limit(6)
     top3 = cand.orderBy(*order).limit(3)

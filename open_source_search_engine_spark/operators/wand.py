@@ -1053,10 +1053,17 @@ class PackedIndex:
             return None
         if bpdf.empty:
             return bpdf.assign(thr=[])[["bucket", "termid", "thr"]]
-        piv = bpdf.pivot(index="bucket", columns="termid", values="t_ub")
-        nb, nt = piv.shape
+        # Check the DENSE size before materializing the pivot: a sparse
+        # bound table (row count under the cap) can still span a
+        # buckets × terms rectangle far over it, and pivot() allocates
+        # that rectangle NaN-filled — the exact driver OOM the cap
+        # exists to prevent.
+        nb = bpdf["bucket"].nunique()
+        nt = bpdf["termid"].nunique()
         if nb * nt > _BATCH_PRUNE_MAX_CELLS:
             return None
+        piv = bpdf.pivot(index="bucket", columns="termid", values="t_ub")
+        nb, nt = piv.shape
         buckets = piv.index.to_numpy(np.int64)
         tids = piv.columns.to_numpy(np.int64)
         M = piv.to_numpy(np.float64)  # NaN where (bucket, term) absent

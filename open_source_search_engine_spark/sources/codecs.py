@@ -988,16 +988,22 @@ def decode_gif(payload: bytes) -> np.ndarray:
         if transp is None:
             return rgb
         # transparency: frame pixels carrying the transparent index
-        # are clear; the uncovered background is clear iff the header
-        # bg index IS the transparent index (same index space — the
-        # GCE transparent index applies to the active palette, but bg
-        # comparison keeps the pre-fix first-frame semantics)
+        # are clear; the uncovered background is clear iff the
+        # background COLOR is the transparent color. bg indexes the
+        # GLOBAL table, the GCE transparent index the frame's ACTIVE
+        # palette — two different index spaces when a local palette is
+        # present — so the comparison is by resolved RGB, not by index
+        # collision (review fix: index equality both false-cleared and
+        # false-kept backgrounds under local palettes)
         ic = np.full((h, w), -1, dtype=np.int16)
         ic[top : top + clipped.shape[0], left : left + clipped.shape[1]] = (
             clipped.astype(np.int16)
         )
         bg_clear = (
-            gct is not None and bg < gct.shape[0] and int(bg) == int(transp)
+            gct is not None
+            and bg < gct.shape[0]
+            and int(transp) < pal.shape[0]
+            and bool((gct[bg] == pal[int(transp)]).all())
         )
         alpha = np.where(
             (ic == int(transp)) | ((ic == -1) & bg_clear), 0, 255

@@ -89,8 +89,12 @@ def start_incremental_index(
         # postings into a compact-*), re-writing the dir + a fresh
         # 'committed' row would resurrect it alongside its compacted
         # copy — double-counting every doc it held. Skip: the data is
-        # already in the store.
-        if os.path.exists(store.manifest_path):
+        # already in the store. Only possible — and only paid for —
+        # when the compaction policy is armed: with it off nothing can
+        # ever mark an epoch 'compacted', so the manifest read + window
+        # + collect would be a per-epoch Spark job spent on a status
+        # that cannot occur.
+        if min_files_to_merge and os.path.exists(store.manifest_path):
             sid = f"stream-{epoch_id:06d}"
             st = (
                 store.manifest_current(batch_df.sparkSession)

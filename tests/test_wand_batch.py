@@ -174,3 +174,40 @@ def test_batch_jvm_prune_is_subblock_in_plan(
         ), plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_fold_checks_dense_size_before_pivoting(spark, store, monkeypatch):
+    """Round-5 review fix: a SPARSE bound table (row count under
+    _BATCH_PRUNE_MAX_CELLS) can still span a buckets × termids
+    rectangle far over it, and ``pivot()`` materializes that dense
+    NaN-filled rectangle — the driver OOM the cap exists to prevent.
+    The nunique-product check must run BEFORE the pivot; pinned by
+    making any pivot call an assertion failure."""
+    import pandas as pd
+
+    from open_source_search_engine_spark.operators import wand as W
+
+    pidx = PackedIndex(spark, store)
+    sparse = pd.DataFrame(
+        {  # 5 rows over a 3 × 3 rectangle: rows ≤ cap < nb·nt
+            "bucket": [0, 1, 2, 0, 1],
+            "termid": [1, 2, 3, 3, 1],
+            "t_ub": [1.0, 1.0, 1.0, 1.0, 1.0],
+        }
+    )
+
+    class _Bounds:  # stands in for the Spark bounds frame
+        def limit(self, n):
+            return self
+
+        def toPandas(self):
+            return sparse
+
+    monkeypatch.setattr(W, "_bucket_term_bounds", lambda b, i: _Bounds())
+    monkeypatch.setattr(W, "_BATCH_PRUNE_MAX_CELLS", 8)
+
+    def _boom(*a, **k):
+        raise AssertionError("pivot materialized before the cap check")
+
+    monkeypatch.setattr(pd.DataFrame, "pivot", _boom)
+    assert pidx._fold_batch_thresholds(None, {}, []) is None
