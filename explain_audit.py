@@ -67,11 +67,10 @@ CHECKS = {
         ("isnull(thr", "row filter keeps NULL-thr rows (neg terms, "
                        "no-seed queries) and drops sub-blocks below "
                        "every interested query's threshold before "
-                       "Arrow; the bound aggregate feeding the "
-                       "thresholds runs as a separate eager job whose "
-                       "scalar-only ReadSchema is audited on the "
-                       "single-query plan above (same "
-                       "_bucket_term_bounds path)"),
+                       "Arrow; the thresholds fold driver-side from "
+                       "the memoized per-(termid, bucket) bound cache "
+                       "(_bounds_for) — a warm batch adds no scan or "
+                       "job beyond the pruned blob scan itself"),
     ],
     "field_boost_packed": [
         ("FlatMapGroupsInPandas", "hashgroup scorer over build-time field streams"),

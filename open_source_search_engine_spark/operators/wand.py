@@ -182,7 +182,7 @@ def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
     )
 
 
-def _block_survivors(blocks, idf: dict, cut: float):
+def _block_survivors(blocks, idf: dict, cut: float, tb=None, agg=None):
     """Row-level (sub-block) Ding & Suel survivor set, pure JVM.
 
     A block row of term t bounds every doc in its docid range by
@@ -193,6 +193,15 @@ def _block_survivors(blocks, idf: dict, cut: float):
     argument at bucket granularity). Negative-term rows never prune:
     their docid sets must stay complete for the anti-filter.
 
+    ``tb``/``agg`` inject the per-(bucket, termid) bound table and its
+    per-bucket rollup as LITERAL frames (the query path supplies them
+    from ``PackedIndex._survivor_tables``'s driver-side cache so the
+    plan carries zero aggregate sub-scans — two per-query scans of the
+    store's scalar columns were the dominant small-corpus overhead);
+    when omitted they are aggregated from ``blocks`` in-plan (the
+    diagnostic path). Both sources evaluate the same
+    ``_tfnorm_ub_col`` expression, so the numbers cannot differ.
+
     Returns ``blocks`` + helper columns ``bucket_ub`` / ``nterms`` /
     ``row_keep``; callers filter on bucket survival + row_keep and
     drop the helpers — including the AND-mode constraint (``nterms ==
@@ -201,11 +210,13 @@ def _block_survivors(blocks, idf: dict, cut: float):
     would drop. Shared by ``_prune_buckets_jvm`` and ``prune_stats``
     so the diagnostic cannot drift from the plan.
     """
-    tb = _bucket_term_bounds(blocks, idf)
-    agg = tb.groupBy("bucket").agg(
-        F.sum("t_ub").alias("bucket_ub"),
-        F.countDistinct("termid").alias("nterms"),
-    )
+    if tb is None:
+        tb = _bucket_term_bounds(blocks, idf)
+    if agg is None:
+        agg = tb.groupBy("bucket").agg(
+            F.sum("t_ub").alias("bucket_ub"),
+            F.countDistinct("termid").alias("nterms"),
+        )
     row_ub = _idf_map_expr(idf)[F.col("termid")] * _tfnorm_ub_col()
     return (
         blocks.join(F.broadcast(tb), ["bucket", "termid"], "left")
@@ -795,6 +806,10 @@ class PackedIndex:
         self.n_docs, self.avgdl = store.globals_(spark)
         self._term_cache: dict[str, tuple] = {}
         self._seed_cache: dict[int, list] = {}
+        # termid -> {bucket: max tfnorm_ub} — static per store snapshot
+        # (like term_stats above; a PackedIndex is bound to the store
+        # state at construction). Feeds _survivor_tables.
+        self._bound_cache: dict[int, dict[int, float]] = {}
         self._warm_popular()
 
     def _warm_popular(self, top_n: int = 256) -> None:
@@ -854,6 +869,58 @@ class PackedIndex:
         for t in termids:
             out.extend(self._seed_cache.get(t, []))
         return out
+
+    def _bounds_for(self, termids: list[int]) -> dict[int, dict[int, float]]:
+        """Per-(termid, bucket) block-bound maxima (``max tfnorm_ub``),
+        memoized per termid — the driver-side analogue of
+        ``_term_rows``. These are STATIC store metadata (extrema of
+        scalar columns), so aggregating them per QUERY was paying two
+        full scalar-column scans of the store in every disk-backed
+        plan; now a cold term pays one aggregate collect (termid
+        pushdown, scalar columns only — ≤ n_buckets rows per term) and
+        every later query builds its bound tables as literals."""
+        missing = [t for t in termids if t not in self._bound_cache]
+        if missing:
+            rows = (
+                self.packed.filter(F.col("termid").isin(missing))
+                .withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
+                .groupBy("bucket", "termid")
+                .agg(F.max(_tfnorm_ub_col()).alias("raw_ub"))
+                .collect()
+            )
+            for t in missing:
+                self._bound_cache.setdefault(t, {})
+            for r in rows:
+                self._bound_cache[int(r["termid"])][int(r["bucket"])] = (
+                    float(r["raw_ub"])
+                )
+        return {t: self._bound_cache[t] for t in termids}
+
+    def _survivor_tables(self, idf: dict[int, float]):
+        """(tb, agg) literal frames for ``_block_survivors`` — the
+        per-(bucket, termid) bound ``t_ub = idf_t · max tfnorm_ub``
+        and its per-bucket rollup (Σ t_ub, count of terms present) —
+        built from the driver bound cache: tiny (|terms| × n_buckets
+        rows), broadcast-joined, zero aggregate sub-scans in the
+        query plan."""
+        bounds = self._bounds_for(list(idf))
+        tb_rows: list = []
+        per_bucket: dict[int, tuple[float, int]] = {}
+        for t, by_bucket in bounds.items():
+            w = idf[t]
+            for b, raw in by_bucket.items():
+                t_ub = w * raw
+                tb_rows.append((b, t, t_ub))
+                s, n = per_bucket.get(b, (0.0, 0))
+                per_bucket[b] = (s + t_ub, n + 1)
+        tb = self.spark.createDataFrame(
+            tb_rows, schema="bucket int, termid long, t_ub double"
+        )
+        agg = self.spark.createDataFrame(
+            [(b, s, n) for b, (s, n) in per_bucket.items()],
+            schema="bucket int, bucket_ub double, nterms long",
+        )
+        return tb, agg
 
     def _query_ctx(
         self,
@@ -961,16 +1028,19 @@ class PackedIndex:
         """Block-max bucket prune IN THE QUERY PLAN: aggregate each
         bucket's upper bound from the SCALAR blockmax columns (pure
         JVM, whole-stage codegen — the blob columns are not touched),
-        then left-semi join the survivors. On a disk-backed store the
-        parquet scan for the aggregate reads only the scalar columns,
-        so a pruned bucket's docids/tfs/dls bytes are never read at
-        all — the Ding & Suel skip realized as I/O pruning, not just
-        decode skipping. AND-mode buckets missing a required term are
-        dropped the same way."""
+        then left-semi join the survivors. On a disk-backed store a
+        pruned bucket's docids/tfs/dls bytes are never read at all —
+        the Ding & Suel skip realized as I/O pruning, not just decode
+        skipping. AND-mode buckets missing a required term are dropped
+        the same way. The bound tables come from the driver cache
+        (``_survivor_tables``) as literal broadcasts, so the plan
+        carries NO aggregate sub-scans — the only FileScan left is the
+        pruned blob scan itself."""
         blocks, idf, cut = ctx["blocks"], ctx["idf"], ctx["cut"]
         if cut == float("-inf"):
             return blocks
-        flagged = _block_survivors(blocks, idf, cut)
+        tb, agg = self._survivor_tables(idf)
+        flagged = _block_survivors(blocks, idf, cut, tb=tb, agg=agg)
         keep = (F.col("bucket_ub") >= F.lit(cut)) & F.col("row_keep")
         if ctx["required"]:
             keep = keep & (F.col("nterms") == len(ctx["required"]))
@@ -1024,13 +1094,16 @@ class PackedIndex:
         )
 
     def _fold_batch_thresholds(
-        self, blocks: DataFrame, idf_all: dict[int, float], qspecs: list
+        self, idf_all: dict[int, float], qspecs: list
     ):
         """Fold per-(bucket, termid) bounds into the weakest row-level
         threshold any batch query still needs — the multi-query form
         of ``_block_survivors``'s row bound, as a pandas DataFrame
         (bucket, termid, thr) ready to broadcast; thr is NA where the
         row must be kept unconditionally (neg terms, no-seed queries).
+        Bounds come from the driver cache (``_bounds_for``) — cold
+        batch terms pay one shared aggregate collect; a warm batch
+        builds the matrix without touching the cluster.
 
         Returns None when the bound matrix exceeds
         ``_BATCH_PRUNE_MAX_CELLS`` (caller skips the plan-level prune:
@@ -1044,13 +1117,15 @@ class PackedIndex:
         loop over buckets (a 64k-bucket × 2000-query batch would be
         billions of interpreted iterations)."""
         ninf = float("-inf")
-        bpdf = (
-            _bucket_term_bounds(blocks, idf_all)
-            .limit(_BATCH_PRUNE_MAX_CELLS + 1)
-            .toPandas()
-        )
-        if len(bpdf) > _BATCH_PRUNE_MAX_CELLS:
+        bounds = self._bounds_for(list(idf_all))
+        rows = [
+            (b, t, idf_all[t] * raw)
+            for t, by_bucket in bounds.items()
+            for b, raw in by_bucket.items()
+        ]
+        if len(rows) > _BATCH_PRUNE_MAX_CELLS:
             return None
+        bpdf = pd.DataFrame(rows, columns=["bucket", "termid", "t_ub"])
         if bpdf.empty:
             return bpdf.assign(thr=[])[["bucket", "termid", "thr"]]
         # Check the DENSE size before materializing the pivot: a sparse
@@ -1241,7 +1316,7 @@ class PackedIndex:
             # plan filter stops paying for its own broadcast — and a
             # thr table that size could not broadcast anyway. The
             # in-scorer per-query prune still applies either way.
-            thr_pdf = self._fold_batch_thresholds(blocks, idf_all, qspecs)
+            thr_pdf = self._fold_batch_thresholds(idf_all, qspecs)
             if thr_pdf is not None and thr_pdf.empty:
                 return self.spark.createDataFrame([], BATCH_SCORE_SCHEMA)
             if thr_pdf is not None:

@@ -453,12 +453,12 @@ def test_bucketed_table_no_shuffle(spark, store, tmp_path_factory):
             tuple(r)
             for r in bm25_topk(idx, ["join", "filter"], k=10).collect()
         ]
-        # jvm_prune ON: per-(bucket, termid) bound aggregate broadcast-
-        # joined back for the row-level (sub-block) filter; the only
-        # Exchanges are broadcasts of scalar (bucket, termid, t_ub) /
-        # (bucket, ub, nterms) rows — never blob columns. The bound
-        # aggregate's own scan must read ONLY scalar columns (pruned
-        # sub-blocks' blobs stay on disk).
+        # jvm_prune ON: the row-level (sub-block) filter joins LITERAL
+        # bound tables from the driver cache (_survivor_tables) — the
+        # only Exchanges are broadcasts of scalar (bucket, termid,
+        # t_ub) / (bucket, bucket_ub, nterms) rows, never blob
+        # columns, and the plan carries NO aggregate sub-scans: the
+        # ONE FileScan is the pruned blob scan itself.
         res = pidx.wand_topk(["join", "filter"], k=10)
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, plan
@@ -467,20 +467,16 @@ def test_bucketed_table_no_shuffle(spark, store, tmp_path_factory):
             seg.split("ReadSchema")[1][:400]
             for seg in plan.split("FileScan parquet")[1:]
         ]
-        blob_scans = [s for s in scans if "docids" in s]
-        scalar_scans = [
-            s for s in scans if "docids" not in s and "blockmax_tf" in s
-        ]
-        # exactly ONE scan touches blob columns (the scorer's), and it
-        # is projected to the scorer's columns — the packed metadata
+        # exactly ONE parquet scan in the whole plan (the scorer's),
+        # projected to the scorer's columns — the packed metadata
         # columns (n, first/last_docid) must not survive into it
         # (FlatMapGroupsInPandas is opaque to Catalyst pruning; the
-        # explicit _project_scorer_cols select is what cuts them)
-        assert len(blob_scans) == 1, plan
-        assert "first_docid" not in blob_scans[0], plan
-        # the bound aggregate's scan(s) read ONLY scalar columns
-        # (pruned sub-blocks' blobs stay on disk)
-        assert scalar_scans, plan
+        # explicit _project_scorer_cols select is what cuts them).
+        # The per-query bound-aggregate scans are GONE: bounds are
+        # static store metadata, memoized driver-side per termid.
+        assert len(scans) == 1, plan
+        assert "docids" in scans[0], plan
+        assert "first_docid" not in scans[0], plan
         assert [tuple(r) for r in res.collect()] == want
 
         # jvm_prune OFF: zero Exchange of any kind — the bucketed scan

@@ -188,26 +188,15 @@ def test_fold_checks_dense_size_before_pivoting(spark, store, monkeypatch):
     from open_source_search_engine_spark.operators import wand as W
 
     pidx = PackedIndex(spark, store)
-    sparse = pd.DataFrame(
-        {  # 5 rows over a 3 × 3 rectangle: rows ≤ cap < nb·nt
-            "bucket": [0, 1, 2, 0, 1],
-            "termid": [1, 2, 3, 3, 1],
-            "t_ub": [1.0, 1.0, 1.0, 1.0, 1.0],
-        }
-    )
-
-    class _Bounds:  # stands in for the Spark bounds frame
-        def limit(self, n):
-            return self
-
-        def toPandas(self):
-            return sparse
-
-    monkeypatch.setattr(W, "_bucket_term_bounds", lambda b, i: _Bounds())
+    # 5 (termid -> bucket) bound entries over a 3 × 3 rectangle:
+    # rows ≤ cap < nb·nt
+    sparse = {1: {0: 1.0, 1: 1.0}, 2: {1: 1.0}, 3: {0: 1.0, 2: 1.0}}
+    monkeypatch.setattr(pidx, "_bounds_for", lambda tids: sparse)
     monkeypatch.setattr(W, "_BATCH_PRUNE_MAX_CELLS", 8)
 
     def _boom(*a, **k):
         raise AssertionError("pivot materialized before the cap check")
 
     monkeypatch.setattr(pd.DataFrame, "pivot", _boom)
-    assert pidx._fold_batch_thresholds(None, {}, []) is None
+    idf_all = {1: 1.0, 2: 1.0, 3: 1.0}
+    assert pidx._fold_batch_thresholds(idf_all, []) is None
