@@ -182,7 +182,7 @@ def _bucket_upper_bounds(blocks, idf: dict, with_bytes: bool = False):
     )
 
 
-def _block_survivors(blocks, idf: dict, cut: float, tb=None, agg=None):
+def _block_survivors(blocks, idf: dict, cut: float):
     """Row-level (sub-block) Ding & Suel survivor set, pure JVM.
 
     A block row of term t bounds every doc in its docid range by
@@ -193,30 +193,25 @@ def _block_survivors(blocks, idf: dict, cut: float, tb=None, agg=None):
     argument at bucket granularity). Negative-term rows never prune:
     their docid sets must stay complete for the anti-filter.
 
-    ``tb``/``agg`` inject the per-(bucket, termid) bound table and its
-    per-bucket rollup as LITERAL frames (the query path supplies them
-    from ``PackedIndex._survivor_tables``'s driver-side cache so the
-    plan carries zero aggregate sub-scans — two per-query scans of the
-    store's scalar columns were the dominant small-corpus overhead);
-    when omitted they are aggregated from ``blocks`` in-plan (the
-    diagnostic path). Both sources evaluate the same
-    ``_tfnorm_ub_col`` expression, so the numbers cannot differ.
+    This is the REFERENCE implementation (in-plan aggregates over the
+    scalar blockmax columns) used by the ``prune_stats`` diagnostic.
+    The query path (``_prune_buckets_jvm``) evaluates the SAME bound
+    formula from the driver bound cache as pushed-down literals — both
+    sides evaluate ``_tfnorm_ub_col``, so the numbers cannot differ;
+    the survivor-set parity is pinned in tests/test_segments_wand.py.
 
     Returns ``blocks`` + helper columns ``bucket_ub`` / ``nterms`` /
     ``row_keep``; callers filter on bucket survival + row_keep and
     drop the helpers — including the AND-mode constraint (``nterms ==
     |required|``), which this function deliberately does NOT apply:
     ``prune_stats`` needs the unfiltered rows to count what the filter
-    would drop. Shared by ``_prune_buckets_jvm`` and ``prune_stats``
-    so the diagnostic cannot drift from the plan.
+    would drop.
     """
-    if tb is None:
-        tb = _bucket_term_bounds(blocks, idf)
-    if agg is None:
-        agg = tb.groupBy("bucket").agg(
-            F.sum("t_ub").alias("bucket_ub"),
-            F.countDistinct("termid").alias("nterms"),
-        )
+    tb = _bucket_term_bounds(blocks, idf)
+    agg = tb.groupBy("bucket").agg(
+        F.sum("t_ub").alias("bucket_ub"),
+        F.countDistinct("termid").alias("nterms"),
+    )
     row_ub = _idf_map_expr(idf)[F.col("termid")] * _tfnorm_ub_col()
     return (
         blocks.join(F.broadcast(tb), ["bucket", "termid"], "left")
@@ -808,7 +803,7 @@ class PackedIndex:
         self._seed_cache: dict[int, list] = {}
         # termid -> {bucket: max tfnorm_ub} — static per store snapshot
         # (like term_stats above; a PackedIndex is bound to the store
-        # state at construction). Feeds _survivor_tables.
+        # state at construction). Feeds _survivor_bounds.
         self._bound_cache: dict[int, dict[int, float]] = {}
         self._warm_popular()
 
@@ -896,31 +891,29 @@ class PackedIndex:
                 )
         return {t: self._bound_cache[t] for t in termids}
 
-    def _survivor_tables(self, idf: dict[int, float]):
-        """(tb, agg) literal frames for ``_block_survivors`` — the
-        per-(bucket, termid) bound ``t_ub = idf_t · max tfnorm_ub``
-        and its per-bucket rollup (Σ t_ub, count of terms present) —
-        built from the driver bound cache: tiny (|terms| × n_buckets
-        rows), broadcast-joined, zero aggregate sub-scans in the
-        query plan."""
+    def _survivor_bounds(self, idf: dict[int, float]):
+        """Driver-side survivor inputs for ``_prune_buckets_jvm`` —
+        the per-(termid, bucket) bound ``t_ub = idf_t · max
+        tfnorm_ub`` and its per-bucket rollup (Σ t_ub, count of terms
+        present), computed from the driver bound cache (tiny:
+        |terms| × n_buckets values). These are the SAME numbers
+        ``_block_survivors``' in-plan aggregates produce (both sides
+        evaluate ``_tfnorm_ub_col`` — parity pinned in
+        tests/test_segments_wand.py) but as plain dicts, so the query
+        plan folds them in as literals instead of broadcast-joining
+        per-query frames."""
         bounds = self._bounds_for(list(idf))
-        tb_rows: list = []
-        per_bucket: dict[int, tuple[float, int]] = {}
+        t_ub: dict[int, dict[int, float]] = {}
+        bucket_ub: dict[int, float] = {}
+        nterms: dict[int, int] = {}
         for t, by_bucket in bounds.items():
             w = idf[t]
             for b, raw in by_bucket.items():
-                t_ub = w * raw
-                tb_rows.append((b, t, t_ub))
-                s, n = per_bucket.get(b, (0.0, 0))
-                per_bucket[b] = (s + t_ub, n + 1)
-        tb = self.spark.createDataFrame(
-            tb_rows, schema="bucket int, termid long, t_ub double"
-        )
-        agg = self.spark.createDataFrame(
-            [(b, s, n) for b, (s, n) in per_bucket.items()],
-            schema="bucket int, bucket_ub double, nterms long",
-        )
-        return tb, agg
+                v = w * raw
+                t_ub.setdefault(t, {})[b] = v
+                bucket_ub[b] = bucket_ub.get(b, 0.0) + v
+                nterms[b] = nterms.get(b, 0) + 1
+        return t_ub, bucket_ub, nterms
 
     def _query_ctx(
         self,
@@ -1025,30 +1018,68 @@ class PackedIndex:
         return tau
 
     def _prune_buckets_jvm(self, ctx: dict) -> DataFrame:
-        """Block-max bucket prune IN THE QUERY PLAN: aggregate each
-        bucket's upper bound from the SCALAR blockmax columns (pure
-        JVM, whole-stage codegen — the blob columns are not touched),
-        then left-semi join the survivors. On a disk-backed store a
-        pruned bucket's docids/tfs/dls bytes are never read at all —
-        the Ding & Suel skip realized as I/O pruning, not just decode
-        skipping. AND-mode buckets missing a required term are dropped
-        the same way. The bound tables come from the driver cache
-        (``_survivor_tables``) as literal broadcasts, so the plan
-        carries NO aggregate sub-scans — the only FileScan left is the
-        pruned blob scan itself."""
+        """Block-max prune IN THE QUERY PLAN, join-free: both granules
+        are decided from the driver bound cache and folded into the
+        scan as LITERALS. Bucket survival (``Σ t_ub ≥ cut``, AND-mode
+        term-presence) is resolved entirely driver-side and becomes a
+        ``bucket IN (...)`` predicate that pushes down to the parquet
+        scan — a pruned bucket's files are skipped by row-group stats,
+        so its docids/tfs/dls bytes are never read at all (the Ding &
+        Suel skip realized as I/O pruning). The sub-block row test
+        (``row_ub + (bucket_ub − t_ub) ≥ cut``) keeps its per-row half
+        in-plan but takes the per-(termid, bucket) constants from a
+        nested map literal, so the whole prune is ONE codegen'd filter
+        stage: zero joins, zero Exchanges, zero per-query frames
+        (the broadcast-join form this replaces cost two exchanges per
+        query — the dominant small-corpus overhead after the aggregate
+        sub-scans were removed). ``prune_stats`` keeps the in-plan
+        ``_block_survivors`` aggregates as the reference
+        implementation; parity between the two is pinned in
+        tests/test_segments_wand.py."""
         blocks, idf, cut = ctx["blocks"], ctx["idf"], ctx["cut"]
         if cut == float("-inf"):
             return blocks
-        tb, agg = self._survivor_tables(idf)
-        flagged = _block_survivors(blocks, idf, cut, tb=tb, agg=agg)
-        keep = (F.col("bucket_ub") >= F.lit(cut)) & F.col("row_keep")
-        if ctx["required"]:
-            keep = keep & (F.col("nterms") == len(ctx["required"]))
-        # neg-term rows carry a null bucket_ub only when their bucket
-        # has NO positive-term rows — such a bucket can't produce a
-        # match anyway, so the null-kills-it semantics of `keep` are
-        # right; inside a live bucket they survive via row_keep.
-        return flagged.filter(keep).drop("bucket_ub", "nterms", "row_keep")
+        t_ub, bucket_ub, nterms = self._survivor_bounds(idf)
+        need = len(ctx["required"]) if ctx.get("required") else 0
+        surv = sorted(
+            b for b, ub in bucket_ub.items()
+            if ub >= cut and (not need or nterms[b] == need)
+        )
+        # buckets with positive-term rows that fail the bound — or, for
+        # neg-term rows, buckets with NO positive rows at all (absent
+        # from bucket_ub; such a bucket can't produce a match) — drop
+        # at the scan via the isin pushdown.
+        if not surv:
+            return blocks.filter(F.lit(False))
+        pruned = blocks.filter(F.col("bucket").isin(surv))
+        surv_set = set(surv)
+        # rest(t, b) = bucket_ub[b] − t_ub[t][b]; lookups missing from
+        # the map (neg-term rows) yield NULL → keep unconditionally,
+        # matching _block_survivors' t_ub-isNull semantics.
+        rest_entries = [
+            x
+            for t, by_b in t_ub.items()
+            # a term whose buckets all failed survival has no rows
+            # left after the isin — skip it (an empty create_map()
+            # would type-conflict with the int→double inner maps)
+            if any(b in surv_set for b in by_b)
+            for x in (
+                F.lit(t),
+                F.create_map(*[
+                    y
+                    for b, v in by_b.items()
+                    if b in surv_set
+                    for y in (F.lit(b), F.lit(bucket_ub[b] - v))
+                ]),
+            )
+        ]
+        rest = F.create_map(*rest_entries)[F.col("termid")][
+            F.col("bucket")
+        ]
+        row_ub = _idf_map_expr(idf)[F.col("termid")] * _tfnorm_ub_col()
+        return pruned.filter(
+            rest.isNull() | (row_ub + rest >= F.lit(cut))
+        )
 
     def wand_topk(
         self,

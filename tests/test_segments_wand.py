@@ -453,16 +453,17 @@ def test_bucketed_table_no_shuffle(spark, store, tmp_path_factory):
             tuple(r)
             for r in bm25_topk(idx, ["join", "filter"], k=10).collect()
         ]
-        # jvm_prune ON: the row-level (sub-block) filter joins LITERAL
-        # bound tables from the driver cache (_survivor_tables) — the
-        # only Exchanges are broadcasts of scalar (bucket, termid,
-        # t_ub) / (bucket, bucket_ub, nterms) rows, never blob
-        # columns, and the plan carries NO aggregate sub-scans: the
-        # ONE FileScan is the pruned blob scan itself.
+        # jvm_prune ON: the whole prune is literals from the driver
+        # bound cache — bucket survival is a pushed-down `bucket IN`
+        # predicate on the scan, the sub-block row test a map-literal
+        # filter — so even WITH the prune the plan carries ZERO
+        # Exchange and ZERO joins: the ONE FileScan is the pruned
+        # blob scan itself, with the bucket prune in PushedFilters.
         res = pidx.wand_topk(["join", "filter"], k=10)
         plan = res._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan, plan
-        assert "BroadcastExchange" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "PushedFilters" in plan, plan
         scans = [
             seg.split("ReadSchema")[1][:400]
             for seg in plan.split("FileScan parquet")[1:]
@@ -494,6 +495,66 @@ def test_bucketed_table_no_shuffle(spark, store, tmp_path_factory):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS packed_bucketed_t")
+
+
+def test_prune_literal_matches_block_survivors(
+    spark, store, tmp_path_factory
+):
+    """The join-free literal prune (``_prune_buckets_jvm``:
+    driver-side bucket survival pushed into the scan + map-literal row
+    test) keeps EXACTLY the rows the reference in-plan implementation
+    (``_block_survivors`` — the ``prune_stats`` path) keeps, across
+    AND / OR / NOT shapes — the shared-bound-formula discipline,
+    pinned so the two cannot drift."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.segments import (
+        save_bucketed,
+    )
+    from open_source_search_engine_spark.operators.wand import (
+        _block_survivors,
+    )
+
+    path = str(tmp_path_factory.mktemp("idx_parity")) + "/t"
+    save_bucketed(spark, store, "packed_parity_t", path)
+    try:
+        pidx = PackedIndex(
+            spark, store, packed=spark.table("packed_parity_t")
+        )
+        key = ["termid", "bucket", "first_docid", "last_docid"]
+        for terms, mode, neg in [
+            (["join", "filter"], "and", None),
+            (["join", "filter", "hash"], "or", None),
+            (["join"], "and", ["filter"]),
+        ]:
+            ctx = pidx._query_ctx(terms, k=2, mode=mode, neg_terms=neg)
+            assert ctx is not None
+            cut = ctx["cut"]
+            # a -inf cut makes the prune a no-op on both sides but the
+            # reference filter still nulls out neg-only buckets — the
+            # parity claim is about live cuts, so require one
+            assert cut > float("-inf"), (terms, mode, neg)
+            got = {
+                tuple(r)
+                for r in pidx._prune_buckets_jvm(ctx)
+                .select(*key)
+                .collect()
+            }
+            keep = (F.col("bucket_ub") >= F.lit(cut)) & F.col("row_keep")
+            if ctx["required"]:
+                keep = keep & (F.col("nterms") == len(ctx["required"]))
+            keep = F.coalesce(keep, F.lit(False))
+            want = {
+                tuple(r)
+                for r in _block_survivors(ctx["blocks"], ctx["idf"], cut)
+                .filter(keep)
+                .select(*key)
+                .collect()
+            }
+            assert got == want, (terms, mode, neg, cut)
+            assert got, (terms, mode, neg, cut)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS packed_parity_t")
 
 
 def test_wand_diversity_matches_relational_formula(spark, pos_store):
