@@ -50,14 +50,16 @@ CHECKS = {
         ("FlatMapGroupsInPandas", "per-bucket scorer fed straight off the scan"),
     ],
     "wand_bucketed_jvmprune": [
-        ("BroadcastHashJoin", "scalar (bucket, termid, t_ub) bound rows "
-                              "broadcast back onto the blob scan — blobs "
-                              "unmoved"),
-        ("bucket_ub", "row-level (sub-block) Ding & Suel filter in-plan "
-                      "(bound aggregate joined back): pruned sub-blocks' "
-                      "blobs never cross Arrow"),
-        ("blockmax_tf", "bound aggregate reads only the scalar extrema "
-                        "columns"),
+        ("In(bucket", "driver-side bucket survival reaches the scan as a "
+                      "pushed-down bucket IN predicate"),
+        ("SelectedBucketsCount", "pruned buckets' FILES are deselected at "
+                                 "the bucketed scan — their blobs are "
+                                 "never read"),
+        ("values:", "the sub-block row bound's per-(termid, bucket) "
+                    "constants are a nested map LITERAL in the filter — "
+                    "no per-query bound frames, no joins"),
+        ("blockmax_tf", "row-level bound reads only the scalar extrema "
+                        "columns, in the same codegen stage as the scan"),
     ],
     "wand_batch_bucketed_jvmprune": [
         ("BroadcastHashJoin", "the (bucket, termid, thr) threshold map "
@@ -105,6 +107,12 @@ NEGATIVE_CHECKS = {
     "wand_bucketed": [
         ("Exchange", "zero shuffles: bucketed scan satisfies the scorer's "
                      "distribution, blobs never move"),
+    ],
+    "wand_bucketed_jvmprune": [
+        ("Exchange", "the prune adds NO exchange: bucket survival is a "
+                     "pushed literal, the row bound a map literal"),
+        ("Join", "no per-query bound-frame joins (the pre-r5 form paid "
+                 "two broadcasts per execution)"),
     ],
     "syngroups": [
         ("Expand", "no distinct-aggregate expansion"),
