@@ -197,8 +197,17 @@ def _block_survivors(blocks, idf: dict, cut: float):
     scalar blockmax columns) used by the ``prune_stats`` diagnostic.
     The query path (``_prune_buckets_jvm``) evaluates the SAME bound
     formula from the driver bound cache as pushed-down literals — both
-    sides evaluate ``_tfnorm_ub_col``, so the numbers cannot differ;
-    the survivor-set parity is pinned in tests/test_segments_wand.py.
+    sides evaluate ``_tfnorm_ub_col`` per (termid, bucket), so the
+    per-term bounds are bit-identical; only the per-bucket Σ can
+    differ by float summation order (last-ulp), and the survivor-set
+    parity is pinned in tests/test_segments_wand.py.
+
+    It is also the query path's size-capped fallback
+    (``_prune_buckets_joined``): past ``_LITERAL_PRUNE_MAX_CELLS``
+    the in-plan aggregates here cost two sub-scans per query, but in
+    that regime (huge bucket fan-out × many terms) they are
+    negligible against the blob scan they prune, and they never move
+    the bound set through the driver.
 
     Returns ``blocks`` + helper columns ``bucket_ub`` / ``nterms`` /
     ``row_keep``; callers filter on bucket survival + row_keep and
@@ -331,6 +340,19 @@ BATCH_SCORE_SCHEMA = "query_id string, docid long, score double"
 # live (bucket, term) pairs the min-over-queries threshold decays
 # toward keep-everything and the broadcast would dominate anyway.
 _BATCH_PRUNE_MAX_CELLS = 1_000_000
+
+# |terms| × n_buckets above which the single-query prune stops
+# embedding bounds as literals (a 64k-bucket store would put ~10^5
+# F.lit calls and a multi-MB filter expression in the plan — minutes
+# of driver-side construction and codegen fallback) and uses the
+# broadcast-join form instead, which handles any size.
+_LITERAL_PRUNE_MAX_CELLS = 8_192
+
+# cell budget for pre-warming the bound cache in _warm_popular: at
+# 16-128 sandbox buckets this warms all 256 popular terms; at a 64k-
+# bucket production layout it warms only the very head, keeping the
+# warm collect bounded.
+_BOUND_WARM_MAX_CELLS = 65_536
 
 
 def _make_batch_scorer(qspecs: list[tuple], k: int):
@@ -805,7 +827,18 @@ class PackedIndex:
         # (like term_stats above; a PackedIndex is bound to the store
         # state at construction). Feeds _survivor_bounds.
         self._bound_cache: dict[int, dict[int, float]] = {}
+        self._n_buckets: int | None = None
         self._warm_popular()
+
+    def _nb(self) -> int:
+        """Bucket fan-out of the store, probed lazily (one scalar
+        min/max-stats aggregate over the bucket column, once per
+        index) — sizes the literal-vs-broadcast prune decision and
+        the bound-warm budget."""
+        if self._n_buckets is None:
+            mx = self.packed.agg(F.max("bucket")).first()[0]
+            self._n_buckets = int(mx) + 1 if mx is not None else 1
+        return self._n_buckets
 
     def _warm_popular(self, top_n: int = 256) -> None:
         """Pre-fetch the highest-df terms' stats + seed blocks in one
@@ -827,6 +860,21 @@ class PackedIndex:
             seeds = self._seed_cache.setdefault(int(r["termid"]), [])
             if r["docids"] is not None:
                 seeds.append(r)
+        if self.jvm_prune and rows:
+            # pre-warm block bounds for the head terms too, so their
+            # first pruned query runs ONE job (the query) instead of a
+            # bounds collect + the query. Budgeted by cell count: at
+            # sandbox bucket fan-outs this covers all top_n terms; at
+            # a 64k-bucket layout it warms only the very head.
+            budget = max(0, _BOUND_WARM_MAX_CELLS // max(self._nb(), 1))
+            tids = list(dict.fromkeys(
+                int(r["termid"])
+                for r in sorted(
+                    rows, key=lambda r: (-int(r["df"]), r["term"])
+                )
+            ))[:budget]
+            if tids:
+                self._bounds_for(tids)
 
     def _term_rows(self, terms: list[str]) -> list:
         """term_stats rows for query terms, memoized across queries —
@@ -896,12 +944,15 @@ class PackedIndex:
         the per-(termid, bucket) bound ``t_ub = idf_t · max
         tfnorm_ub`` and its per-bucket rollup (Σ t_ub, count of terms
         present), computed from the driver bound cache (tiny:
-        |terms| × n_buckets values). These are the SAME numbers
-        ``_block_survivors``' in-plan aggregates produce (both sides
-        evaluate ``_tfnorm_ub_col`` — parity pinned in
-        tests/test_segments_wand.py) but as plain dicts, so the query
-        plan folds them in as literals instead of broadcast-joining
-        per-query frames."""
+        |terms| × n_buckets values). The per-term bounds are the SAME
+        numbers ``_block_survivors``' in-plan aggregates produce
+        (both sides evaluate ``_tfnorm_ub_col``, and ``idf·max(x) =
+        max(idf·x)`` exactly for the non-negative idf ``_query_ctx``
+        enforces); the per-bucket Σ can differ from Spark's
+        partition-order sum by a last ulp — survivor-set parity is
+        pinned in tests/test_segments_wand.py. Returned as plain
+        dicts, so the query plan folds them in as literals instead of
+        broadcast-joining per-query frames."""
         bounds = self._bounds_for(list(idf))
         t_ub: dict[int, dict[int, float]] = {}
         bucket_ub: dict[int, float] = {}
@@ -935,6 +986,15 @@ class PackedIndex:
         bound/score with zero changes. Unlisted terms weigh 1.0."""
         # (seed-τ mechanics live in _seed_cut — ONE implementation
         # shared by the plain, positional, and field-boost paths)
+        if weights and min(weights.values()) <= 0:
+            # the block-max machinery factors bounds as w·idf·max(x),
+            # which upper-bounds max(w·idf·x) only for w > 0 — a
+            # non-positive weight would silently flip the bound's
+            # direction and prune true top-k docs
+            raise ValueError(
+                "term weights must be positive (got "
+                f"{ {t: w for t, w in weights.items() if w <= 0} })"
+            )
         terms = list(dict.fromkeys(terms))
         rows = self._term_rows(terms)
         found = {r["term"]: r for r in rows}
@@ -1039,6 +1099,8 @@ class PackedIndex:
         blocks, idf, cut = ctx["blocks"], ctx["idf"], ctx["cut"]
         if cut == float("-inf"):
             return blocks
+        if len(idf) * self._nb() > _LITERAL_PRUNE_MAX_CELLS:
+            return self._prune_buckets_joined(ctx)
         t_ub, bucket_ub, nterms = self._survivor_bounds(idf)
         need = len(ctx["required"]) if ctx.get("required") else 0
         surv = sorted(
@@ -1080,6 +1142,27 @@ class PackedIndex:
         return pruned.filter(
             rest.isNull() | (row_ub + rest >= F.lit(cut))
         )
+
+    def _prune_buckets_joined(self, ctx: dict) -> DataFrame:
+        """Size-capped fallback for ``_prune_buckets_jvm``: past
+        ``_LITERAL_PRUNE_MAX_CELLS`` (|terms| × n_buckets) a literal
+        plan would mean ~10^5 ``F.lit`` py4j calls and a multi-MB
+        filter expression, and shipping the bound set through the
+        driver cache would be a memory hazard of its own — so apply
+        ``_block_survivors``' in-plan aggregates + broadcast joins
+        instead (two scalar sub-scans per query, negligible against
+        the blob scan they prune at that bucket fan-out). Same bound
+        formula, same survivor set."""
+        blocks, idf, cut = ctx["blocks"], ctx["idf"], ctx["cut"]
+        flagged = _block_survivors(blocks, idf, cut)
+        keep = (F.col("bucket_ub") >= F.lit(cut)) & F.col("row_keep")
+        if ctx.get("required"):
+            keep = keep & (F.col("nterms") == len(ctx["required"]))
+        # neg-term rows carry a null bucket_ub only when their bucket
+        # has NO positive-term rows — such a bucket can't match, so
+        # null-kills-it is right; inside a live bucket they survive
+        # via row_keep.
+        return flagged.filter(keep).drop("bucket_ub", "nterms", "row_keep")
 
     def wand_topk(
         self,
@@ -1148,6 +1231,13 @@ class PackedIndex:
         loop over buckets (a 64k-bucket × 2000-query batch would be
         billions of interpreted iterations)."""
         ninf = float("-inf")
+        # gate on the WORST-CASE cell count BEFORE _bounds_for runs:
+        # the cache collect itself materializes up to |terms| ×
+        # n_buckets rows driver-side (and retains them), so checking
+        # len(rows) after the fact would OOM the driver first on the
+        # wide batches the cap exists for.
+        if len(idf_all) * self._nb() > _BATCH_PRUNE_MAX_CELLS:
+            return None
         bounds = self._bounds_for(list(idf_all))
         rows = [
             (b, t, idf_all[t] * raw)

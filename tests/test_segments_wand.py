@@ -557,6 +557,46 @@ def test_prune_literal_matches_block_survivors(
         spark.sql("DROP TABLE IF EXISTS packed_parity_t")
 
 
+def test_prune_fallback_and_guards(
+    spark, store, tmp_path_factory, monkeypatch
+):
+    """(a) Past ``_LITERAL_PRUNE_MAX_CELLS`` the prune falls back to
+    the in-plan broadcast-join form with identical results; (b)
+    non-positive term weights are rejected before they can flip the
+    block-max bound's sign; (c) ``_warm_popular`` pre-warms the bound
+    cache on disk-backed stores so a head-term query's first pruned
+    execution runs ONE job."""
+    import open_source_search_engine_spark.operators.wand as W
+    from open_source_search_engine_spark.operators.segments import (
+        save_bucketed,
+    )
+
+    path = str(tmp_path_factory.mktemp("idx_fb")) + "/t"
+    save_bucketed(spark, store, "packed_fb_t", path)
+    try:
+        pidx = PackedIndex(
+            spark, store, packed=spark.table("packed_fb_t")
+        )
+        # (c) bound cache pre-warmed for popular termids at build
+        assert pidx._bound_cache, "bound cache not warmed"
+        want = [
+            tuple(r)
+            for r in pidx.wand_topk(["join", "filter"], k=10).collect()
+        ]
+        # (a) force the fallback; results identical, plan carries the
+        # broadcast join instead of oversized literals
+        monkeypatch.setattr(W, "_LITERAL_PRUNE_MAX_CELLS", 0)
+        res = pidx.wand_topk(["join", "filter"], k=10)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert [tuple(r) for r in res.collect()] == want
+        # (b) non-positive weights rejected
+        with pytest.raises(ValueError, match="positive"):
+            pidx.wand_topk(["join"], k=5, weights={"join": -1.0})
+    finally:
+        spark.sql("DROP TABLE IF EXISTS packed_fb_t")
+
+
 def test_wand_diversity_matches_relational_formula(spark, pos_store):
     """Diversity-scored packed top-k ≡ a relational replay: div =
     distinct following-term count (capped 15), multiplier (8+div)/16.
