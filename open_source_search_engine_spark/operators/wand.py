@@ -974,9 +974,16 @@ class PackedIndex:
         neg_terms: list[str] | None = None,
         round_to: int | None = 4,
         weights: dict[str, float] | None = None,
+        with_blocks: bool = True,
     ) -> dict | None:
         """Shared query prologue: term stats, idf, pruned block scan,
         and the seed-sampled τ cut. None = provably empty result.
+
+        ``with_blocks=False`` skips building the per-query blocks
+        frame (two py4j plan-construction calls) — ``wand_topk_batch``
+        calls this once per query only for (idf, required, neg_ids,
+        cut) and builds ONE fused scan itself; at thousands of batch
+        queries the unused frames were pure driver latency.
 
         ``weights`` (term → multiplier; ref: QueryTerm::m_synonymOf —
         synonym termlists score at reduced weight) folds into the idf
@@ -1024,9 +1031,11 @@ class PackedIndex:
         # round (+0.3-0.5 s on EVERY execution). Steady-state wins:
         # literal plans are compiled once per query shape and repeat
         # executions run ~2-3× faster than the join form.
-        blocks = self.packed.filter(
-            F.col("termid").isin(termids + list(neg_ids))
-        ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
+        blocks = None
+        if with_blocks:
+            blocks = self.packed.filter(
+                F.col("termid").isin(termids + list(neg_ids))
+            ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
 
         cut = self._seed_cut(
             termids + list(neg_ids),
@@ -1393,7 +1402,9 @@ class PackedIndex:
         self._term_rows(all_terms)
         qspecs: list[tuple] = []
         for qid, terms, mode, neg in norm:
-            ctx = self._query_ctx(terms, k, mode, neg, round_to, None)
+            ctx = self._query_ctx(
+                terms, k, mode, neg, round_to, None, with_blocks=False
+            )
             if ctx is None:
                 continue  # AND query with a term the corpus lacks
             qspecs.append(
