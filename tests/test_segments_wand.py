@@ -553,6 +553,33 @@ def test_prune_literal_matches_block_survivors(
             }
             assert got == want, (terms, mode, neg, cut)
             assert got, (terms, mode, neg, cut)
+
+        # swept cuts: the parity must hold not just at the seed-τ cut
+        # but across the whole bound range — scale the AND query's cut
+        # from prune-nothing to prune-everything and compare survivor
+        # sets at each step
+        ctx = pidx._query_ctx(["join", "filter"], k=2, mode="and")
+        base = ctx["cut"]
+        for scale in (0.25, 0.75, 1.0, 1.25, 2.0, 8.0):
+            c = base * scale
+            ctx["cut"] = c
+            got = {
+                tuple(r)
+                for r in pidx._prune_buckets_jvm(ctx)
+                .select(*key)
+                .collect()
+            }
+            keep = (F.col("bucket_ub") >= F.lit(c)) & F.col("row_keep")
+            keep = keep & (F.col("nterms") == len(ctx["required"]))
+            keep = F.coalesce(keep, F.lit(False))
+            want = {
+                tuple(r)
+                for r in _block_survivors(ctx["blocks"], ctx["idf"], c)
+                .filter(keep)
+                .select(*key)
+                .collect()
+            }
+            assert got == want, (scale, c)
     finally:
         spark.sql("DROP TABLE IF EXISTS packed_parity_t")
 
