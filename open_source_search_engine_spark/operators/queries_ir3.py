@@ -691,3 +691,50 @@ def wand_proximity(spark, sf_dir):
     return _packed_index(
         spark, sf_dir, with_positions=True
     ).wand_proximity_topk(PROX_TERMS, k=10, prox_w=PROX_W)
+
+
+# --- D7/F3 batched: phrase + proximity + plain shapes in ONE job ----------
+# wand_topk_batch's positional modes (round-5): a training-data
+# pipeline mining phrase duplicates / co-occurrence pairs issues
+# thousands of these; the batch fuses them with plain queries into one
+# FlatMapGroupsInPandas pass. Oracle = UNION ALL of the SAME per-query
+# SQL each single-query row uses, so the fusion is held to exactly the
+# per-query contract (like wand_batch).
+
+_BATCH_POS_QSET: dict[str, tuple] = {
+    # values filled below from the canonical single-query constants —
+    # a literal copy here could drift from PHRASE/PROX_TERMS
+}
+
+
+def _batch_pos_oracle() -> str:
+    from .queries_search import PHRASE, PHRASE_RESTRICT_CTE
+
+    _BATCH_POS_QSET.update(
+        {
+            "phrase": (list(PHRASE), "phrase", None),
+            "prox": (list(PROX_TERMS), "proximity", None),
+            "and2": (["join", "filter"], "and", None),
+        }
+    )
+    legs = [
+        (
+            "phrase",
+            bm25_oracle_sql(PHRASE, restrict_cte=PHRASE_RESTRICT_CTE),
+        ),
+        ("prox", PROXIMITY_SQL),
+        ("and2", bm25_oracle_sql(["join", "filter"])),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT '{qid}' AS query_id, docid, score FROM ({sql})"
+        for qid, sql in legs
+    )
+
+
+@register("wand_batch_pos", _batch_pos_oracle(), extended=True)
+def wand_batch_pos(spark, sf_dir):
+    from .queries_ir import _packed_index
+
+    return _packed_index(
+        spark, sf_dir, with_positions=True
+    ).wand_topk_batch(_BATCH_POS_QSET, k=10)

@@ -354,6 +354,12 @@ _LITERAL_PRUNE_MAX_CELLS = 8_192
 # warm collect bounded.
 _BOUND_WARM_MAX_CELLS = 65_536
 
+# proximity boost weight for batched proximity queries — the same
+# default as wand_proximity_topk, so batch results stay rank-identical
+# to the per-query path without threading a per-query knob through
+# the spec tuples.
+_BATCH_PROX_W = 0.5
+
 
 def _make_batch_scorer(qspecs: list[tuple], k: int):
     """Multi-query bucket scorer: scores Q queries against ONE pass
@@ -362,12 +368,21 @@ def _make_batch_scorer(qspecs: list[tuple], k: int):
     a training-data pipeline issuing thousands of eval/hard-negative
     queries wants them batched into one job).
 
-    ``qspecs``: [(query_id, idf_by_termid, required, neg_ids, cut)].
-    Semantics per query are IDENTICAL to ``_make_bucket_scorer`` —
-    same block-max bucket prune against the per-query τ cut, same
-    scatter-add scoring, same tie-inclusive top-k truncation — but
-    blocks shared between queries DECODE ONCE, and the whole batch is
-    one FlatMapGroupsInPandas stage instead of Q job submissions."""
+    ``qspecs``: [(query_id, idf_by_termid, required, neg_ids, cut,
+    kind, word_tids, prox_w)] with kind ∈ {"plain", "phrase",
+    "proximity"}. Semantics per query are IDENTICAL to
+    ``_make_bucket_scorer`` (plain) / ``_make_pos_scorer``
+    (positional kinds — same span kernels, same per-kind bound
+    adjustments) — same block-max bucket prune against the per-query
+    τ cut, same scatter-add scoring, same tie-inclusive top-k
+    truncation — but blocks shared between queries DECODE ONCE
+    (including the positions blobs: a phrase term shared by many
+    queries gathers from one decode), and the whole batch is one
+    FlatMapGroupsInPandas stage instead of Q job submissions."""
+    pos_tids: set[int] = set()
+    for _qid, idf, _r, _n, _c, kind, _wt, _pw in qspecs:
+        if kind in ("phrase", "proximity"):
+            pos_tids.update(idf)
 
     def score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -389,7 +404,14 @@ def _make_batch_scorer(qspecs: list[tuple], k: int):
                 tub[ti] = v
         survivors, needed = [], set()
         keep_rows = np.zeros(len(tids), dtype=bool)
-        for qid, idf, required, neg_ids, cut in qspecs:
+        for qid, idf, required, neg_ids, cut, kind, word_tids, pw in (
+            qspecs
+        ):
+            # per-kind cut adjustment (same as _make_pos_scorer's
+            # bucket check): proximity bound = plain + prox_w; phrase
+            # matches ⊆ plain matches so the plain bound dominates
+            if kind == "proximity" and cut > float("-inf"):
+                cut = cut - pw
             if required and not required.issubset(tid_set):
                 continue
             pos_here = [t for t in idf if t in tid_set]
@@ -398,7 +420,8 @@ def _make_batch_scorer(qspecs: list[tuple], k: int):
             total_q = sum(idf[t] * tub[t] for t in pos_here)
             if cut > float("-inf") and total_q < cut:
                 continue
-            survivors.append((qid, idf, required, neg_ids))
+            survivors.append((qid, idf, required, neg_ids, kind,
+                              word_tids, pw))
             needed.update(pos_here)
             needed.update(t for t in neg_ids if t in tid_set)
             # sub-block skip, per query (same bound as the single-
@@ -429,21 +452,31 @@ def _make_batch_scorer(qspecs: list[tuple], k: int):
         if not survivors:
             return empty
         # decode each needed block ONCE (the batch win: a term shared
-        # by 20 queries pays one varbyte decode, not 20)
+        # by 20 queries pays one varbyte decode, not 20); positions
+        # stay ENCODED — positional queries gather them lazily per
+        # candidate set, from the same one pass
         dec: dict[int, list] = {}
+        pos_blobs: dict[int, list] = {}
         for i, row in enumerate(pdf.itertuples(index=False)):
             ti = int(row.termid)
             if ti not in needed or not keep_rows[i]:
                 continue
             docids = unpack_docids(row.docids).astype(np.int64)
-            tfs = unpack_ints(row.tfs).astype(np.float64)
+            tfs_int = unpack_ints(row.tfs).astype(np.int64)
+            tfs = tfs_int.astype(np.float64)
             dls = unpack_ints(row.dls).astype(np.float64)
             tfnorm = (tfs * _K1P1) / (
                 tfs + _K1_1MB + _K1B * dls * inv_avgdl
             )
             dec.setdefault(ti, []).append((docids, tfnorm))
+            if ti in pos_tids:
+                pos_blobs.setdefault(ti, []).append(
+                    (docids, tfs_int, row.positions)
+                )
         out = []
-        for qid, idf, required, neg_ids in survivors:
+        for qid, idf, required, neg_ids, kind, word_tids, pw in (
+            survivors
+        ):
             docid_parts, score_parts, req_parts = [], [], []
             for t, w in idf.items():
                 for d, tf in dec.get(t, []):
@@ -465,6 +498,32 @@ def _make_batch_scorer(qspecs: list[tuple], k: int):
                 bad = np.unique(np.concatenate(negs))
                 keep = ~np.isin(uniq, bad)
                 uniq, scores = uniq[keep], scores[keep]
+            if kind in ("phrase", "proximity") and uniq.size:
+                # the SAME batched span kernels as _make_pos_scorer —
+                # candidates are AND survivors, so every (term, doc)
+                # posting row was kept above and its positions are
+                # gatherable from the shared decode pass
+                keys_by_tid = {
+                    tid: _gather_positions(
+                        pos_blobs.get(tid, []), uniq
+                    )
+                    for tid in set(word_tids)
+                }
+                if kind == "phrase":
+                    pk = _phrase_keep_mask(
+                        keys_by_tid, word_tids, uniq.size
+                    )
+                    uniq, scores = uniq[pk], scores[pk]
+                else:
+                    best = _prox_min_gap(
+                        keys_by_tid[word_tids[0]],
+                        keys_by_tid[word_tids[1]],
+                        uniq.size,
+                    )
+                    boosted = best < np.iinfo(np.int64).max
+                    scores = scores + np.where(
+                        boosted, pw / np.maximum(best, 1), 0.0
+                    )
             uniq, scores = _topk_truncate(uniq, scores, k)
             if uniq.size:
                 out.append(
@@ -1285,7 +1344,13 @@ class PackedIndex:
         # neg termids absent from idf_all have no matrix column; their
         # keep-rows are accumulated per live bucket separately
         neg_extra: dict[int, np.ndarray] = {}
-        for _qid, idf, required, neg, cut in qspecs:
+        for _qid, idf, required, neg, cut, kind, _wt, prox_w in qspecs:
+            # per-kind bound adjustment, same as the single-query
+            # positional prune (_wand_pos): proximity scores ≤ plain +
+            # prox_w (subtract it from the cut); phrase matches are a
+            # SUBSET of plain matches, so the plain bound dominates
+            if kind == "proximity" and cut > ninf:
+                cut = cut - prox_w
             cols = [col_of[t] for t in idf if t in col_of]
             if not cols:
                 continue
@@ -1354,11 +1419,19 @@ class PackedIndex:
         """Score MANY queries in ONE Spark job (round-4 verdict #3).
 
         ``queries``: {query_id: terms} for AND queries, or
-        {query_id: (terms, mode, neg_terms)} for the full shape set.
-        Returns (query_id, docid, score) — per query RANK-IDENTICAL
-        to ``wand_topk`` (pinned in tests/test_wand_batch.py): same
-        per-query seed-τ cuts, same block-max prune, same scoring and
-        tie rules; only the execution is fused. The thread-overlap
+        {query_id: (terms, mode, neg_terms)} for the full shape set —
+        mode ∈ {"and", "or", "phrase", "proximity"}. The positional
+        modes need a ``with_positions`` store, take no neg_terms, and
+        mirror ``wand_phrase_topk`` / ``wand_proximity_topk`` exactly
+        (kind-specific seed-τ, proximity cut adjusted by prox_w,
+        positions gathered only for AND-surviving candidates); a
+        training-data pipeline mining phrase duplicates or
+        co-occurrence pairs issues thousands of these. Returns
+        (query_id, docid, score) — per query RANK-IDENTICAL to
+        ``wand_topk`` / ``wand_phrase_topk`` / ``wand_proximity_topk``
+        (pinned in tests/test_wand_batch.py): same per-query seed-τ
+        cuts, same block-max prune, same scoring and tie rules; only
+        the execution is fused. The thread-overlap
         route saturates at ~3.3 QPS on 8 cores because each query
         pays its own job submission and its narrow stages idle cores
         (BENCH/concurrency.md); batching carries a query_id through
@@ -1389,6 +1462,26 @@ class PackedIndex:
                 norm.append((str(qid), list(spec), "and", None))
             else:
                 terms, mode, neg = spec
+                if mode in ("phrase", "proximity"):
+                    if neg:
+                        raise ValueError(
+                            f"{mode} batch queries take no neg_terms "
+                            f"(query {qid!r})"
+                        )
+                    if "positions" not in self.packed.columns:
+                        raise ValueError(
+                            f"{mode} batch queries need a positional "
+                            "store (build_segments(with_positions="
+                            f"True)) — query {qid!r}"
+                        )
+                    if (
+                        mode == "proximity"
+                        and len(dict.fromkeys(terms)) != 2
+                    ):
+                        raise ValueError(
+                            "proximity takes exactly two distinct "
+                            f"terms (query {qid!r})"
+                        )
                 norm.append((str(qid), list(terms), mode, neg))
         # ONE driver round-trip for every term in the batch (the
         # per-query ctx calls below then hit the memoized cache)
@@ -1402,6 +1495,39 @@ class PackedIndex:
         self._term_rows(all_terms)
         qspecs: list[tuple] = []
         for qid, terms, mode, neg in norm:
+            if mode in ("phrase", "proximity"):
+                # mirror _wand_pos's prologue: dedupe, AND semantics,
+                # word order preserved for adjacency, and — critically
+                # — the KIND-specific scorer seeds τ (a plain-scorer τ
+                # would over-prune: phrase restricts matches)
+                terms_u = list(dict.fromkeys(terms))
+                rows = self._term_rows(terms_u)
+                if len({r["term"] for r in rows}) < len(terms_u):
+                    continue  # a phrase word the corpus lacks
+                n = float(self.n_docs)
+                idf = {
+                    int(r["termid"]): float(
+                        np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+                    )
+                    for r in rows
+                }
+                tid_of = {r["term"]: int(r["termid"]) for r in rows}
+                word_tids = [tid_of[w] for w in terms_u]
+                required = set(idf)
+                cut = self._seed_cut(
+                    list(idf),
+                    _make_pos_scorer(
+                        idf, required, k, mode, float("-inf"),
+                        word_tids, _BATCH_PROX_W,
+                    ),
+                    k,
+                    round_to,
+                )
+                qspecs.append(
+                    (qid, idf, required, set(), cut, mode, word_tids,
+                     _BATCH_PROX_W)
+                )
+                continue
             ctx = self._query_ctx(
                 terms, k, mode, neg, round_to, None, with_blocks=False
             )
@@ -1409,16 +1535,17 @@ class PackedIndex:
                 continue  # AND query with a term the corpus lacks
             qspecs.append(
                 (qid, ctx["idf"], ctx["required"], ctx["neg_ids"],
-                 ctx["cut"])
+                 ctx["cut"], "plain", None, 0.0)
             )
         if not qspecs:
             return self.spark.createDataFrame([], BATCH_SCORE_SCHEMA)
+        has_pos_q = any(s[5] in ("phrase", "proximity") for s in qspecs)
         idf_all: dict[int, float] = {}
-        for _qid, idf, _req, _neg, _cut in qspecs:
+        for _qid, idf, _req, _neg, _cut, _kind, _wt, _pw in qspecs:
             idf_all.update(idf)  # idf is term-global (no weights here)
         all_tids = sorted(
             set(idf_all)
-            | {t for _qid, _i, _r, neg, _c in qspecs for t in neg}
+            | {t for s in qspecs for t in s[3]}
         )
         blocks = self.packed.filter(
             F.col("termid").isin(all_tids)
@@ -1475,7 +1602,10 @@ class PackedIndex:
                 )
 
         result = (
-            _project_scorer_cols(blocks)
+            # positions ride along only when some query gathers them
+            _project_scorer_cols(
+                blocks, "phrase" if has_pos_q else None
+            )
             .groupBy("bucket")
             .applyInPandas(
                 _make_batch_scorer(qspecs, k), schema=BATCH_SCORE_SCHEMA

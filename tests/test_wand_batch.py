@@ -200,3 +200,85 @@ def test_fold_checks_dense_size_before_pivoting(spark, store, monkeypatch):
     monkeypatch.setattr(pd.DataFrame, "pivot", _boom)
     idf_all = {1: 1.0, 2: 1.0, 3: 1.0}
     assert pidx._fold_batch_thresholds(idf_all, []) is None
+
+
+# --- positional batch shapes (phrase / proximity) ----------------------
+
+
+@pytest.fixture(scope="module")
+def pos_store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx_batch_pos"))
+    return build_segments(
+        spark, _docs(spark), SegmentStore(root),
+        n_segments=2, n_buckets=8, with_positions=True,
+    )
+
+
+POS_BATCH = {
+    "plain_and": (["join", "filter"], "and", None),
+    "phrase2": (["table", "hash"], "phrase", None),
+    "phrase_same": (["join", "filter"], "phrase", None),
+    "prox": (["join", "filter"], "proximity", None),
+    "phrase_missing": (["join", "zzzznotaterm"], "phrase", None),
+}
+
+
+def _check_pos_batch(pidx):
+    batch = pidx.wand_topk_batch(POS_BATCH, k=10)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["docid"], r["score"]))
+    want = {
+        "plain_and": pidx.wand_topk(["join", "filter"], k=10),
+        "phrase2": pidx.wand_phrase_topk(["table", "hash"], k=10),
+        "phrase_same": pidx.wand_phrase_topk(["join", "filter"], k=10),
+        "prox": pidx.wand_proximity_topk(["join", "filter"], k=10),
+    }
+    for qid, df in want.items():
+        assert got.get(qid, []) == [
+            (r["docid"], r["score"]) for r in df.collect()
+        ], qid
+    assert "phrase_missing" not in got  # AND semantics: no results
+
+
+def test_batch_positional_matches_per_query_cache(spark, pos_store):
+    """Batched phrase/proximity (mixed with plain shapes) is
+    rank-identical per query to wand_phrase_topk / wand_proximity_topk
+    / wand_topk on the in-memory cache path."""
+    _check_pos_batch(PackedIndex(spark, pos_store))
+
+
+def test_batch_positional_matches_per_query_bucketed(
+    spark, pos_store, tmp_path_factory
+):
+    """Same parity on the disk-backed bucketed store, where the batch
+    JVM prune applies the per-kind cut adjustments (proximity cut −
+    prox_w; phrase dominated by the plain bound)."""
+    out = str(tmp_path_factory.mktemp("idx_batch_pos_bt"))
+    name = save_bucketed(spark, pos_store, "batch_pos_bt", path=out)
+    try:
+        pidx = PackedIndex(spark, pos_store, packed=spark.table(name))
+        assert pidx.jvm_prune
+        _check_pos_batch(pidx)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_batch_positional_validation(spark, store, pos_store):
+    """Positional batch shapes validate their inputs: neg_terms and
+    non-positional stores are rejected, proximity needs exactly two
+    distinct terms."""
+    pidx_min = PackedIndex(spark, store)
+    with pytest.raises(ValueError, match="positional store"):
+        pidx_min.wand_topk_batch(
+            {"q": (["join", "filter"], "phrase", None)}
+        )
+    pidx = PackedIndex(spark, pos_store)
+    with pytest.raises(ValueError, match="neg_terms"):
+        pidx.wand_topk_batch(
+            {"q": (["join", "filter"], "phrase", ["window"])}
+        )
+    with pytest.raises(ValueError, match="two distinct"):
+        pidx.wand_topk_batch(
+            {"q": (["join", "filter", "hash"], "proximity", None)}
+        )
