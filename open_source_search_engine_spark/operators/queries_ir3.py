@@ -701,23 +701,25 @@ def wand_proximity(spark, sf_dir):
 # SQL each single-query row uses, so the fusion is held to exactly the
 # per-query contract (like wand_batch).
 
+from .queries_search import (  # noqa: E402 — canonical D7 constants
+    PHRASE,
+    PHRASE_RESTRICT_CTE,
+)
+
+# built from the canonical single-query constants (PHRASE, PROX_TERMS,
+# PROX_W) so batch specs cannot drift from the single-query rows whose
+# oracles they reuse; the explicit prox_w entry exercises the
+# per-query-weight spec element against the PROX_W-parameterized
+# oracle.
 _BATCH_POS_QSET: dict[str, tuple] = {
-    # values filled below from the canonical single-query constants —
-    # a literal copy here could drift from PHRASE/PROX_TERMS
+    "phrase": (list(PHRASE), "phrase", None),
+    "prox": (list(PROX_TERMS), "proximity", None, PROX_W),
+    "and2": (["join", "filter"], "and", None),
 }
 
-
-def _batch_pos_oracle() -> str:
-    from .queries_search import PHRASE, PHRASE_RESTRICT_CTE
-
-    _BATCH_POS_QSET.update(
-        {
-            "phrase": (list(PHRASE), "phrase", None),
-            "prox": (list(PROX_TERMS), "proximity", None),
-            "and2": (["join", "filter"], "and", None),
-        }
-    )
-    legs = [
+_BATCH_POS_ORACLE = " UNION ALL ".join(
+    f"SELECT '{qid}' AS query_id, docid, score FROM ({sql})"
+    for qid, sql in [
         (
             "phrase",
             bm25_oracle_sql(PHRASE, restrict_cte=PHRASE_RESTRICT_CTE),
@@ -725,13 +727,10 @@ def _batch_pos_oracle() -> str:
         ("prox", PROXIMITY_SQL),
         ("and2", bm25_oracle_sql(["join", "filter"])),
     ]
-    return " UNION ALL ".join(
-        f"SELECT '{qid}' AS query_id, docid, score FROM ({sql})"
-        for qid, sql in legs
-    )
+)
 
 
-@register("wand_batch_pos", _batch_pos_oracle(), extended=True)
+@register("wand_batch_pos", _BATCH_POS_ORACLE, extended=True)
 def wand_batch_pos(spark, sf_dir):
     from .queries_ir import _packed_index
 

@@ -354,10 +354,10 @@ _LITERAL_PRUNE_MAX_CELLS = 8_192
 # warm collect bounded.
 _BOUND_WARM_MAX_CELLS = 65_536
 
-# proximity boost weight for batched proximity queries — the same
-# default as wand_proximity_topk, so batch results stay rank-identical
-# to the per-query path without threading a per-query knob through
-# the spec tuples.
+# default proximity boost weight for batched proximity queries when
+# the spec omits the optional 4th element — matches
+# wand_proximity_topk's default so the common case stays
+# rank-identical without spelling the weight out per query.
 _BATCH_PROX_W = 0.5
 
 
@@ -474,6 +474,10 @@ def _make_batch_scorer(qspecs: list[tuple], k: int):
                     (docids, tfs_int, row.positions)
                 )
         out = []
+        # one positions-decode cache per bucket: a blob touched by
+        # many queries' candidate sets unpacks once (the shared-decode
+        # promise of the batch, extended to the positional streams)
+        pos_dec_cache: dict[int, tuple] = {}
         for qid, idf, required, neg_ids, kind, word_tids, pw in (
             survivors
         ):
@@ -505,7 +509,8 @@ def _make_batch_scorer(qspecs: list[tuple], k: int):
                 # gatherable from the shared decode pass
                 keys_by_tid = {
                     tid: _gather_positions(
-                        pos_blobs.get(tid, []), uniq
+                        pos_blobs.get(tid, []), uniq,
+                        dec_cache=pos_dec_cache,
                     )
                     for tid in set(word_tids)
                 }
@@ -550,12 +555,18 @@ _POS_BITS = 32  # key layout: (candidate_doc_idx << 32) | word_position
 #                 packed key orders by (doc, pos) with room to spare
 
 
-def _gather_positions(blks, uniq: np.ndarray) -> np.ndarray:
+def _gather_positions(blks, uniq: np.ndarray, dec_cache=None) -> np.ndarray:
     """One term's positions across ALL candidate docs as a SORTED
     int64 key array ``(doc_idx << 32) | pos`` (doc_idx = index into
     ``uniq``, which is sorted ascending). The whole gather is numpy
     segment arithmetic — blocks holding no candidate are never
-    varbyte-decoded, and no Python statement runs per doc."""
+    varbyte-decoded, and no Python statement runs per doc.
+
+    ``dec_cache`` (dict) memoizes the per-blob varbyte decode across
+    calls — the batch scorer passes one per bucket so a positions
+    blob shared by many queries' candidate sets decodes ONCE (keys
+    are ``id(blob)``: the blobs live in the caller's pandas frame for
+    the cache's whole lifetime, so ids are stable)."""
     parts = []
     for docids, tfs_int, blob in blks:
         ii = np.searchsorted(docids, uniq)
@@ -563,7 +574,14 @@ def _gather_positions(blks, uniq: np.ndarray) -> np.ndarray:
         ok[ok] = docids[ii[ok]] == uniq[ok]
         if not ok.any():
             continue  # no candidate in this block: skip decode
-        flat, off = unpack_positions(blob, tfs_int)
+        if dec_cache is None:
+            flat, off = unpack_positions(blob, tfs_int)
+        else:
+            hit = dec_cache.get(id(blob))
+            if hit is None:
+                hit = unpack_positions(blob, tfs_int)
+                dec_cache[id(blob)] = hit
+            flat, off = hit
         mi = ii[ok]  # posting index per matched candidate
         ci = np.nonzero(ok)[0].astype(np.int64)  # candidate index
         starts = off[mi].astype(np.int64)
@@ -1419,8 +1437,10 @@ class PackedIndex:
         """Score MANY queries in ONE Spark job (round-4 verdict #3).
 
         ``queries``: {query_id: terms} for AND queries, or
-        {query_id: (terms, mode, neg_terms)} for the full shape set —
-        mode ∈ {"and", "or", "phrase", "proximity"}. The positional
+        {query_id: (terms, mode, neg_terms[, prox_w])} for the full
+        shape set — mode ∈ {"and", "or", "phrase", "proximity"}; the
+        optional 4th element is a per-query proximity weight
+        (default 0.5, wand_proximity_topk's default). The positional
         modes need a ``with_positions`` store, take no neg_terms, and
         mirror ``wand_phrase_topk`` / ``wand_proximity_topk`` exactly
         (kind-specific seed-τ, proximity cut adjusted by prox_w,
@@ -1459,9 +1479,19 @@ class PackedIndex:
         norm: list[tuple] = []
         for qid, spec in queries.items():
             if isinstance(spec, (list,)):
-                norm.append((str(qid), list(spec), "and", None))
+                norm.append((str(qid), list(spec), "and", None, 0.0))
             else:
-                terms, mode, neg = spec
+                # (terms, mode, neg) or (terms, "proximity", None,
+                # prox_w) — the 4th element carries a per-query
+                # proximity weight so batch results stay rank-
+                # identical to wand_proximity_topk at ANY weight, not
+                # just the 0.5 default
+                terms, mode, neg = spec[0], spec[1], spec[2]
+                pw = (
+                    float(spec[3])
+                    if len(spec) > 3 and spec[3] is not None
+                    else _BATCH_PROX_W
+                )
                 if mode in ("phrase", "proximity"):
                     if neg:
                         raise ValueError(
@@ -1482,50 +1512,34 @@ class PackedIndex:
                             "proximity takes exactly two distinct "
                             f"terms (query {qid!r})"
                         )
-                norm.append((str(qid), list(terms), mode, neg))
+                norm.append((str(qid), list(terms), mode, neg, pw))
         # ONE driver round-trip for every term in the batch (the
         # per-query ctx calls below then hit the memoized cache)
         all_terms = list(
             dict.fromkeys(
                 t
-                for _qid, terms, _m, neg in norm
+                for _qid, terms, _m, neg, _pw in norm
                 for t in list(terms) + list(neg or [])
             )
         )
         self._term_rows(all_terms)
         qspecs: list[tuple] = []
-        for qid, terms, mode, neg in norm:
+        for qid, terms, mode, neg, pw in norm:
             if mode in ("phrase", "proximity"):
-                # mirror _wand_pos's prologue: dedupe, AND semantics,
-                # word order preserved for adjacency, and — critically
-                # — the KIND-specific scorer seeds τ (a plain-scorer τ
-                # would over-prune: phrase restricts matches)
-                terms_u = list(dict.fromkeys(terms))
-                rows = self._term_rows(terms_u)
-                if len({r["term"] for r in rows}) < len(terms_u):
-                    continue  # a phrase word the corpus lacks
-                n = float(self.n_docs)
-                idf = {
-                    int(r["termid"]): float(
-                        np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
-                    )
-                    for r in rows
-                }
-                tid_of = {r["term"]: int(r["termid"]) for r in rows}
-                word_tids = [tid_of[w] for w in terms_u]
-                required = set(idf)
-                cut = self._seed_cut(
-                    list(idf),
-                    _make_pos_scorer(
-                        idf, required, k, mode, float("-inf"),
-                        word_tids, _BATCH_PROX_W,
-                    ),
-                    k,
-                    round_to,
+                # the SAME prologue as the per-query positional path —
+                # phrase keeps the original word list (repeats and
+                # order matter for adjacency, exactly like
+                # wand_phrase_topk); proximity uses the deduped pair
+                ctx = self._pos_query_ctx(
+                    terms, mode, k,
+                    words=terms if mode == "phrase" else None,
+                    prox_w=pw, round_to=round_to,
                 )
+                if ctx is None:
+                    continue  # a phrase word the corpus lacks
                 qspecs.append(
-                    (qid, idf, required, set(), cut, mode, word_tids,
-                     _BATCH_PROX_W)
+                    (qid, ctx["idf"], ctx["required"], set(),
+                     ctx["cut"], mode, ctx["word_tids"], pw)
                 )
                 continue
             ctx = self._query_ctx(
@@ -1626,6 +1640,58 @@ class PackedIndex:
 
     # --- positional query modes (need a with_positions store) -----------
 
+    def _pos_query_ctx(
+        self,
+        terms: list[str],
+        kind: str,
+        k: int,
+        words: list[str] | None = None,
+        prox_w: float = 0.5,
+        round_to: int | None = 4,
+    ) -> dict | None:
+        """Positional query prologue — the ONE copy shared by
+        ``_wand_pos`` and ``wand_topk_batch`` (a hand-copied batch
+        prologue once dropped repeated phrase words by building
+        word_tids from the DEDUPED terms; pinned by the duplicate-word
+        parity test in tests/test_wand_batch.py). ``words`` defaults
+        to ``terms`` AS GIVEN — order and repeats preserved for
+        adjacency — while term stats/idf resolve over the deduped set.
+        The KIND-specific scorer seeds τ (a plain-scorer τ would
+        over-prune: phrase restricts matches, density rescales).
+        None = a term the corpus lacks (AND semantics: empty)."""
+        terms_u = list(dict.fromkeys(terms))
+        # default words = the DEDUPED terms (what proximity/density
+        # callers always used); phrase callers pass the original word
+        # list explicitly to keep repeats
+        words = list(words) if words is not None else terms_u
+        rows = self._term_rows(terms_u)
+        if len({r["term"] for r in rows}) < len(terms_u):
+            return None
+        n = float(self.n_docs)
+        idf = {
+            int(r["termid"]): float(
+                np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
+            )
+            for r in rows
+        }
+        tid_of = {r["term"]: int(r["termid"]) for r in rows}
+        word_tids = [tid_of[w] for w in words]
+        required = set(idf)
+        cut = self._seed_cut(
+            list(idf),
+            _make_pos_scorer(
+                idf, required, k, kind, float("-inf"), word_tids, prox_w
+            ),
+            k,
+            round_to,
+        )
+        return {
+            "idf": idf,
+            "required": required,
+            "word_tids": word_tids,
+            "cut": cut,
+        }
+
     def _wand_pos(
         self,
         terms: list[str],
@@ -1652,22 +1718,15 @@ class PackedIndex:
                 "build_segments(with_positions=True) to score "
                 "diversity"
             )
-        terms = list(dict.fromkeys(terms))
-        rows = self._term_rows(terms)
-        found = {r["term"]: r for r in rows}
-        if len(found) < len(terms):
+        ctx = self._pos_query_ctx(
+            terms, kind, k, words=words, prox_w=prox_w, round_to=round_to
+        )
+        if ctx is None:
             return self.spark.createDataFrame([], SCORE_SCHEMA)
-        n = float(self.n_docs)
-        idf = {
-            int(r["termid"]): float(
-                np.log((n - r["df"] + 0.5) / (r["df"] + 0.5) + 1.0)
-            )
-            for r in rows
-        }
-        tid_of = {r["term"]: int(r["termid"]) for r in rows}
-        word_tids = [tid_of[w] for w in (words or terms)]
+        idf, required, word_tids, cut = (
+            ctx["idf"], ctx["required"], ctx["word_tids"], ctx["cut"]
+        )
         termids = list(idf)
-        required = set(termids)
 
         def scorer(cut: float):
             return _make_pos_scorer(
@@ -1677,8 +1736,6 @@ class PackedIndex:
         blocks = self.packed.filter(
             F.col("termid").isin(termids)
         ).withColumn("inv_avgdl", F.lit(1.0 / self.avgdl))
-
-        cut = self._seed_cut(termids, scorer(float("-inf")), k, round_to)
 
         if self.jvm_prune and cut > float("-inf"):
             # disk-backed stores get the same JVM-side bucket prune as

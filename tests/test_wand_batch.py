@@ -218,7 +218,12 @@ POS_BATCH = {
     "plain_and": (["join", "filter"], "and", None),
     "phrase2": (["table", "hash"], "phrase", None),
     "phrase_same": (["join", "filter"], "phrase", None),
+    # duplicate word: adjacency must check BOTH occurrences (a deduped
+    # word_tids once reduced this to a single-term presence test)
+    "phrase_dup": (["hash", "hash"], "phrase", None),
     "prox": (["join", "filter"], "proximity", None),
+    # per-query proximity weight via the optional 4th spec element
+    "prox_w2": (["join", "filter"], "proximity", None, 1.5),
     "phrase_missing": (["join", "zzzznotaterm"], "phrase", None),
 }
 
@@ -232,7 +237,11 @@ def _check_pos_batch(pidx):
         "plain_and": pidx.wand_topk(["join", "filter"], k=10),
         "phrase2": pidx.wand_phrase_topk(["table", "hash"], k=10),
         "phrase_same": pidx.wand_phrase_topk(["join", "filter"], k=10),
+        "phrase_dup": pidx.wand_phrase_topk(["hash", "hash"], k=10),
         "prox": pidx.wand_proximity_topk(["join", "filter"], k=10),
+        "prox_w2": pidx.wand_proximity_topk(
+            ["join", "filter"], k=10, prox_w=1.5
+        ),
     }
     for qid, df in want.items():
         assert got.get(qid, []) == [
