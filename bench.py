@@ -359,12 +359,28 @@ def bench_query_batch(
     with ThreadPoolExecutor(threads) as ex:
         list(ex.map(run, jobs))
     dt = time.time() - t0
+    # Fused-batch leg on the SAME store: 20 DISTINCT queries (the
+    # unbiased workload from _distinct_batch_jobs — no duplicate
+    # queries to flatter the shared-decode path) scored in ONE job
+    # via wand_topk_batch. One job means per-job scheduler overhead
+    # is paid once, so this leg exposes the SCAN-side core scaling
+    # the threaded leg hides behind Q fixed job costs — it is the
+    # recommended serving shape for bulk query workloads.
+    fused_jobs = _distinct_batch_jobs(pidx, passes)
+    batch_spec = dict(fused_jobs)
+    pidx.wand_topk_batch(batch_spec, k=10).collect()  # warm plan
+    t0 = time.time()
+    pidx.wand_topk_batch(batch_spec, k=10).collect()
+    dt_fused = time.time() - t0
     return {
         "t_query_batch": round(dt, 4),
         "n_queries_batch": len(jobs),
         "qb_passes": passes,
         "qb_threads": threads,
         "qps": round(len(jobs) / dt, 2),
+        "t_query_fused": round(dt_fused, 4),
+        "n_queries_fused": len(fused_jobs),
+        "qps_fused": round(len(fused_jobs) / dt_fused, 2),
     }
 
 
@@ -655,6 +671,11 @@ def run_scaling(
     measurement) is REJECTED and re-run, up to ``max_attempts`` per
     leg, until ≥ ``repeats`` accepted runs exist per leg. The headline
     efficiency is the MEDIAN of accepted runs — no best-of selection.
+    Round-5 close tightens the gate to DUAL probes: single-thread
+    (host speed) AND 8-way-parallel aggregate (multi-core contention —
+    a neighbor eating parallel capacity slows local[hi] legs 40%+
+    while the 1-thread probe stays flat; measured in
+    BENCH/scaling_mult600_clean_r05.json).
     Best-of and all-raw-runs stay in the report for continuity with
     r1-r4 and as the noise-model cross-check.
 
@@ -671,6 +692,7 @@ def run_scaling(
     def leg(cores: int) -> dict:
         nonlocal n_qbatch, qb_params, n_docs
         cal_pre = _calibrate()
+        calp_pre = _calibrate_par()
         env = dict(
             os.environ,
             SPARK_GRAFT_CPUS=str(cores),
@@ -682,6 +704,7 @@ def run_scaling(
             capture_output=True, text=True, env=env, timeout=1800,
         )
         cal_post = _calibrate()
+        calp_post = _calibrate_par()
         line = [
             ln for ln in p.stdout.strip().splitlines()
             if ln.startswith("{")
@@ -692,13 +715,18 @@ def run_scaling(
             qb_params = (q.get("qb_passes"), q.get("qb_threads"))
         n_docs = q["n_docs"]
         drift = abs(cal_pre - cal_post) / max(cal_pre, cal_post)
+        drift_par = abs(calp_pre - calp_post) / max(calp_pre, calp_post)
         return {
             "t_build": q["t_build_packed"],
             "t_query_batch": q.get("t_query_batch"),
+            "t_query_fused": q.get("t_query_fused"),
             "cal_pre": cal_pre,
             "cal_post": cal_post,
+            "calpar_pre": calp_pre,
+            "calpar_post": calp_post,
             "drift": round(drift, 3),
-            "accepted": drift <= drift_bound,
+            "drift_par": round(drift_par, 3),
+            "accepted": drift <= drift_bound and drift_par <= drift_bound,
         }
 
     def n_acc(cores: int) -> int:
@@ -732,10 +760,12 @@ def run_scaling(
         "cores_lo": lo,
         "cores_hi": hi,
         "gating_rule": (
-            f"reject any run whose pre/post single-thread calibration "
-            f"probes drift > {drift_bound:.0%}; require >= {repeats} "
-            f"accepted runs per leg (interleaved, fresh JVM each); "
-            f"score the MEDIAN of accepted runs — no best-of selection"
+            f"reject any run whose pre/post calibration probes — "
+            f"single-thread OR 8-way-parallel aggregate (the probe "
+            f"that sees multi-core contention) — drift > "
+            f"{drift_bound:.0%}; require >= {repeats} accepted runs "
+            f"per leg (interleaved, fresh JVM each); score the "
+            f"MEDIAN of accepted runs — no best-of selection"
         ),
         "runs_lo": runs[lo],
         "runs_hi": runs[hi],
@@ -781,6 +811,25 @@ def run_scaling(
                 ),
             }
         )
+    qfacc = {
+        c: [r["t_query_fused"] for r in runs[c]
+            if r["accepted"] and r.get("t_query_fused")]
+        for c in (lo, hi)
+    }
+    if qfacc[lo] and qfacc[hi]:
+        tf_lo = statistics.median(qfacc[lo])
+        tf_hi = statistics.median(qfacc[hi])
+        report.update(
+            {
+                "t_query_fused_lo_runs": [round(t, 1) for t in qfacc[lo]],
+                "t_query_fused_hi_runs": [round(t, 1) for t in qfacc[hi]],
+                "qps_fused_lo": round(n_qbatch / tf_lo, 2),
+                "qps_fused_hi": round(n_qbatch / tf_hi, 2),
+                "query_fused_scaling_efficiency": round(
+                    (tf_lo / tf_hi) / (hi / lo), 3
+                ),
+            }
+        )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(report, f, indent=2)
@@ -816,6 +865,45 @@ def _calibrate(seconds: float = 3.0, windows: int = 6) -> int:
     return best * windows
 
 
+def _cal_worker(args) -> int:
+    """Top-level (picklable) worker for the parallel probe: same
+    best-of-windows loop as ``_calibrate``, one process."""
+    seconds, windows = args
+    import numpy as np
+
+    v = np.arange(2_000_000, dtype=np.float64)
+    v = np.sqrt(v * v + 1.0)
+    per_win = seconds / windows
+    best = 0
+    for _ in range(windows):
+        t0, it = time.time(), 0
+        while time.time() - t0 < per_win:
+            v = np.sqrt(v * v + 1.0)
+            it += 1
+        best = max(best, it)
+    return best * windows
+
+
+def _calibrate_par(
+    seconds: float = 3.0, windows: int = 6, procs: int = 8
+) -> int:
+    """PARALLEL host probe: aggregate iterations across ``procs``
+    simultaneous single-thread workers. The single-thread probe
+    (``_calibrate``) cannot see multi-core contention — a colocated
+    noisy neighbor can eat half the host's parallel capacity while
+    single-thread speed stays flat (measured: a calibration-accepted
+    window whose local[8] legs spread 63.8→91.8 s, 44%, at unchanged
+    1-thread probes — BENCH/scaling_mult600_clean_r05.json). This
+    probe measures the capacity dimension the local[hi] legs actually
+    consume; pre/post drift in EITHER probe rejects the run."""
+    from multiprocessing import get_context
+
+    ctx = get_context("fork")
+    with ctx.Pool(procs) as pool:
+        parts = pool.map(_cal_worker, [(seconds, windows)] * procs)
+    return sum(parts)
+
+
 def _qps_section(r: dict) -> str:
     if "qps_lo" not in r:
         return ""
@@ -838,14 +926,41 @@ regardless of cores) rides inside the batch, so this understates the
 scan-side scaling; the north-rule ≥0.8 criterion applies to the BUILD
 throughput above, and this section evidences that the serve path also
 gains from added cores rather than serializing.
+{_fused_section(r)}
+"""
 
+
+def _fused_section(r: dict) -> str:
+    if "qps_fused_lo" not in r:
+        return ""
+    return f"""
+The FUSED batch leg (same runs, same store): 20 DISTINCT queries
+scored in ONE job via `wand_topk_batch` — the recommended serving
+shape for bulk workloads (eval sets, hard-negative mining), where
+per-job scheduler cost is paid once instead of 20 times:
+
+| parallelism | fused wall (s, accepted runs) | QPS (median) |
+|---|---|---|
+| local[{r["cores_lo"]}] (N) | {r["t_query_fused_lo_runs"]} | {r["qps_fused_lo"]} |
+| local[{r["cores_hi"]}] (4N) | {r["t_query_fused_hi_runs"]} | {r["qps_fused_hi"]} |
+
+Fused-batch query scaling efficiency =
+{r["query_fused_scaling_efficiency"]}; absolute throughput is the
+point of the fused shape — one job amortizes the per-job scheduler
+cost the threaded leg pays 20 times, roughly doubling QPS at either
+core count on this store.
 """
 
 
 def _leg_rows(runs: list[dict]) -> str:
     return "; ".join(
-        f"{x['t_build']:.1f}s cal {x['cal_pre']}→{x['cal_post']} "
-        f"({'ok' if x['accepted'] else 'REJ ' + str(x['drift'])})"
+        f"{x['t_build']:.1f}s cal1 {x['cal_pre']}→{x['cal_post']} "
+        f"cal8 {x.get('calpar_pre', '?')}→{x.get('calpar_post', '?')} "
+        + (
+            "(ok)"
+            if x["accepted"]
+            else f"(REJ 1t={x['drift']} 8w={x.get('drift_par', '?')})"
+        )
         for x in runs
     )
 
@@ -875,8 +990,11 @@ Continuity estimators over ALL runs (the r1–r4 scoring):
 best-of {r["scaling_efficiency_best"]}, median
 {r["scaling_efficiency_median_all"]}.
 
-Every run, with its bracketing calibrations (single-thread numpy
-probe, iterations/3 s — the 30-70% host-drift detector):
+Every run, with its bracketing calibrations (cal1 = single-thread
+numpy probe, iterations/3 s — the 30-70% host-speed drift detector;
+cal8 = 8-way-parallel aggregate of the same probe — the multi-core
+CONTENTION detector the single-thread probe is blind to; either
+drifting > bound rejects the run):
 
 - local[{r["cores_lo"]}]: {_leg_rows(r["runs_lo"])}
 - local[{r["cores_hi"]}]: {_leg_rows(r["runs_hi"])}
