@@ -10,12 +10,16 @@ JPEG codec — BASELINE (ITU-T T.81 sequential DCT: canonical Huffman,
 Annex-K tables, batched 8×8 IDCT as two matrix products) and
 PROGRESSIVE (SOF2, spectral selection + successive approximation,
 Annex G) — plus GIF87a/89a (LZW) — so the dominant web image formats
-no longer ride the fake path. Remaining on the fake-codec fallback:
-MP4/H.264 pixel decode (genuinely needs ffmpeg) and WebP pixel decode
-(VP8 lossy needs a boolean arithmetic decoder + intra predictors ≈ a
-video codec; VP8L lossless is stdlib-feasible in principle but its
-2D-distance table can't be validated against real encoders in this
-sandbox — ``image_meta`` parses WebP headers for real instead).
+no longer ride the fake path. Round 5 adds WebP LOSSLESS (VP8L,
+RFC 9649) in sources/vp8l.py: rounds 1-4 rejected it as unverifiable
+("the 2D-distance table can't be validated against real encoders in
+this sandbox"), but the sandbox does hold a real libwebp bitstream —
+CPython's test fixture python.webp carries a VP8L-compressed ALPH
+chunk, and the sibling python.png stores the identical (lossless)
+alpha plane — so the decoder is now validated byte-exact against real
+encoder output. Remaining on the fake-codec fallback: MP4/H.264 and
+lossy-VP8 pixel decode (boolean arithmetic decoder + intra predictors
++ loop filter ≈ a video codec; genuinely needs ffmpeg/libwebp).
 
 Everything is numpy-vectorized where the format allows: PNG's Up
 filter and all encoders are whole-row operations; Sub/Average/Paeth
@@ -3057,9 +3061,24 @@ def video_header_meta(payload: bytes) -> dict:
     raise ValueError(f"not a parseable video payload (sniffed {fmt!r})")
 
 
+@_corrupt_as_valueerror
+def decode_webp(payload: bytes) -> np.ndarray:
+    """WebP decode → (h, w, 4) uint8 RGBA. REAL for lossless (VP8L)
+    files — full RFC 9649 bitstream decode in sources/vp8l.py,
+    validated byte-exact against a real libwebp stream (the CPython
+    test fixture's VP8L-compressed alpha plane vs its PNG sibling;
+    see tests/test_vp8l.py). Lossy VP8 raises NotImplementedError
+    (boolean arithmetic decoder + intra predictors + loop filter
+    genuinely need libwebp) so multimodal routing keeps it on the
+    disclosed fake path rather than fabricating pixels."""
+    from . import vp8l
+
+    return vp8l.decode_webp(payload)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Sniff-dispatched image decode (png/bmp/gif/ico/jpeg) → uint8
-    array."""
+    """Sniff-dispatched image decode (png/bmp/gif/ico/jpeg/webp-
+    lossless) → uint8 array."""
     fmt = sniff(payload)
     if fmt == "png":
         return decode_png(payload)
@@ -3071,6 +3090,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ico(payload)
     if fmt == "jpeg":
         return decode_jpeg(payload)
+    if fmt == "webp":
+        return decode_webp(payload)
     raise ValueError(f"not a decodable image (sniffed {fmt!r})")
 
 

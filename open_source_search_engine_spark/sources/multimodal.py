@@ -63,22 +63,24 @@ USE_FAKE_CODEC = True  # fallback for JPEG/MP4 only — see docstring
 def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
     """Decode a media payload to (float32 sample array, codec tag).
 
-    REAL for PNG / GIF / BMP / ICO / JPEG (baseline + progressive; pixels
-    flattened to [0, 1]) and WAV (mono samples in [-1, 1]) via
-    ``sources/codecs.py``; formats the stdlib cannot decode (MP4,
-    WebP pixels — headers DO parse via ``codecs.image_meta``) fall
-    back to the fake (samples derived from the payload bytes,
-    reproducible in tests), or raise when ``USE_FAKE_CODEC`` is off —
-    plug Pillow/ffmpeg into this branch in production.
+    REAL for PNG / GIF / BMP / ICO / JPEG (baseline + progressive) /
+    WebP lossless (VP8L; pixels flattened to [0, 1]) and WAV (mono
+    samples in [-1, 1]) via ``sources/codecs.py``; formats the stdlib
+    cannot decode (MP4, lossy-VP8 WebP — headers DO parse via
+    ``codecs.image_meta``) fall back to the fake (samples derived
+    from the payload bytes, reproducible in tests), or raise when
+    ``USE_FAKE_CODEC`` is off — plug Pillow/ffmpeg into this branch
+    in production.
 
     The codec tag makes the route OBSERVABLE (round-4 ADVICE fix):
-    ``png``/``bmp``/``gif``/``ico``/``wav``/``jpeg`` = the real
-    decoder ran;
-    ``fake`` = unknown format on the disclosed fake path; ``fallback``
-    = a payload that SNIFFED as a real format but failed to decode
-    (truncated PNG, ADPCM WAV, …) — a data-quality failure that would
-    otherwise silently yield plausible fake features. Aggregate the
-    tag downstream (``GROUP BY codec``) to monitor corpus health.
+    ``png``/``bmp``/``gif``/``ico``/``wav``/``jpeg``/``webp`` = the
+    real decoder ran;
+    ``fake`` = a format with no in-sandbox codec (MP4, lossy VP8) on
+    the disclosed fake path; ``fallback`` = a payload that SNIFFED as
+    a real format but failed to decode (truncated PNG, ADPCM WAV, …)
+    — a data-quality failure that would otherwise silently yield
+    plausible fake features. Aggregate the tag downstream
+    (``GROUP BY codec``) to monitor corpus health.
     """
     from . import codecs as C
 
@@ -113,6 +115,18 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
                 C.decode_jpeg(payload).astype(np.float32).ravel() / 255.0,
                 "jpeg",
             )
+        if fmt == "webp":
+            try:
+                return (
+                    C.decode_webp(payload).astype(np.float32).ravel()
+                    / 255.0,
+                    "webp",
+                )
+            except NotImplementedError:
+                # lossy VP8 / animated: a MISSING codec, not corrupt
+                # data — ride the disclosed fake path with tag 'fake',
+                # same as MP4
+                fmt = "_no_codec"
     except Exception:
         # a sniffed-but-unsupported variant (APNG frames, RLE BMP,
         # ADPCM WAV, arithmetic JPEG, truncated bytes) must not fail the
@@ -366,7 +380,8 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
                 b = bytes(p or b"")
                 fmt = C.sniff(b)
                 try:
-                    if fmt in ("png", "bmp", "gif", "ico", "jpeg"):
+                    if fmt in ("png", "bmp", "gif", "ico", "jpeg",
+                               "webp"):
                         arr = C.decode_image(b)
                         payloads.append(
                             C.encode_png(C.resize_nearest(arr, w, h))
@@ -514,7 +529,8 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests/benches (no
     external data; payloads are a pure function of (seed, media_id)).
     Images rotate through REAL PNG / baseline-JPEG (4:2:0, restart
-    markers) / 24-bit BMP, audio rows are REAL 16-bit PCM WAVs, and
+    markers) / 24-bit BMP / lossless WebP (VP8L with a color cache),
+    audio rows are REAL 16-bit PCM WAVs, and
     video rows are REAL minimal MP4 containers (ftyp/mdat/moov with
     exact stts/stsc/stsz/stco sample tables) whose frame payloads are
     deterministic opaque bytes standing in for coded pictures — the
@@ -528,8 +544,16 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             arr = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
-            rot = (i // 3) % 3
-            if rot == 2:
+            rot = (i // 3) % 4
+            if rot == 3:
+                from . import vp8l
+
+                rgba = np.dstack(
+                    [arr, np.full((48, 64), 255, np.uint8)]
+                )
+                payload = vp8l.encode_vp8l(rgba, cache_bits=6)
+                mime = "image/webp"
+            elif rot == 2:
                 payload, mime = C.encode_bmp(arr), "image/bmp"
             elif rot == 1:
                 payload = C.encode_jpeg(

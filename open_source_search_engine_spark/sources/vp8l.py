@@ -728,3 +728,467 @@ def decode_webp(payload: bytes) -> np.ndarray:
                 "lossy VP8 pixel decode needs libwebp")
         # ALPH/ICCP/EXIF/XMP and unknown chunks: skip
     raise ValueError("WebP: no image bitstream chunk found")
+
+
+# ---------------------------------------------------------------------------
+# encoder (verification dual)
+# ---------------------------------------------------------------------------
+
+
+def _huffman_lengths(freqs, max_len):
+    """Code lengths for a canonical prefix code, depth-limited to
+    max_len by frequency flattening (halve-and-rebuild: as frequencies
+    approach uniform the tree approaches balanced, and every alphabet
+    here is small enough that a balanced tree fits the limit)."""
+    import heapq
+    import itertools
+
+    n = len(freqs)
+    lengths = [0] * n
+    active = [(f, i) for i, f in enumerate(freqs) if f > 0]
+    if not active:
+        return lengths
+    if len(active) == 1:
+        lengths[active[0][1]] = 1
+        return lengths
+    fs = {i: f for f, i in active}
+    while True:
+        counter = itertools.count()
+        heap = [(f, next(counter), ("s", i)) for i, f in fs.items()]
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            f1, _, n1 = heapq.heappop(heap)
+            f2, _, n2 = heapq.heappop(heap)
+            heapq.heappush(heap, (f1 + f2, next(counter), ("n", n1, n2)))
+        depths = {}
+        stack = [(heap[0][2], 0)]
+        while stack:
+            node, d = stack.pop()
+            if node[0] == "s":
+                depths[node[1]] = max(d, 1)
+            else:
+                stack.append((node[1], d + 1))
+                stack.append((node[2], d + 1))
+        if max(depths.values()) <= max_len:
+            for i, d in depths.items():
+                lengths[i] = d
+            return lengths
+        fs = {i: (f + 1) // 2 for i, f in fs.items()}
+
+
+def _encode_map(lengths):
+    """{symbol: (length, code)} matching the decoder's construction;
+    a single used symbol is coded with zero bits."""
+    used = [s for s, ln in enumerate(lengths) if ln > 0]
+    if len(used) == 1:
+        return {used[0]: (0, 0)}
+    return canonical_codes(lengths)
+
+
+def _write_code_msb(bw: BitWriter, code: int, length: int) -> None:
+    """Prefix codes go to the stream most-significant-bit first (the
+    DEFLATE convention)."""
+    for i in range(length - 1, -1, -1):
+        bw.write((code >> i) & 1, 1)
+
+
+def _rle_code_lengths(lengths):
+    """Symbol stream for a normal code's code-length sequence, using
+    RLE codes 16 (repeat prev non-zero, 3-6) and 17/18 (zero runs) so
+    the decoder's RLE paths get exercised. Yields (code, extra,
+    n_extra)."""
+    out = []
+    i = 0
+    n = len(lengths)
+    while i < n:
+        v = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == v:
+            run += 1
+        i += run
+        if v == 0:
+            while run >= 11:
+                take = min(run, 138)
+                out.append((18, take - 11, 7))
+                run -= take
+            if run >= 3:
+                out.append((17, run - 3, 3))
+                run = 0
+            out.extend((0, 0, 0) for _ in range(run))
+        else:
+            out.append((v, 0, 0))
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                out.append((16, take - 3, 2))
+                run -= take
+            out.extend((v, 0, 0) for _ in range(run))
+    return out
+
+
+def _write_normal_code(bw: BitWriter, lengths) -> None:
+    """Write a code-length-coded ('normal') prefix code."""
+    sym_stream = _rle_code_lengths(lengths)
+    cl_freqs = [0] * 19
+    for code, _, _ in sym_stream:
+        cl_freqs[code] += 1
+    cl_lengths = _huffman_lengths(cl_freqs, 7)
+    cl_map = _encode_map(cl_lengths)
+    num = 19
+    while num > 4 and cl_lengths[CODE_LENGTH_ORDER[num - 1]] == 0:
+        num -= 1
+    bw.write(num - 4, 4)
+    for i in range(num):
+        bw.write(cl_lengths[CODE_LENGTH_ORDER[i]], 3)
+    bw.write(0, 1)  # no max_symbol cap
+    for code, extra, n_extra in sym_stream:
+        ln, c = cl_map[code]
+        _write_code_msb(bw, c, ln)
+        if n_extra:
+            bw.write(extra, n_extra)
+
+
+def _build_and_write_code(bw: BitWriter, freqs):
+    """Write one prefix code (simple if it fits, else normal); return
+    the {symbol: (length, code)} encode map."""
+    used = [s for s, f in enumerate(freqs) if f > 0]
+    if not used:
+        used = [0]  # unused tree: 1-symbol placeholder, zero bits
+    if len(used) == 1 and used[0] <= 255:
+        s = used[0]
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        if s <= 1:
+            bw.write(0, 1)
+            bw.write(s, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(s, 8)
+        return {s: (0, 0)}
+    if len(used) == 2 and used[1] <= 255:
+        s0, s1 = used
+        bw.write(1, 1)  # simple
+        bw.write(1, 1)  # two symbols
+        if s0 <= 1:
+            bw.write(0, 1)
+            bw.write(s0, 1)
+        else:
+            bw.write(1, 1)
+            bw.write(s0, 8)
+        bw.write(s1, 8)
+        return {s0: (1, 0), s1: (1, 1)}
+    lengths = _huffman_lengths(freqs, MAX_CODE_LENGTH)
+    nonzero = [i for i, ln in enumerate(lengths) if ln]
+    if len(nonzero) == 1:
+        # a lone symbol > 255 can't ride a simple code (8-bit symbol
+        # field); pair it with a dummy symbol 0 so the canonical code
+        # is complete at one bit each (the dummy never appears in the
+        # data stream)
+        lengths[nonzero[0]] = 1
+        lengths[0 if nonzero[0] != 0 else 1] = 1
+    bw.write(0, 1)  # normal
+    _write_normal_code(bw, lengths)
+    return _encode_map(lengths)
+
+
+def _tokenize(flat, w, cache_bits, use_lz77):
+    """Greedy token stream over flat uint32 pixels: ('lit', argb) /
+    ('cache', idx) / ('copy', length, distance). Mirrors the decoder's
+    cache-update discipline exactly."""
+    npix = flat.size
+    cache = np.zeros(1 << cache_bits, dtype=np.uint32) if cache_bits \
+        else None
+    shift = 32 - cache_bits if cache_bits else 0
+    tokens = []
+    pos = 0
+    flat_l = flat.tolist()
+    while pos < npix:
+        best_len = 0
+        best_dist = 0
+        if use_lz77:
+            for dist in (1, 2, w - 1, w, w + 1):
+                if 1 <= dist <= pos:
+                    ln = 0
+                    while (pos + ln < npix and ln < 4096
+                           and flat_l[pos + ln - dist]
+                           == flat_l[pos + ln]):
+                        ln += 1
+                    if ln > best_len:
+                        best_len, best_dist = ln, dist
+        if best_len >= 3:
+            tokens.append(("copy", best_len, best_dist, pos))
+            if cache_bits:
+                for i in range(pos, pos + best_len):
+                    px = flat_l[i]
+                    cache[(_HASH_MUL * px & 0xFFFFFFFF) >> shift] = px
+            pos += best_len
+        else:
+            px = flat_l[pos]
+            if cache_bits:
+                key = (_HASH_MUL * px & 0xFFFFFFFF) >> shift
+                if int(cache[key]) == px:
+                    tokens.append(("cache", key, None, pos))
+                else:
+                    cache[key] = px
+                    tokens.append(("lit", px, None, pos))
+            else:
+                tokens.append(("lit", px, None, pos))
+            pos += 1
+    return tokens
+
+
+def _dist_to_code(dist: int, w: int) -> int:
+    """Distance -> distance code, preferring the 2D map."""
+    dy, dx = divmod(dist, w)
+    for cand in ((dx, dy), (dx - w, dy + 1)):
+        code = DIST_MAP_INV.get(cand)
+        if code is not None and cand[1] * w + cand[0] == dist:
+            return code
+    return dist + 120
+
+
+def _encode_entropy_stream(bw, flat, w, h, is_level0, cache_bits=0,
+                           use_lz77=False, meta_split=False):
+    """Write <color-cache-info> [<meta-prefix>] <prefix codes> <data>
+    for one image stream."""
+    if flat.size != w * h:
+        raise ValueError(f"stream pixel count {flat.size} != {w}x{h}")
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    meta = None
+    meta_bits = 0
+    meta_w = 0
+    n_groups = 1
+    if is_level0:
+        if meta_split and h >= 2:
+            meta_bits = 2
+            meta_w = _div_round_up(w, meta_bits)
+            meta_h = _div_round_up(h, meta_bits)
+            rows = np.arange(meta_h)
+            # top half of block-rows -> group 0, bottom -> group 1
+            meta_img = np.where(rows[:, None] < meta_h // 2, 0, 1
+                                ).astype(np.uint32) << 8
+            meta_img = np.broadcast_to(meta_img, (meta_h, meta_w)).copy()
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            _encode_entropy_stream(bw, meta_img.reshape(-1), meta_w,
+                                   meta_h, False)
+            meta = ((meta_img.reshape(-1) >> 8) & 0xFFFF).astype(np.int64)
+            n_groups = int(meta.max()) + 1
+        else:
+            bw.write(0, 1)
+    tokens = _tokenize(flat, w, cache_bits, use_lz77)
+
+    def group_of(pos):
+        if meta is None:
+            return 0
+        y, x = divmod(pos, w)
+        return int(meta[(y >> meta_bits) * meta_w + (x >> meta_bits)])
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    g_freqs = [[0] * (256 + 24 + cache_size) for _ in range(n_groups)]
+    r_freqs = [[0] * 256 for _ in range(n_groups)]
+    b_freqs = [[0] * 256 for _ in range(n_groups)]
+    a_freqs = [[0] * 256 for _ in range(n_groups)]
+    d_freqs = [[0] * 40 for _ in range(n_groups)]
+    emission = []
+    for kind, v1, v2, pos in tokens:
+        g = group_of(pos)
+        if kind == "lit":
+            alpha = (v1 >> 24) & 0xFF
+            red = (v1 >> 16) & 0xFF
+            green = (v1 >> 8) & 0xFF
+            blue = v1 & 0xFF
+            g_freqs[g][green] += 1
+            r_freqs[g][red] += 1
+            b_freqs[g][blue] += 1
+            a_freqs[g][alpha] += 1
+            emission.append((g, "lit", green, red, blue, alpha))
+        elif kind == "cache":
+            g_freqs[g][280 + v1] += 1
+            emission.append((g, "cache", v1))
+        else:
+            lp, lex, lnb = _prefix_encode(v1)
+            dcode = _dist_to_code(v2, w)
+            dp, dex, dnb = _prefix_encode(dcode)
+            g_freqs[g][256 + lp] += 1
+            d_freqs[g][dp] += 1
+            emission.append((g, "copy", lp, lex, lnb, dp, dex, dnb))
+    maps = []
+    for g in range(n_groups):
+        maps.append((
+            _build_and_write_code(bw, g_freqs[g]),
+            _build_and_write_code(bw, r_freqs[g]),
+            _build_and_write_code(bw, b_freqs[g]),
+            _build_and_write_code(bw, a_freqs[g]),
+            _build_and_write_code(bw, d_freqs[g]),
+        ))
+    for item in emission:
+        g = item[0]
+        gm, rm, bm, am, dm = maps[g]
+        if item[1] == "lit":
+            _, _, green, red, blue, alpha = item
+            _write_code_msb(bw, *reversed(gm[green]))
+            _write_code_msb(bw, *reversed(rm[red]))
+            _write_code_msb(bw, *reversed(bm[blue]))
+            _write_code_msb(bw, *reversed(am[alpha]))
+        elif item[1] == "cache":
+            _write_code_msb(bw, *reversed(gm[280 + item[2]]))
+        else:
+            _, _, lp, lex, lnb, dp, dex, dnb = item
+            _write_code_msb(bw, *reversed(gm[256 + lp]))
+            if lnb:
+                bw.write(lex, lnb)
+            _write_code_msb(bw, *reversed(dm[dp]))
+            if dnb:
+                bw.write(dex, dnb)
+
+
+def encode_vp8l(rgba: np.ndarray, *, palette: bool = False,
+                subtract_green: bool = False,
+                predictor_bits: int | None = None,
+                predictor_modes: np.ndarray | None = None,
+                color_bits: int | None = None,
+                color_ctes: np.ndarray | None = None,
+                cache_bits: int = 0, use_lz77: bool = True,
+                meta_split: bool = False) -> bytes:
+    """Encode (h, w, 4) uint8 RGBA to a complete RIFF WEBP/VP8L file.
+
+    This is the verification dual for decode_webp — options select
+    which decoder paths a round-trip exercises; it does not try to
+    compress well. ``palette`` is mutually exclusive with the pixel
+    transforms. Transform bitstream order (and forward application
+    order) is subtract-green, cross-color, predictor."""
+    if rgba.ndim != 3 or rgba.shape[2] != 4 or rgba.dtype != np.uint8:
+        raise ValueError("encode_vp8l expects (h, w, 4) uint8 RGBA")
+    h, w = rgba.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("encode_vp8l: dimensions out of range")
+    img = ((rgba[..., 3].astype(np.uint32) << 24)
+           | (rgba[..., 0].astype(np.uint32) << 16)
+           | (rgba[..., 1].astype(np.uint32) << 8)
+           | rgba[..., 2].astype(np.uint32))
+    bw = BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1, 1)  # alpha may be used
+    bw.write(0, 3)  # version
+    enc_w = w
+    if palette:
+        if subtract_green or predictor_bits or color_bits:
+            raise ValueError("palette excludes the pixel transforms "
+                             "in this encoder")
+        colors, inv = np.unique(img.reshape(-1), return_inverse=True)
+        if colors.size > 256:
+            raise ValueError("too many colors for palette mode")
+        bw.write(1, 1)
+        bw.write(3, 2)  # color indexing
+        bw.write(colors.size - 1, 8)
+        pal_ch = colors.view(np.uint8).reshape(-1, 4).astype(np.int32)
+        deltas = np.diff(np.vstack([np.zeros((1, 4), np.int32), pal_ch]),
+                         axis=0) & 0xFF
+        pal_img = deltas.astype(np.uint8).reshape(-1).view(np.uint32)
+        _encode_entropy_stream(bw, pal_img, colors.size, 1, False)
+        n = colors.size
+        width_bits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        idx = inv.reshape(h, w).astype(np.uint32)
+        if width_bits:
+            per = 1 << width_bits
+            bits_per = 8 >> width_bits
+            enc_w = _div_round_up(w, width_bits)
+            packed = np.zeros((h, enc_w), dtype=np.uint32)
+            for j in range(per):
+                cols = np.arange(j, w, per)
+                packed[:, :cols.size] |= (idx[:, cols]
+                                          << (j * bits_per))
+        else:
+            enc_w = w
+            packed = idx
+        img = 0xFF000000 | (packed << 8)
+        bw.write(0, 1)  # no more transforms
+    else:
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)
+            g = (img >> 8) & 0xFF
+            r = (((img >> 16) & 0xFF) - g) & 0xFF
+            b = ((img & 0xFF) - g) & 0xFF
+            img = (img & 0xFF00FF00) | (r << 16) | b
+        if color_bits is not None:
+            bw.write(1, 1)
+            bw.write(1, 2)
+            bw.write(color_bits - 2, 3)
+            bwidth = _div_round_up(w, color_bits)
+            bheight = _div_round_up(h, color_bits)
+            if color_ctes is None:
+                color_ctes = np.full((bheight, bwidth), 0xFF100A05,
+                                     dtype=np.uint32)
+            _encode_entropy_stream(bw, color_ctes.reshape(-1)
+                                   .astype(np.uint32), bwidth, bheight,
+                                   False)
+            cte = color_ctes[np.arange(h) >> color_bits][
+                :, np.arange(w) >> color_bits]
+            g2r = (cte & 0xFF).astype(np.uint8).astype(np.int8
+                                                       ).astype(np.int32)
+            g2b = ((cte >> 8) & 0xFF).astype(np.uint8).astype(
+                np.int8).astype(np.int32)
+            r2b = ((cte >> 16) & 0xFF).astype(np.uint8).astype(
+                np.int8).astype(np.int32)
+            g_s = ((img >> 8) & 0xFF).astype(np.uint8).astype(
+                np.int8).astype(np.int32)
+            red0 = ((img >> 16) & 0xFF).astype(np.int32)
+            red0_s = red0.astype(np.uint8).astype(np.int8).astype(
+                np.int32)
+            red = (red0 - ((g2r * g_s) >> 5)) & 0xFF
+            blue = ((img & 0xFF).astype(np.int32)
+                    - ((g2b * g_s) >> 5) - ((r2b * red0_s) >> 5)) & 0xFF
+            img = ((img & 0xFF00FF00) | (red.astype(np.uint32) << 16)
+                   | blue.astype(np.uint32))
+        if predictor_bits is not None:
+            bw.write(1, 1)
+            bw.write(0, 2)
+            bw.write(predictor_bits - 2, 3)
+            bwidth = _div_round_up(w, predictor_bits)
+            bheight = _div_round_up(h, predictor_bits)
+            if predictor_modes is None:
+                predictor_modes = np.full((bheight, bwidth), 2,
+                                          dtype=np.uint32)
+            _encode_entropy_stream(
+                bw, (0xFF000000
+                     | (predictor_modes.astype(np.uint32) << 8)
+                     ).reshape(-1), bwidth, bheight, False)
+            src = _argb_channels(img).astype(np.int32)
+            res = np.zeros_like(src)
+            for y in range(h):
+                for x in range(w):
+                    if x == 0 and y == 0:
+                        pred = np.array([255, 0, 0, 0], dtype=np.int32)
+                    elif y == 0:
+                        pred = src[0, x - 1]
+                    elif x == 0:
+                        pred = src[y - 1, 0]
+                    else:
+                        mode = int(predictor_modes[y >> predictor_bits,
+                                                   x >> predictor_bits])
+                        TR = src[y - 1, x + 1] if x + 1 < w else src[y, 0]
+                        pred = _predict(mode, src[y, x - 1],
+                                        src[y - 1, x], src[y - 1, x - 1],
+                                        TR)
+                    res[y, x] = (src[y, x] - pred) & 0xFF
+            img = _channels_argb(res.astype(np.uint8))
+        bw.write(0, 1)  # no more transforms
+    _encode_entropy_stream(bw, img.reshape(-1), enc_w, h, True,
+                           cache_bits=cache_bits, use_lz77=use_lz77,
+                           meta_split=meta_split)
+    chunk = b"\x2f" + bw.getvalue()
+    if len(chunk) & 1:
+        padded = chunk + b"\x00"
+    else:
+        padded = chunk
+    vp8l_chunk = b"VP8L" + struct.pack("<I", len(chunk)) + padded
+    riff = (b"RIFF" + struct.pack("<I", 4 + len(vp8l_chunk))
+            + b"WEBP" + vp8l_chunk)
+    return riff

@@ -33,9 +33,11 @@ def test_decode_media_schema_and_determinism(spark, media):
     by_kind = {(r["kind"], r["codec"]) for r in rows.values()}
     assert ("video", "fake") in by_kind
     assert all(
-        c in ("png", "bmp", "jpeg") for k, c in by_kind if k == "image"
+        c in ("png", "bmp", "jpeg", "webp")
+        for k, c in by_kind if k == "image"
     )
     assert ("image", "jpeg") in by_kind  # real baseline-JPEG decode
+    assert ("image", "webp") in by_kind  # real VP8L lossless decode
     assert all(c == "wav" for k, c in by_kind if k == "audio")
     # deterministic fake codec: recompute one row in-process
     r0 = media.filter(media.media_id == 0).first()
@@ -58,10 +60,14 @@ def test_resize_images_only_images_fixed_size(spark, media):
     kinds = {r["media_id"] for r in media.filter("kind = 'image'").collect()}
     assert {r["media_id"] for r in out} == kinds
     assert all(r["width"] == 8 and r["height"] == 8 for r in out)
-    # synth images are real PNG/BMP → resize re-encodes REAL 8x8 PNGs
+    # synth images are real PNG/BMP/JPEG/WebP → resize re-encodes REAL
+    # 8x8 PNGs (the WebP rows decode to RGBA and keep their alpha)
+    shapes = set()
     for r in out:
         arr = C.decode_png(bytes(r["payload"]))
-        assert arr.shape == (8, 8, 3)
+        assert arr.shape[:2] == (8, 8) and arr.shape[2] in (3, 4)
+        shapes.add(arr.shape[2])
+    assert shapes == {3, 4}
 
 
 def test_resize_is_true_nearest_neighbor(spark, media):

@@ -267,6 +267,182 @@ def test_corrupt_and_truncated_streams_raise_valueerror():
             vp8l.decode_vp8l(b"\x2f" + junk)
 
 
+# ---------------------------------------------------------------------------
+# encoder-dual round-trips (paths the real stream doesn't reach)
+# ---------------------------------------------------------------------------
+
+
+def _rt(img, **kw):
+    data = vp8l.encode_vp8l(img, **kw)
+    out = vp8l.decode_webp(data)
+    assert out.shape == img.shape
+    assert (out == img).all(), f"round-trip mismatch for {kw}"
+    return data
+
+
+def test_round_trip_every_predictor_mode():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (11, 13, 4), dtype=np.uint8)
+    for mode in range(14):
+        modes = np.full((3, 4), mode, dtype=np.uint32)
+        _rt(img, predictor_bits=2, predictor_modes=modes,
+            use_lz77=False)
+    # random per-block mode mixture (block borders between modes)
+    modes = rng.integers(0, 14, (3, 4)).astype(np.uint32)
+    _rt(img, predictor_bits=2, predictor_modes=modes, use_lz77=False)
+
+
+def test_round_trip_cross_color_and_stacked_transforms():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (11, 13, 4), dtype=np.uint8)
+    ctes = (0xFF000000 | rng.integers(0, 1 << 24, (3, 4))).astype(
+        np.uint32)
+    _rt(img, color_bits=2, color_ctes=ctes, use_lz77=False)
+    modes = rng.integers(0, 14, (3, 4)).astype(np.uint32)
+    # all three pixel transforms + cache + LZ77 stacked
+    _rt(img, subtract_green=True, color_bits=2, color_ctes=ctes,
+        predictor_bits=2, predictor_modes=modes, use_lz77=True,
+        cache_bits=3)
+
+
+def test_round_trip_color_cache_actually_hits():
+    """Cache round-trip, with a trace asserting cache symbols really
+    appear in the stream (a cache that never hits tests nothing)."""
+    rng = np.random.default_rng(13)
+    # five distinct pixel COLORS (not per-channel noise) so a 16-slot
+    # cache actually hits
+    colors = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    img = colors[rng.integers(0, 5, (12, 12))]
+    data = _rt(img, cache_bits=4, use_lz77=False)
+    body = [b for cc, b in vp8l._walk_riff(data) if cc == b"VP8L"][0]
+    hits = {"cache": 0}
+    orig = vp8l.PrefixCode.decode
+
+    def counting(self, br):
+        s = orig(self, br)
+        if s >= 280:
+            hits["cache"] += 1
+        return s
+
+    vp8l.PrefixCode.decode = counting
+    try:
+        vp8l.decode_vp8l(body)
+    finally:
+        vp8l.PrefixCode.decode = orig
+    assert hits["cache"] > 20
+
+
+def test_round_trip_lz77_uses_2d_distance_codes():
+    """Vertical/diagonal repetition forces distances w-1, w, w+1 —
+    all three land in the 2D map ((-1,1), (0,1), (1,1))."""
+    rng = np.random.default_rng(14)
+    row = rng.integers(0, 256, (1, 16, 4), dtype=np.uint8)
+    img = np.tile(row, (10, 1, 1))
+    data = _rt(img)
+    body = [b for cc, b in vp8l._walk_riff(data) if cc == b"VP8L"][0]
+    dist_codes = []
+    orig = vp8l._prefix_value
+
+    def tracing(br, prefix):
+        v = orig(br, prefix)
+        dist_codes.append(v)
+        return v
+
+    vp8l._prefix_value = tracing
+    try:
+        vp8l.decode_vp8l(body)
+    finally:
+        vp8l._prefix_value = orig
+    assert 1 in dist_codes  # (0, 1): the pixel one row up
+
+
+def test_round_trip_meta_prefix_groups():
+    rng = np.random.default_rng(15)
+    # top half low-entropy, bottom half high-entropy: the two meta
+    # groups get genuinely different code tables
+    top = np.tile(rng.integers(0, 3, (8, 12, 4), dtype=np.uint8) * 100,
+                  (1, 1, 1))
+    bot = rng.integers(0, 256, (8, 12, 4), dtype=np.uint8)
+    img = np.vstack([top, bot])
+    _rt(img, meta_split=True, use_lz77=True)
+    _rt(img, meta_split=True, cache_bits=5)
+
+
+def test_round_trip_palette_all_bundling_tiers():
+    rng = np.random.default_rng(16)
+    for ncol in (2, 3, 4, 5, 16, 17, 200, 256):
+        base = rng.integers(0, 256, (ncol, 4), dtype=np.uint8)
+        idx = rng.integers(0, ncol, (13, 17))
+        _rt(base[idx], palette=True, use_lz77=(ncol > 16))
+
+
+def test_round_trip_degenerate_shapes():
+    rng = np.random.default_rng(17)
+    _rt(rng.integers(0, 256, (1, 1, 4), dtype=np.uint8), use_lz77=False)
+    _rt(rng.integers(0, 256, (9, 1, 4), dtype=np.uint8))
+    _rt(rng.integers(0, 256, (1, 9, 4), dtype=np.uint8))
+    _rt(np.zeros((6, 6, 4), dtype=np.uint8))
+    _rt(np.full((6, 6, 4), 255, dtype=np.uint8))
+
+
+def test_round_trip_property_matrix():
+    """Randomized sweep: image content x transform/cache/lz77/meta
+    option mix, fresh rng stream per case."""
+    rng = np.random.default_rng(18)
+    for trial in range(25):
+        h = int(rng.integers(1, 20))
+        w = int(rng.integers(1, 20))
+        kind = trial % 5
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        elif kind == 1:  # low-entropy: exercises cache + lz77
+            img = rng.integers(0, 3, (h, w, 4), dtype=np.uint8) * 90
+        elif kind == 2:  # vertical stripes
+            img = np.tile(rng.integers(0, 256, (1, w, 4),
+                                       dtype=np.uint8), (h, 1, 1))
+        elif kind == 3:  # smooth ramp (predictor-friendly)
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(yy * 3 + xx * 5) % 256] * 4,
+                           axis=-1).astype(np.uint8)
+        else:
+            img = rng.integers(250, 256, (h, w, 4), dtype=np.uint8)
+        opts = {}
+        if rng.random() < 0.4:
+            opts["subtract_green"] = True
+        if rng.random() < 0.4:
+            bits = int(rng.integers(2, 5))
+            bh = (h + (1 << bits) - 1) >> bits
+            bw_ = (w + (1 << bits) - 1) >> bits
+            opts["predictor_bits"] = bits
+            opts["predictor_modes"] = rng.integers(
+                0, 14, (bh, bw_)).astype(np.uint32)
+        if rng.random() < 0.3:
+            bits = int(rng.integers(2, 5))
+            bh = (h + (1 << bits) - 1) >> bits
+            bw_ = (w + (1 << bits) - 1) >> bits
+            opts["color_bits"] = bits
+            opts["color_ctes"] = (0xFF000000 | rng.integers(
+                0, 1 << 24, (bh, bw_))).astype(np.uint32)
+        if rng.random() < 0.5:
+            opts["cache_bits"] = int(rng.integers(1, 9))
+        opts["use_lz77"] = bool(rng.random() < 0.6)
+        if rng.random() < 0.3 and h >= 2:
+            opts["meta_split"] = True
+        _rt(img, **opts)
+
+
+def test_encoded_files_sniff_and_meta_parse():
+    """Encoder output is a well-formed container: sniff() says webp,
+    image_meta() reads dims + lossless flag from the header."""
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)
+    data = vp8l.encode_vp8l(img, use_lz77=False)
+    assert C.sniff(data) == "webp"
+    meta = C.image_meta(data)
+    assert (meta["width"], meta["height"]) == (5, 7)
+    assert "lossless" in meta["flags"]
+
+
 def test_decode_webp_container_routing():
     webp = _fixture("cpython_logo.webp")
     # the fixture is lossy VP8 (+ALPH): pixel decode must route to the
@@ -275,3 +451,34 @@ def test_decode_webp_container_routing():
         vp8l.decode_webp(webp)
     with pytest.raises(ValueError):
         vp8l.decode_webp(b"RIFF\x00\x00\x00\x00NOPE")
+
+
+def test_multimodal_codec_tag_routing():
+    """The Arrow-kernel route: VP8L payloads decode for real (tag
+    'webp'), lossy VP8 rides the disclosed fake path (tag 'fake'),
+    and a corrupt VP8L chunk is a data-quality 'fallback'."""
+    from open_source_search_engine_spark.sources.multimodal import (
+        _decode_with_codec,
+    )
+
+    rng = np.random.default_rng(20)
+    img = rng.integers(0, 256, (6, 8, 4), dtype=np.uint8)
+    lossless = vp8l.encode_vp8l(img)
+    samples, tag = _decode_with_codec(lossless, "image")
+    assert tag == "webp"
+    assert samples.size == 6 * 8 * 4
+    np.testing.assert_allclose(
+        samples.reshape(6, 8, 4), img.astype(np.float32) / 255.0)
+
+    lossy = _fixture("cpython_logo.webp")
+    _, tag = _decode_with_codec(lossy, "image")
+    assert tag == "fake"
+
+    corrupt = bytearray(lossless)
+    corrupt[25] ^= 0xFF  # flip bits inside the VP8L stream
+    _, tag = _decode_with_codec(bytes(corrupt), "image")
+    assert tag in ("fallback", "webp")  # most flips corrupt; some are
+    # benign — accept either but require no crash
+
+    assert C.sniff(lossless) == "webp"
+    assert (C.decode_image(lossless) == img).all()
