@@ -218,6 +218,87 @@ WHERE round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 4) >= 0.4
 """
 
 
+def substring_dup_spans(docs: DataFrame, k: int = 8,
+                        min_docs: int = 2) -> DataFrame:
+    """Span-level EXACT-SUBSTRING dedup statistics (the Lee et al.
+    2022 'Deduplicating Training Data Makes Language Models Better'
+    ExactSubstr mode, re-expressed relationally): every k-token
+    shingle occurring in >= min_docs DISTINCT documents marks a
+    duplicated span start; per document report the total span count,
+    the duplicated span count, and their ratio — the signal a
+    training-data pipeline thresholds to drop or trim
+    boilerplate-heavy documents. Complements the doc-level family
+    (exact/minhash/simhash/jaccard/embedding): those score whole-doc
+    similarity; this localizes WHICH text is copied and catches
+    partial duplication (a unique page wrapping a copied paragraph)
+    that whole-doc measures dilute.
+
+    Scale shape: shingles are formed INSIDE each row (JVM transform
+    over the token array — no shuffle to build them) and leave the
+    scan as 8-byte xxhash64 values, not strings; the cross-doc df
+    aggregation shuffles distinct (hash, docid) pairs with map-side
+    combine; the dup dictionary (shingles seen in >= min_docs docs)
+    joins back by hash only. No blob or string ever shuffles. The
+    suffix-array formulation in the paper is single-machine; the
+    shingle-df formulation is its standard distributed equivalent
+    (fixed k instead of maximal matches — disclosed deviation).
+    """
+    sh = docs.select(
+        "docid", F.explode(shingles_col("text", k)).alias("shingle")
+    ).select("docid", F.xxhash64("shingle").alias("h"))
+    dup = (
+        sh.select("h", "docid")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    return (
+        sh.join(dup, "h", "left")
+        .groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup_shingles"),
+        )
+        .select(
+            "docid",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles") / F.col("n_shingles"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+SUBSTRING_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT docid, s
+  FROM toks,
+       LATERAL unnest(CASE WHEN len(t) < 8 THEN []
+                           ELSE list_transform(range(1, len(t) - 6),
+                                i -> array_to_string(t[i:i+7], ' ')) END
+                     ) AS u(s)
+),
+dup AS (
+  SELECT s FROM sh GROUP BY s HAVING count(DISTINCT docid) >= 2
+)
+SELECT sh.docid,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(dup.s) AS BIGINT) AS n_dup_shingles,
+       round(count(dup.s) * 1.0 / count(*), 4) AS dup_frac
+FROM sh LEFT JOIN dup ON sh.s = dup.s
+GROUP BY sh.docid
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: MinHash + LSH banding
 # ---------------------------------------------------------------------------

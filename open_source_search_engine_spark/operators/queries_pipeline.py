@@ -43,6 +43,18 @@ def dedup_exact(spark, sf_dir):
     return P.dedup_exact(_docs(spark, sf_dir))
 
 
+@register("dedup_substring_spans", P.SUBSTRING_SPANS_SQL,
+          extended=True)
+def dedup_substring_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al. 2022 ExactSubstr,
+    distributed shingle-df form): per-doc duplicated-span statistics.
+    Extended tier (the primary 50 are capped); same comparator in
+    pytest. The Spark side shuffles 8-byte xxhash64 shingle hashes;
+    the oracle recomputes with the shingle STRINGS — counts agree
+    unless xxhash64 collides (P ~ 1e-8 at this corpus size)."""
+    return P.substring_dup_spans(_docs(spark, sf_dir))
+
+
 @register("dedup_ngram_jaccard", P.NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     # df-cap ON in the registered path (the 100 TB form): candidate

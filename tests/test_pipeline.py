@@ -474,3 +474,36 @@ def test_category_rollup_subtree_semantics(spark):
     for inner in ("top/arts", "top/science", "top/computers"):
         kids = [l for l in CD.TAXONOMY_LEAVES if l.startswith(inner + "/")]
         assert got[inner] == (0, sum(got[k][0] for k in kids))
+
+
+def test_substring_dup_spans_known_answer(spark):
+    """Hand-computed span-level dedup: docs 1 and 2 share one 4-token
+    run ('alpha beta gamma delta'); doc 3 is disjoint; doc 4 is too
+    short to form a 4-shingle and must not appear."""
+    rows = [
+        (1, "alpha beta gamma delta one two three"),
+        (2, "x alpha beta gamma delta y z"),
+        (3, "p q r s t u v"),
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, text string")
+    got = {
+        r["docid"]: (r["n_shingles"], r["n_dup_shingles"], r["dup_frac"])
+        for r in P.substring_dup_spans(docs, k=4).collect()
+    }
+    # 7 tokens -> 4 shingles per doc; exactly ONE shingle (the shared
+    # 4-token run) occurs in two distinct docs
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (4, 1, 0.25)
+    assert got[3] == (4, 0, 0.0)
+    assert 4 not in got
+    # a shingle repeated WITHIN one doc only is not a cross-doc dup
+    solo = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "e f g h i j k l")],
+        "docid long, text string",
+    )
+    got2 = {
+        r["docid"]: r["n_dup_shingles"]
+        for r in P.substring_dup_spans(solo, k=4).collect()
+    }
+    assert got2[1] == 0 and got2[2] == 0
