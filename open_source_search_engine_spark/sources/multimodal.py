@@ -363,9 +363,9 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
     """image media -> (media_id, payload binary, width, height) with
     the payload decoded, nearest-neighbor resized to (w, h), and
-    re-encoded as PNG — REAL for PNG/BMP/baseline-JPEG payloads.
-    Unknown formats keep the fake stand-in (truncate/pad to w*h
-    bytes)."""
+    re-encoded as PNG — REAL for PNG/BMP/GIF/ICO/JPEG/lossless-WebP
+    payloads (RGBA sources keep their alpha). Unknown formats keep
+    the fake stand-in (truncate/pad to w*h bytes)."""
     out_schema = (
         "media_id long, payload binary, width int, height int"
     )

@@ -70,17 +70,11 @@ def test_real_stream_feature_trace_is_nontrivial():
     alph = [b for cc, b in vp8l._walk_riff(webp) if cc == b"ALPH"][0]
     stats = {"copies": 0, "normal_codes": 0}
     orig_rpc = vp8l.read_prefix_code
-    orig_ec = vp8l._decode_entropy_coded
 
     def rpc(br, n):
         if not ((br.data[br.pos >> 3] >> (br.pos & 7)) & 1):
             stats["normal_codes"] += 1
         return orig_rpc(br, n)
-
-    def ec(br, w, h, groups, meta, meta_bits, meta_w, cache_bits):
-        out = orig_ec(br, w, h, groups, meta, meta_bits, meta_w,
-                      cache_bits)
-        return out
 
     g_decode = vp8l.PrefixCode.decode
 
