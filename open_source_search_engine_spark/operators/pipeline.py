@@ -274,6 +274,80 @@ def substring_dup_spans(docs: DataFrame, k: int = 8,
     )
 
 
+def decontaminate(docs: DataFrame, eval_docs: DataFrame,
+                  k: int = 8) -> DataFrame:
+    """Eval-set DECONTAMINATION (the GPT-3/PaLM-report pipeline step):
+    flag training documents sharing any k-token shingle with a
+    benchmark/eval document, reporting per flagged doc how many of its
+    spans are contaminated. Same span machinery as
+    substring_dup_spans, different join target: the dictionary is the
+    EVAL set's shingles, not the corpus's own duplicates.
+
+    Scale shape — the part that matters at 100 TB: eval sets are tiny
+    (thousands of docs) next to the training corpus, so the eval
+    shingle dictionary is built distinct and BROADCAST; the training
+    side joins against it map-side with ZERO shuffle of training data
+    — the whole operation is one scan over the corpus plus a final
+    per-doc aggregation of the (rare) hits. Shingles travel as 8-byte
+    xxhash64 values.
+    """
+    train_sh = docs.select(
+        "docid", F.explode(shingles_col("text", k)).alias("sh")
+    ).select("docid", F.xxhash64("sh").alias("h"))
+    eval_sh = (
+        eval_docs.select(F.explode(shingles_col("text", k)).alias("sh"))
+        .select(F.xxhash64("sh").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "h", "left")
+        .groupBy("docid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_eval_hits"),
+        )
+        .filter(F.col("n_eval_hits") > 0)
+        .select(
+            "docid",
+            "n_shingles",
+            "n_eval_hits",
+            F.round(
+                F.col("n_eval_hits") / F.col("n_shingles"), 4
+            ).alias("contam_frac"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id AS docid, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT docid, s
+  FROM toks,
+       LATERAL unnest(CASE WHEN len(t) < 8 THEN []
+                           ELSE list_transform(range(1, len(t) - 6),
+                                i -> array_to_string(t[i:i+7], ' ')) END
+                     ) AS u(s)
+),
+eval_sh AS (
+  SELECT DISTINCT s FROM sh WHERE docid % 50 = 0
+),
+train AS (SELECT docid, s FROM sh WHERE docid % 50 <> 0)
+SELECT t.docid,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(e.s) AS BIGINT) AS n_eval_hits,
+       round(count(e.s) * 1.0 / count(*), 4) AS contam_frac
+FROM train t LEFT JOIN eval_sh e ON t.s = e.s
+GROUP BY t.docid
+HAVING count(e.s) > 0
+"""
+
+
 SUBSTRING_SPANS_SQL = """
 WITH toks AS (
   SELECT doc_id AS docid, regexp_extract_all(lower(text), '[a-z0-9]+') AS t

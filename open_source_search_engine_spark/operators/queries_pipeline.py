@@ -55,6 +55,20 @@ def dedup_substring_spans(spark, sf_dir):
     return P.substring_dup_spans(_docs(spark, sf_dir))
 
 
+@register("decontaminate", P.DECONTAMINATE_SQL, extended=True)
+def decontaminate(spark, sf_dir):
+    """Eval-set decontamination demoed on a deterministic split: every
+    50th document plays the benchmark set, the rest are the training
+    corpus (disclosed stand-in — the sandbox ships no benchmark
+    table; the operator takes any (docid, text) eval DataFrame). The
+    eval shingle dictionary is broadcast; training data never
+    shuffles."""
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("docid") % 50 == 0)
+    train = docs.filter(F.col("docid") % 50 != 0)
+    return P.decontaminate(train, eval_docs)
+
+
 @register("dedup_ngram_jaccard", P.NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
     # df-cap ON in the registered path (the 100 TB form): candidate

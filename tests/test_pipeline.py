@@ -507,3 +507,26 @@ def test_substring_dup_spans_known_answer(spark):
         for r in P.substring_dup_spans(solo, k=4).collect()
     }
     assert got2[1] == 0 and got2[2] == 0
+
+
+def test_decontaminate_known_answer(spark):
+    """A training doc sharing an 8-token span with an eval doc is
+    flagged with the exact hit count; disjoint docs are absent."""
+    train = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "totally different words with no overlap at all here"),
+        ],
+        "docid long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "zz one two three four five six seven eight qq")],
+        "docid long, text string",
+    )
+    got = {
+        r["docid"]: (r["n_shingles"], r["n_eval_hits"])
+        for r in P.decontaminate(train, ev, k=8).collect()
+    }
+    # train doc 1: 10 tokens -> 3 shingles; the eval doc contains
+    # 'one..eight' -> exactly one shared shingle
+    assert got == {1: (3, 1)}
