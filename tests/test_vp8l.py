@@ -240,6 +240,49 @@ def test_prefix_value_codec_round_trip():
         assert vp8l._prefix_value(br, code) == v
 
 
+def test_vp8l_hypothesis_round_trip_property():
+    """Hypothesis sweep (house style, cf. the PNG/JPEG matrix
+    properties): any image content and any coherent option set
+    round-trips bit-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        palette=st.booleans(),
+        cache_bits=st.sampled_from([0, 0, 2, 5, 8]),
+        lz77=st.booleans(),
+        pred=st.booleans(),
+        subg=st.booleans(),
+    )
+    def inner(h, w, seed, palette, cache_bits, lz77, pred, subg):
+        rng = np.random.RandomState(seed % 2**31)
+        if palette:
+            ncol = int(rng.randint(1, 17))
+            base = rng.randint(0, 256, size=(ncol, 4)).astype(np.uint8)
+            img = base[rng.randint(0, ncol, size=(h, w))]
+            kw = {"palette": True}
+        else:
+            img = rng.randint(0, 256, size=(h, w, 4)).astype(np.uint8)
+            kw = {"subtract_green": subg}
+            if pred:
+                bits = 2
+                kw["predictor_bits"] = bits
+                kw["predictor_modes"] = rng.randint(
+                    0, 14, size=((h + 3) >> 2, (w + 3) >> 2)
+                ).astype(np.uint32)
+        kw["cache_bits"] = cache_bits
+        kw["use_lz77"] = lz77
+        data = vp8l.encode_vp8l(img, **kw)
+        out = vp8l.decode_webp(data)
+        assert out.shape == img.shape and (out == img).all()
+
+    inner()
+
+
 # ---------------------------------------------------------------------------
 # error contract
 # ---------------------------------------------------------------------------
