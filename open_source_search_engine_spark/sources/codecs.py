@@ -89,7 +89,8 @@ _ADAM7 = [
 
 def sniff(payload: bytes) -> str:
     """Magic-byte format sniff: 'png' | 'bmp' | 'gif' | 'wav' |
-    'jpeg' | 'mp4' | 'unknown'."""
+    'jpeg' | 'mp4' | 'webp' | 'ico' | 'webm' | 'pnm' | 'xbm' |
+    audio containers | 'unknown'."""
     if payload[:8] == PNG_SIG:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -129,6 +130,11 @@ def sniff(payload: bytes) -> str:
         return "mp4"
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return "webm"  # EBML: WebM / Matroska
+    if (len(payload) >= 3 and payload[0:1] == b"P"
+            and payload[1] in b"123456" and payload[2:3].isspace()):
+        return "pnm"  # netpbm P1-P6 (PBM/PGM/PPM, ascii + binary)
+    if payload[:8] == b"#define ":
+        return "xbm"  # X BitMap C source
     return "unknown"
 
 
@@ -587,26 +593,71 @@ def encode_png_ex(
 # --- BMP -------------------------------------------------------------------
 
 
+def _mask_extract(px: np.ndarray, mask: int) -> np.ndarray:
+    """Extract one BI_BITFIELDS channel: shift to LSB, scale sub-8-bit
+    channels to 0..255 (e.g. 5-bit masks in 16/32-bpp variants)."""
+    if mask == 0:
+        return np.zeros(px.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    v = (px >> np.uint32(shift)) & np.uint32((1 << width) - 1)
+    if width == 8:
+        return v.astype(np.uint8)
+    return ((v * 255) // ((1 << width) - 1)).astype(np.uint8)
+
+
 @_corrupt_as_valueerror
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed 24-bit BMP → uint8 (h, w, 3) RGB. Handles 4-byte
-    row padding, bottom-up and top-down row order."""
+    """BMP → uint8 (h, w, 3) RGB or (h, w, 4) RGBA. Handles the
+    uncompressed 24-bit form (4-byte row padding, bottom-up and
+    top-down) plus 32-bpp — both plain BGRX (comp 0) and
+    BI_BITFIELDS/BI_ALPHABITFIELDS (comp 3/6) with arbitrary channel
+    masks, the variant modern exporters write (the CPython test
+    fixture python.bmp is exactly this: 32-bpp comp-3 with an alpha
+    mask — golden-pinned in tests). An alpha channel that is present
+    but all-zero is treated as opaque RGB (the classic exporter bug;
+    matches how browsers render such files)."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
     w, h = struct.unpack("<ii", payload[18:26])
     bpp, comp = struct.unpack("<HI", payload[28:34])
-    if bpp != 24 or comp != 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
     top_down = h < 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3
-    rows = np.frombuffer(
-        payload, dtype=np.uint8, count=stride * h, offset=data_off
-    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    if not top_down:
-        rows = rows[::-1]
-    return rows[:, :, ::-1].copy()  # BGR → RGB
+    if bpp == 24 and comp == 0:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+    if bpp == 32 and comp in (0, 3, 6):
+        if comp == 0:
+            rm, gm, bm, am = 0x00FF0000, 0x0000FF00, 0x000000FF, 0
+        else:
+            # masks live right after the 40-byte info header (comp 3:
+            # RGB; comp 6 / header >= 56: + alpha) — same file offset
+            # when they're fields of a V2+/V4/V5 header
+            rm, gm, bm = struct.unpack("<III", payload[54:66])
+            am = 0
+            if comp == 6 or hdr_size >= 56:
+                (am,) = struct.unpack("<I", payload[66:70])
+        px = np.frombuffer(
+            payload, dtype="<u4", count=w * h, offset=data_off
+        ).reshape(h, w)
+        if not top_down:
+            px = px[::-1]
+        r = _mask_extract(px, rm)
+        g = _mask_extract(px, gm)
+        b = _mask_extract(px, bm)
+        if am:
+            a = _mask_extract(px, am)
+            if a.any():
+                return np.stack([r, g, b, a], axis=-1)
+        return np.stack([r, g, b], axis=-1)
+    raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -622,6 +673,143 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
     )
     return header + data
+
+
+# --- netpbm (PBM/PGM/PPM, P1-P6) + XBM --------------------------------------
+
+
+def _pnm_header(payload: bytes, n_fields: int):
+    """Parse the netpbm header after the magic: ``n_fields``
+    whitespace-separated decimal fields, with '#' comments running to
+    end-of-line. Returns (fields, raster_offset) where raster_offset
+    points one byte past the single whitespace that terminates the
+    last field (the binary-raster rule)."""
+    fields = []
+    pos = 2
+    n = len(payload)
+    while len(fields) < n_fields:
+        while pos < n and payload[pos:pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos] == 0x23:  # '#'
+            while pos < n and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and payload[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("corrupt PNM: bad header field")
+        fields.append(int(payload[start:pos]))
+        if len(fields) == n_fields:
+            if pos < n and payload[pos:pos + 1].isspace():
+                pos += 1  # exactly one whitespace before the raster
+            else:
+                raise ValueError("corrupt PNM: missing raster "
+                                 "separator")
+    return fields, pos
+
+
+def _pnm_ascii_values(payload: bytes, pos: int, count: int) -> np.ndarray:
+    toks = re.split(rb"\s+", payload[pos:].strip())
+    toks = [t for t in toks if t and not t.startswith(b"#")]
+    if len(toks) < count:
+        raise ValueError("corrupt PNM: truncated ASCII raster")
+    return np.array([int(t) for t in toks[:count]], dtype=np.int64)
+
+
+@_corrupt_as_valueerror
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """netpbm decode, all six types: P1/P4 bitmap (1 = black, per
+    spec), P2/P5 graymap, P3/P6 pixmap; ASCII and binary rasters,
+    '#' comments, maxval scaling (16-bit big-endian samples reduced
+    to 8). Returns uint8 (h, w) for bitmaps/graymaps, (h, w, 3) for
+    pixmaps. The CPython fixtures python.{pbm,pgm,ppm} are
+    golden-pinned in tests."""
+    kind = payload[1:2]
+    if payload[:1] != b"P" or kind not in b"123456":
+        raise ValueError("not a PNM")
+    bitmap = kind in (b"1", b"4")
+    channels = 3 if kind in (b"3", b"6") else 1
+    n_fields = 2 if bitmap else 3
+    fields, pos = _pnm_header(payload, n_fields)
+    w, h = fields[0], fields[1]
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("corrupt PNM: bad dimensions")
+    maxval = 1 if bitmap else fields[2]
+    if not bitmap and not 1 <= maxval <= 65535:
+        raise ValueError("corrupt PNM: bad maxval")
+    count = w * h * channels
+    if kind == b"4":  # packed bits, MSB first, rows byte-padded
+        stride = (w + 7) >> 3
+        raw = np.frombuffer(payload, dtype=np.uint8,
+                            count=stride * h, offset=pos)
+        bits = np.unpackbits(raw.reshape(h, stride), axis=1)[:, :w]
+        return np.where(bits == 1, 0, 255).astype(np.uint8)
+    if kind in (b"5", b"6"):
+        if maxval < 256:
+            vals = np.frombuffer(payload, dtype=np.uint8, count=count,
+                                 offset=pos).astype(np.int64)
+        else:
+            vals = np.frombuffer(payload, dtype=">u2", count=count,
+                                 offset=pos).astype(np.int64)
+    else:  # ASCII P1/P2/P3
+        vals = _pnm_ascii_values(payload, pos - 1, count)
+    if (vals < 0).any() or (vals > maxval).any():
+        raise ValueError("corrupt PNM: sample exceeds maxval")
+    if kind == b"1":
+        out = np.where(vals == 1, 0, 255).astype(np.uint8)
+        return out.reshape(h, w)
+    scaled = ((vals * 255) // maxval).astype(np.uint8)
+    if channels == 3:
+        return scaled.reshape(h, w, 3)
+    return scaled.reshape(h, w)
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """Encoder dual: bool/bilevel (h, w) → P4, uint8 (h, w) → P5,
+    uint8 (h, w, 3) → P6."""
+    if arr.ndim == 2 and arr.dtype == np.bool_:
+        h, w = arr.shape
+        packed = np.packbits(arr.astype(np.uint8), axis=1)
+        return b"P4\n%d %d\n" % (w, h) + packed.tobytes()
+    if arr.ndim == 2:
+        h, w = arr.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + arr.astype(
+            np.uint8).tobytes()
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        h, w = arr.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(
+            np.uint8).tobytes()
+    raise ValueError("encode_pnm expects (h,w) bool/uint8 or (h,w,3)")
+
+
+@_corrupt_as_valueerror
+def decode_xbm(payload: bytes) -> np.ndarray:
+    """X BitMap (C-source) decode → uint8 (h, w), set bits (the
+    foreground) as 0 and background as 255 to match the PBM
+    convention. XBM packs bits LSB-FIRST within each byte, rows
+    byte-padded — the opposite bit order from PBM."""
+    text = payload.decode("ascii", errors="replace")
+    mw = re.search(r"#define\s+\w*_?width\s+(\d+)", text)
+    mh = re.search(r"#define\s+\w*_?height\s+(\d+)", text)
+    if not mw or not mh:
+        raise ValueError("corrupt XBM: missing width/height defines")
+    w, h = int(mw.group(1)), int(mh.group(1))
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("corrupt XBM: bad dimensions")
+    body = re.search(r"\{(.*)\}", text, re.S)
+    if not body:
+        raise ValueError("corrupt XBM: missing bits array")
+    vals = re.findall(r"0[xX][0-9a-fA-F]+|\d+", body.group(1))
+    stride = (w + 7) >> 3
+    need = stride * h
+    if len(vals) < need:
+        raise ValueError("corrupt XBM: truncated bits array")
+    raw = np.array([int(v, 0) & 0xFF for v in vals[:need]],
+                   dtype=np.uint8)
+    bits = np.unpackbits(raw.reshape(h, stride), axis=1,
+                         bitorder="little")[:, :w]
+    return np.where(bits == 1, 0, 255).astype(np.uint8)
 
 
 # --- ICO (favicons: ICONDIR of PNG or DIB entries) --------------------------
@@ -3092,6 +3280,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_jpeg(payload)
     if fmt == "webp":
         return decode_webp(payload)
+    if fmt == "pnm":
+        return decode_pnm(payload)
+    if fmt == "xbm":
+        return decode_xbm(payload)
     raise ValueError(f"not a decodable image (sniffed {fmt!r})")
 
 
