@@ -135,6 +135,12 @@ def sniff(payload: bytes) -> str:
         return "pnm"  # netpbm P1-P6 (PBM/PGM/PPM, ascii + binary)
     if payload[:8] == b"#define ":
         return "xbm"  # X BitMap C source
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        return "ras"  # Sun Raster
+    if payload[:2] == b"\x01\xda":
+        return "sgi"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -810,6 +816,275 @@ def decode_xbm(payload: bytes) -> np.ndarray:
     bits = np.unpackbits(raw.reshape(h, stride), axis=1,
                          bitorder="little")[:, :w]
     return np.where(bits == 1, 0, 255).astype(np.uint8)
+
+
+# --- Sun Raster / SGI / TIFF (classic web-crawl image fossils) --------------
+
+
+@_corrupt_as_valueerror
+def decode_ras(payload: bytes) -> np.ndarray:
+    """Sun Raster decode → uint8 (h, w[, 3|4]). Handles depths
+    8 (gray or colormapped), 24 and 32; types 0/1 (uncompressed,
+    BGR order), 2 (byte-RLE, 0x80-escaped) and 3 (RT_FORMAT_RGB —
+    RGB order). Scanlines pad to 16-bit boundaries per the format.
+    The 32-bit pixel stores the pad/alpha byte FIRST (xBGR / xRGB).
+    Golden-pinned against the CPython fixture (byte-identical to its
+    PNG sibling's RGB)."""
+    if len(payload) < 32:
+        raise ValueError("corrupt RAS: short header")
+    magic, w, h, depth, _length, rtype, maptype, maplen = struct.unpack(
+        ">8i", payload[:32]
+    )
+    if magic != 0x59A66A95:
+        raise ValueError("not a Sun Raster file")
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("corrupt RAS: bad dimensions")
+    if depth not in (8, 24, 32) or rtype not in (0, 1, 2, 3):
+        raise ValueError(f"unsupported RAS (depth={depth}, "
+                         f"type={rtype})")
+    pos = 32
+    cmap = None
+    if maptype == 1 and maplen:
+        if maplen % 3:
+            raise ValueError("corrupt RAS: bad colormap length")
+        cmap = np.frombuffer(payload, np.uint8, maplen, pos)
+        cmap = cmap.reshape(3, maplen // 3).T  # planes R,G,B
+        pos += maplen
+    elif maplen:
+        pos += maplen
+    bytes_pp = depth // 8
+    stride = (w * bytes_pp + 1) & ~1  # pad rows to 16 bits
+    need = stride * h
+    if rtype == 2:  # byte-RLE: 0x80 0x00 -> literal 0x80;
+        #              0x80 n v -> v repeated n+1; else literal
+        out = bytearray()
+        i = pos
+        n = len(payload)
+        while len(out) < need and i < n:
+            b = payload[i]
+            if b != 0x80:
+                out.append(b)
+                i += 1
+            else:
+                if i + 1 >= n:
+                    raise ValueError("corrupt RAS: truncated RLE")
+                cnt = payload[i + 1]
+                if cnt == 0:
+                    out.append(0x80)
+                    i += 2
+                else:
+                    if i + 2 >= n:
+                        raise ValueError("corrupt RAS: truncated RLE")
+                    out.extend(payload[i + 2:i + 3] * (cnt + 1))
+                    i += 3
+        if len(out) < need:
+            raise ValueError("corrupt RAS: RLE underrun")
+        raw = np.frombuffer(bytes(out[:need]), np.uint8)
+    else:
+        if len(payload) < pos + need:
+            raise ValueError("corrupt RAS: truncated raster")
+        raw = np.frombuffer(payload, np.uint8, need, pos)
+    rows = raw.reshape(h, stride)[:, : w * bytes_pp]
+    if depth == 8:
+        img = rows.reshape(h, w)
+        if cmap is not None:
+            return cmap[img.astype(np.int64)].astype(np.uint8)
+        return img.copy()
+    px = rows.reshape(h, w, bytes_pp)
+    if bytes_pp == 4:
+        px = px[:, :, 1:]  # pad/alpha byte first
+    if rtype != 3:
+        px = px[:, :, ::-1]  # BGR -> RGB
+    return px.copy()
+
+
+@_corrupt_as_valueerror
+def decode_sgi(payload: bytes) -> np.ndarray:
+    """SGI image (.sgi/.rgb) decode → uint8 (h, w[, channels]).
+    Handles bpc=1, dimension 2/3, VERBATIM (storage 0) and RLE
+    (storage 1: per-row/channel start+length tables at offset 512;
+    count = byte & 0x7f, high bit picks literal-run vs repeat).
+    Rows are stored bottom-up, channel-planar."""
+    if len(payload) < 512 or struct.unpack(">h", payload[:2])[0] != 474:
+        raise ValueError("not an SGI image")
+    storage, bpc = payload[2], payload[3]
+    dimension, w, h, zsize = struct.unpack(">4H", payload[4:12])
+    if bpc != 1:
+        raise ValueError("unsupported SGI: bpc != 1")
+    if dimension == 2:
+        zsize = 1
+    if (w <= 0 or h <= 0 or not 1 <= zsize <= 4
+            or w * h > 64_000_000):
+        raise ValueError("corrupt SGI: bad dimensions")
+    planes = np.zeros((zsize, h, w), dtype=np.uint8)
+    if storage == 0:
+        need = 512 + w * h * zsize
+        if len(payload) < need:
+            raise ValueError("corrupt SGI: truncated verbatim data")
+        planes = np.frombuffer(
+            payload, np.uint8, w * h * zsize, 512
+        ).reshape(zsize, h, w).copy()
+    elif storage == 1:
+        ntab = h * zsize
+        starts = np.frombuffer(payload, ">u4", ntab, 512)
+        lengths = np.frombuffer(payload, ">u4", ntab, 512 + 4 * ntab)
+        for z in range(zsize):
+            for y in range(h):
+                i = int(starts[z * h + y])
+                end = i + int(lengths[z * h + y])
+                if end > len(payload):
+                    raise ValueError("corrupt SGI: RLE row out of "
+                                     "bounds")
+                row = bytearray()
+                while i < end:
+                    b = payload[i]
+                    i += 1
+                    cnt = b & 0x7F
+                    if cnt == 0:
+                        break
+                    if b & 0x80:  # literal run
+                        if i + cnt > end:
+                            raise ValueError("corrupt SGI: RLE "
+                                             "overrun")
+                        row.extend(payload[i:i + cnt])
+                        i += cnt
+                    else:  # repeat next byte
+                        if i >= end:
+                            raise ValueError("corrupt SGI: RLE "
+                                             "overrun")
+                        row.extend(payload[i:i + 1] * cnt)
+                        i += 1
+                if len(row) < w:
+                    raise ValueError("corrupt SGI: short RLE row")
+                planes[z, y] = np.frombuffer(
+                    bytes(row[:w]), np.uint8
+                )
+    else:
+        raise ValueError(f"unsupported SGI storage {storage}")
+    planes = planes[:, ::-1]  # bottom-up
+    if zsize == 1:
+        return planes[0]
+    return np.transpose(planes, (1, 2, 0))
+
+
+def _tiff_ifd_values(data, entry_off, le):
+    """One IFD entry -> (tag, [values]) for the integer types used by
+    baseline TIFF."""
+    e = "<" if le else ">"
+    tag, typ, cnt = struct.unpack(e + "HHI", data[entry_off:entry_off + 8])
+    sizes = {1: 1, 3: 2, 4: 4}
+    if typ not in sizes:
+        return tag, None
+    total = sizes[typ] * cnt
+    if total <= 4:
+        raw = data[entry_off + 8:entry_off + 8 + total]
+    else:
+        (off,) = struct.unpack(e + "I", data[entry_off + 8:entry_off + 12])
+        raw = data[off:off + total]
+    if len(raw) < total:
+        raise ValueError("corrupt TIFF: IFD value out of bounds")
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    return tag, list(struct.unpack(e + fmt * cnt, raw))
+
+
+def _packbits(src: bytes, need: int) -> bytes:
+    """Apple PackBits decode (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while len(out) < need and i < n:
+        b = src[i]
+        i += 1
+        if b < 128:
+            if i + b + 1 > n:
+                raise ValueError("corrupt PackBits: literal overrun")
+            out.extend(src[i:i + b + 1])
+            i += b + 1
+        elif b > 128:
+            if i >= n:
+                raise ValueError("corrupt PackBits: repeat overrun")
+            out.extend(src[i:i + 1] * (257 - b))
+            i += 1
+        # 128 = no-op
+    if len(out) < need:
+        raise ValueError("corrupt PackBits: underrun")
+    return bytes(out[:need])
+
+
+@_corrupt_as_valueerror
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF decode → uint8 array: classic II/MM headers,
+    first IFD, 8-bit samples, chunky planar config, strip layout,
+    compression 1 (none) and 32773 (PackBits); photometric 0/1
+    (grayscale, 0 inverted), 2 (RGB/RGBA incl. extra-sample alpha)
+    and 3 (palette via the 16-bit ColorMap). LZW/JPEG-in-TIFF and
+    tiled files raise ValueError (rare in web crawls next to these
+    baseline forms; slot libtiff in for them)."""
+    if payload[:4] == b"II*\x00":
+        le = True
+    elif payload[:4] == b"MM\x00*":
+        le = False
+    else:
+        raise ValueError("not a TIFF")
+    e = "<" if le else ">"
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    if ifd_off + 2 > len(payload):
+        raise ValueError("corrupt TIFF: bad IFD offset")
+    (n_entries,) = struct.unpack(e + "H", payload[ifd_off:ifd_off + 2])
+    tags = {}
+    for i in range(n_entries):
+        tag, vals = _tiff_ifd_values(payload, ifd_off + 2 + 12 * i, le)
+        if vals is not None:
+            tags[tag] = vals
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        offs = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"corrupt TIFF: missing tag {exc}") from exc
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("corrupt TIFF: bad dimensions")
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    rps = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        raise ValueError("unsupported TIFF: planar configuration")
+    if any(b != 8 for b in bps[:spp]) or not 1 <= spp <= 4:
+        raise ValueError("unsupported TIFF: need 8-bit samples")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    row_bytes = w * spp
+    data = bytearray()
+    row = 0
+    for off, cnt in zip(offs, counts):
+        strip_rows = min(rps, h - row)
+        need = strip_rows * row_bytes
+        src = payload[off:off + cnt]
+        if len(src) < cnt:
+            raise ValueError("corrupt TIFF: strip out of bounds")
+        data.extend(src[:need] if comp == 1 else _packbits(src, need))
+        row += strip_rows
+    if len(data) < h * row_bytes:
+        raise ValueError("corrupt TIFF: strips shorter than image")
+    img = np.frombuffer(
+        bytes(data[: h * row_bytes]), np.uint8
+    ).reshape(h, w, spp)
+    if photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("corrupt TIFF: palette without ColorMap")
+        cm = (np.array(cmap[: 3 * (1 << 8)], dtype=np.uint32)
+              .reshape(3, -1).T >> 8).astype(np.uint8)
+        return cm[img[:, :, 0].astype(np.int64)]
+    if photo == 0:  # WhiteIsZero
+        img = 255 - img
+    if spp == 1:
+        return img[:, :, 0].copy()
+    return img.copy()
 
 
 # --- ICO (favicons: ICONDIR of PNG or DIB entries) --------------------------
@@ -3284,6 +3559,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_pnm(payload)
     if fmt == "xbm":
         return decode_xbm(payload)
+    if fmt == "ras":
+        return decode_ras(payload)
+    if fmt == "sgi":
+        return decode_sgi(payload)
+    if fmt == "tiff":
+        return decode_tiff(payload)
     raise ValueError(f"not a decodable image (sniffed {fmt!r})")
 
 

@@ -74,7 +74,7 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
 
     The codec tag makes the route OBSERVABLE (round-4 ADVICE fix):
     ``png``/``bmp``/``gif``/``ico``/``wav``/``jpeg``/``webp``/
-    ``pnm``/``xbm`` = the real decoder ran;
+    ``pnm``/``xbm``/``ras``/``sgi``/``tiff`` = the real decoder ran;
     ``fake`` = a format with no in-sandbox codec (MP4, lossy VP8) on
     the disclosed fake path; ``fallback`` = a payload that SNIFFED as
     a real format but failed to decode (truncated PNG, ADPCM WAV, …)
@@ -127,9 +127,12 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
                 # data — ride the disclosed fake path with tag 'fake',
                 # same as MP4
                 fmt = "_no_codec"
-        if fmt in ("pnm", "xbm"):
-            arr = (C.decode_pnm(payload) if fmt == "pnm"
-                   else C.decode_xbm(payload))
+        if fmt in ("pnm", "xbm", "ras", "sgi", "tiff"):
+            arr = {
+                "pnm": C.decode_pnm, "xbm": C.decode_xbm,
+                "ras": C.decode_ras, "sgi": C.decode_sgi,
+                "tiff": C.decode_tiff,
+            }[fmt](payload)
             return arr.astype(np.float32).ravel() / 255.0, fmt
     except Exception:
         # a sniffed-but-unsupported variant (APNG frames, RLE BMP,
@@ -385,7 +388,8 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
                 fmt = C.sniff(b)
                 try:
                     if fmt in ("png", "bmp", "gif", "ico", "jpeg",
-                               "webp", "pnm", "xbm"):
+                               "webp", "pnm", "xbm", "ras", "sgi",
+                               "tiff"):
                         arr = C.decode_image(b)
                         payloads.append(
                             C.encode_png(C.resize_nearest(arr, w, h))

@@ -1547,3 +1547,47 @@ def test_sniff_and_dispatch_pnm_xbm():
     assert tag == "pnm"
     _, tag = _decode_with_codec(_imghdr("xbm"), "image")
     assert tag == "xbm"
+
+
+def test_ras_sgi_tiff_fixtures_match_png_exactly():
+    """Three more real-encoder validations from the same fixture set:
+    Sun Raster (32-bit RT_FORMAT_RGB), SGI (RLE, channel-planar,
+    bottom-up — the RLE path validated against real tooling output)
+    and baseline TIFF (uncompressed RGBA strips) all decode to the
+    identical pixels as the PNG sibling."""
+    png = C.decode_png(_imghdr("png"))
+    ras = C.decode_ras(_imghdr("ras"))
+    assert ras.shape == (16, 16, 3)
+    assert (ras == png[:, :, :3]).all()
+    sgi = C.decode_sgi(_imghdr("sgi"))
+    assert sgi.shape == (16, 16, 4)
+    assert (sgi == png).all()
+    tif = C.decode_tiff(_imghdr("tiff"))
+    assert tif.shape == (16, 16, 4)
+    assert (tif == png).all()
+    for name in ("ras", "sgi", "tiff"):
+        assert C.sniff(_imghdr(name)) == name
+        assert C.decode_image(_imghdr(name)).shape[:2] == (16, 16)
+
+
+def test_ras_sgi_tiff_corrupt_raise_valueerror():
+    ras, sgi, tif = _imghdr("ras"), _imghdr("sgi"), _imghdr("tiff")
+    import pytest as _pytest
+
+    for payload, fn in (
+        (ras[:20], C.decode_ras),
+        (ras[:40], C.decode_ras),           # truncated raster
+        (sgi[:100], C.decode_sgi),          # truncated tables
+        (tif[:6], C.decode_tiff),
+        (tif[:200], C.decode_tiff),         # strip out of bounds
+        (b"\x59\xa6\x6a\x95" + b"\x00" * 28, C.decode_ras),  # 0 dims
+    ):
+        with _pytest.raises(ValueError):
+            fn(payload)
+
+
+def test_packbits_round_trip_via_hand_stream():
+    # hand-assembled PackBits: literal run of 3, repeat of 4, no-op
+    src = bytes([2, 10, 20, 30]) + bytes([253, 7]) + bytes([128]) \
+        + bytes([0, 99])
+    assert C._packbits(src, 8) == bytes([10, 20, 30, 7, 7, 7, 7, 99])
