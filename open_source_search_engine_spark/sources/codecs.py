@@ -141,6 +141,8 @@ def sniff(payload: bytes) -> str:
         return "sgi"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:4] == b"\x76\x2f\x31\x01":
+        return "exr"
     return "unknown"
 
 
@@ -1085,6 +1087,199 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if spp == 1:
         return img[:, :, 0].copy()
     return img.copy()
+
+
+# --- OpenEXR (HDR scanline images) ------------------------------------------
+
+
+def _exr_zip_reconstruct(data: bytes) -> bytes:
+    """OpenEXR ZIP post-inflate reconstruction (ImfZip spec): undo the
+    byte delta (d[i] += d[i-1] - 128) then de-interleave the two
+    halves back to alternating positions."""
+    t = np.frombuffer(data, np.uint8).astype(np.int64)
+    t[1:] -= 128
+    b = (np.cumsum(t) & 0xFF).astype(np.uint8)
+    half = (b.size + 1) // 2
+    out = np.empty(b.size, np.uint8)
+    out[0::2] = b[:half]
+    out[1::2] = b[half:]
+    return out.tobytes()
+
+
+def _exr_zip_forward(data: bytes) -> bytes:
+    """Encoder dual of _exr_zip_reconstruct (interleave-split +
+    byte delta)."""
+    arr = np.frombuffer(data, np.uint8)
+    half = (arr.size + 1) // 2
+    split = np.empty(arr.size, np.uint8)
+    split[:half] = arr[0::2]
+    split[half:] = arr[1::2]
+    out = split.astype(np.int64)
+    out[1:] = out[1:] - split[:-1].astype(np.int64) + 128
+    return (out & 0xFF).astype(np.uint8).tobytes()
+
+
+_EXR_PT_SIZE = {0: 4, 1: 2, 2: 4}  # UINT, HALF, FLOAT
+_EXR_PT_DTYPE = {0: "<u4", 1: "<f2", 2: "<f4"}
+
+
+@_corrupt_as_valueerror
+def decode_exr(payload: bytes) -> np.ndarray:
+    """OpenEXR scanline decode → float32 (h, w, channels), channels
+    in R,G,B,A order where those names exist (others appended
+    alphabetically). Handles HALF/FLOAT/UINT channels, compression
+    NONE (the CPython fixture — golden-pinned), ZIPS (1 line/block)
+    and ZIP (16 lines/block) via zlib + the documented
+    delta+interleave reconstruction; increasing-Y line order; no
+    tiles/deep data (slot OpenEXR in for those). HDR values pass
+    through unclamped."""
+    if payload[:4] != b"\x76\x2f\x31\x01":
+        raise ValueError("not an EXR")
+    if payload[4] != 2 or payload[5] & 0x02:  # version 2, no tiles
+        raise ValueError("unsupported EXR version/tiled flag")
+    pos = 8
+    n = len(payload)
+    channels = []
+    comp = None
+    xmin = ymin = xmax = ymax = None
+
+    def cstr(p):
+        e = payload.index(b"\x00", p)
+        return payload[p:e].decode("latin-1"), e + 1
+
+    while pos < n and payload[pos] != 0:
+        name, pos = cstr(pos)
+        typ, pos = cstr(pos)
+        (sz,) = struct.unpack("<I", payload[pos:pos + 4])
+        pos += 4
+        val = payload[pos:pos + sz]
+        pos += sz
+        if name == "channels":
+            cp = 0
+            while cp < len(val) and val[cp] != 0:
+                cname = val[cp:val.index(b"\x00", cp)].decode("latin-1")
+                cp = val.index(b"\x00", cp) + 1
+                ptype, _flags, xs, ys = struct.unpack(
+                    "<IIII", val[cp:cp + 16]
+                )
+                cp += 16
+                if xs != 1 or ys != 1:
+                    raise ValueError("unsupported EXR: subsampled "
+                                     "channel")
+                if ptype not in _EXR_PT_SIZE:
+                    raise ValueError("corrupt EXR: bad pixel type")
+                channels.append((cname, ptype))
+        elif name == "compression":
+            comp = val[0]
+        elif name == "dataWindow":
+            xmin, ymin, xmax, ymax = struct.unpack("<4i", val)
+        elif name == "lineOrder" and val[0] != 0:
+            raise ValueError("unsupported EXR: non-increasing-Y order")
+    pos += 1  # header terminator
+    if comp is None or xmin is None or not channels:
+        raise ValueError("corrupt EXR: missing required attributes")
+    if comp not in (0, 2, 3):  # NONE, ZIPS, ZIP
+        raise ValueError(f"unsupported EXR compression {comp}")
+    w = xmax - xmin + 1
+    h = ymax - ymin + 1
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("corrupt EXR: bad data window")
+    lines_per = 16 if comp == 3 else 1
+    n_blocks = (h + lines_per - 1) // lines_per
+    pos += 8 * n_blocks  # scanline offset table (trust block order)
+    # channels are stored per scanline sorted by name
+    ch_sorted = sorted(channels)
+    row_bytes = sum(w * _EXR_PT_SIZE[pt] for _, pt in ch_sorted)
+    planes = {c: np.zeros((h, w), np.float32) for c, _ in channels}
+    for _ in range(n_blocks):
+        if pos + 8 > n:
+            raise ValueError("corrupt EXR: truncated block header")
+        y, dsize = struct.unpack("<ii", payload[pos:pos + 8])
+        pos += 8
+        y -= ymin
+        rows = min(lines_per, h - y)
+        if y < 0 or rows <= 0 or pos + dsize > n:
+            raise ValueError("corrupt EXR: block out of range")
+        raw = payload[pos:pos + dsize]
+        pos += dsize
+        need = row_bytes * rows
+        if comp != 0 and dsize < need:
+            raw = _exr_zip_reconstruct(zlib.decompress(raw))
+        if len(raw) < need:
+            raise ValueError("corrupt EXR: short scanline block")
+        off = 0
+        for r in range(rows):
+            for cname, pt in ch_sorted:
+                cnt = w * _EXR_PT_SIZE[pt]
+                vals = np.frombuffer(
+                    raw, dtype=_EXR_PT_DTYPE[pt], count=w, offset=off
+                )
+                planes[cname][y + r] = vals.astype(np.float32)
+                off += cnt
+    order = [c for c in ("R", "G", "B", "A") if c in planes]
+    order += sorted(c for c in planes if c not in order)
+    return np.stack([planes[c] for c in order], axis=-1)
+
+
+def encode_exr(arr: np.ndarray, compression: str = "none") -> bytes:
+    """Encoder dual for decode_exr: float32 (h, w, 1|3|4) → scanline
+    EXR with HALF channels (Y / RGB / RGBA), compression 'none',
+    'zips' or 'zip'."""
+    if arr.ndim != 3 or arr.shape[2] not in (1, 3, 4):
+        raise ValueError("encode_exr expects (h, w, 1|3|4) float")
+    h, w, nc = arr.shape
+    names = {1: ["Y"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[nc]
+    comp_id = {"none": 0, "zips": 2, "zip": 3}[compression]
+    lines_per = {0: 1, 2: 1, 3: 16}[comp_id]
+
+    def attr(name, typ, val):
+        return (name.encode() + b"\x00" + typ.encode() + b"\x00"
+                + struct.pack("<I", len(val)) + val)
+
+    chlist = b""
+    for cname in sorted(names):
+        chlist += cname.encode() + b"\x00" + struct.pack(
+            "<IIII", 1, 0, 1, 1
+        )
+    chlist += b"\x00"
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = (
+        b"\x76\x2f\x31\x01\x02\x00\x00\x00"
+        + attr("channels", "chlist", chlist)
+        + attr("compression", "compression", bytes([comp_id]))
+        + attr("dataWindow", "box2i", box)
+        + attr("displayWindow", "box2i", box)
+        + attr("lineOrder", "lineOrder", b"\x00")
+        + attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        + attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+        + attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        + b"\x00"
+    )
+    order = {c: i for i, c in enumerate(names)}
+    blocks = []
+    for y0 in range(0, h, lines_per):
+        rows = min(lines_per, h - y0)
+        raw = b"".join(
+            arr[y0 + r, :, order[c]].astype("<f2").tobytes()
+            for r in range(rows)
+            for c in sorted(names)
+        )
+        if comp_id != 0:
+            z = zlib.compress(_exr_zip_forward(raw))
+            if len(z) >= len(raw):
+                z = raw  # per spec: keep uncompressed when bigger
+            raw = z
+        blocks.append(struct.pack("<ii", y0, len(raw)) + raw)
+    n_blocks = len(blocks)
+    table_off = len(header) + 8 * n_blocks
+    offsets = []
+    acc = table_off
+    for b in blocks:
+        offsets.append(acc)
+        acc += len(b)
+    return (header
+            + b"".join(struct.pack("<Q", o) for o in offsets)
+            + b"".join(blocks))
 
 
 # --- ICO (favicons: ICONDIR of PNG or DIB entries) --------------------------
@@ -3565,6 +3760,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_sgi(payload)
     if fmt == "tiff":
         return decode_tiff(payload)
+    if fmt == "exr":
+        # HDR floats → display uint8 (clamped; decode_exr keeps range)
+        return (np.clip(decode_exr(payload), 0.0, 1.0) * 255.0
+                ).round().astype(np.uint8)
     raise ValueError(f"not a decodable image (sniffed {fmt!r})")
 
 

@@ -74,7 +74,8 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
 
     The codec tag makes the route OBSERVABLE (round-4 ADVICE fix):
     ``png``/``bmp``/``gif``/``ico``/``wav``/``jpeg``/``webp``/
-    ``pnm``/``xbm``/``ras``/``sgi``/``tiff`` = the real decoder ran;
+    ``pnm``/``xbm``/``ras``/``sgi``/``tiff``/``exr`` = the real
+    decoder ran;
     ``fake`` = a format with no in-sandbox codec (MP4, lossy VP8) on
     the disclosed fake path; ``fallback`` = a payload that SNIFFED as
     a real format but failed to decode (truncated PNG, ADPCM WAV, …)
@@ -134,6 +135,10 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
                 "tiff": C.decode_tiff,
             }[fmt](payload)
             return arr.astype(np.float32).ravel() / 255.0, fmt
+        if fmt == "exr":
+            # already float; HDR range passes through unscaled
+            return C.decode_exr(payload).astype(np.float32).ravel(), \
+                "exr"
     except Exception:
         # a sniffed-but-unsupported variant (APNG frames, RLE BMP,
         # ADPCM WAV, arithmetic JPEG, truncated bytes) must not fail the

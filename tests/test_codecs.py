@@ -1591,3 +1591,38 @@ def test_packbits_round_trip_via_hand_stream():
     src = bytes([2, 10, 20, 30]) + bytes([253, 7]) + bytes([128]) \
         + bytes([0, 99])
     assert C._packbits(src, 8) == bytes([10, 20, 30, 7, 7, 7, 7, 99])
+
+
+def test_exr_fixture_matches_png_and_round_trips():
+    """OpenEXR: the fixture (HALF RGBA, compression NONE) decodes to
+    EXACTLY the PNG sibling's pixels under direct 255-scaling (this
+    fixture stores display-referred values), alpha included — a real-
+    encoder validation for the header/scanline paths. The ZIP/ZIPS
+    paths round-trip through the encoder dual at HALF precision,
+    HDR values above 1.0 preserved."""
+    png = C.decode_png(_imghdr("png"))
+    exr = C.decode_exr(_imghdr("exr"))
+    assert exr.shape == (16, 16, 4) and exr.dtype == np.float32
+    as8 = np.clip(np.round(exr * 255), 0, 255).astype(np.uint8)
+    assert (as8 == png).all()
+    assert C.sniff(_imghdr("exr")) == "exr"
+    assert (C.decode_image(_imghdr("exr")) == png).all()
+
+    rng = np.random.RandomState(5)
+    for shape in [(5, 7, 4), (33, 9, 1), (16, 16, 3)]:
+        src = (rng.rand(*shape) * 2).astype(np.float32)  # HDR > 1.0
+        half = src.astype(np.float16).astype(np.float32)
+        for comp in ("none", "zips", "zip"):
+            out = C.decode_exr(C.encode_exr(src, comp))
+            assert out.shape == shape and (out == half).all()
+
+
+def test_exr_corrupt_raise_valueerror():
+    import pytest as _pytest
+
+    good = _imghdr("exr")
+    for bad in (good[:4], good[:100], good[:400],
+                good[:8] + b"\x00",
+                b"\x76\x2f\x31\x01\x03" + good[5:]):
+        with _pytest.raises(ValueError):
+            C.decode_exr(bad)
