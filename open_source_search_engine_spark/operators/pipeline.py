@@ -1820,6 +1820,138 @@ FROM base
 """
 
 
+def training_mix(docs: DataFrame, eval_docs: DataFrame,
+                 min_quality: float = 0.5, max_dup_frac: float = 0.5,
+                 lang: str = "en", k: int = 8) -> DataFrame:
+    """The CAPSTONE training-data preparation pipeline, composed from
+    the operators this family already ships, as ONE declarative plan:
+
+      1. exact dedup        — keep min-docid per md5(text) group
+      2. quality gate       — composite C4/Gopher score >= min_quality
+      3. language gate      — stopword-profile lang_id == lang
+      4. repetition cap     — cross-doc duplicated-span fraction
+                              (substring_dup_spans) <= max_dup_frac;
+                              docs too short to form a k-shingle pass
+      5. decontamination    — drop any doc sharing a k-shingle with
+                              the eval set
+
+    Returns the surviving documents with their audit columns
+    (docid, n_tokens, quality, lang_pred, dup_frac). The value of
+    expressing it as one DataFrame plan: Catalyst fuses the three
+    per-doc enrichments into a single scan, the dedup/span/contam
+    stages share the tokenize-and-shingle work, and the whole mix
+    runs as one job with no intermediate materialization — at 100 TB
+    this is the difference between one pass over the corpus and five.
+    """
+    train = docs.join(
+        eval_docs.select("docid"), "docid", "left_anti"
+    )
+    keep = dedup_exact(train).select(F.col("keep_id").alias("docid"))
+    # exact dedup runs FIRST (as in Lee et al.): span/contam stats are
+    # computed over the deduped set, so a kept representative doesn't
+    # inherit dup_frac = 1.0 from its own removed copies
+    deduped = train.join(keep, "docid", "left_semi")
+    q = quality_score(deduped).select("docid", "n_tokens", "quality")
+    lp = lang_id(deduped).select("docid", "lang_pred")
+    spans = substring_dup_spans(deduped, k).select("docid",
+                                                   "dup_frac")
+    contam = decontaminate(deduped, eval_docs, k).select("docid")
+    return (
+        deduped.select("docid")
+        .join(contam, "docid", "left_anti")
+        .join(q, "docid")
+        .join(lp, "docid")
+        .join(spans, "docid", "left")
+        .withColumn("dup_frac",
+                    F.coalesce(F.col("dup_frac"), F.lit(0.0)))
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("lang_pred") == lang)
+            & (F.col("dup_frac") <= max_dup_frac)
+        )
+        .select("docid", "n_tokens", "quality", "lang_pred",
+                "dup_frac")
+    )
+
+
+TRAINING_MIX_SQL = f"""
+WITH train AS (
+  SELECT doc_id AS docid, text FROM documents WHERE doc_id % 50 <> 0
+),
+keep AS (SELECT min(docid) AS docid FROM train GROUP BY md5(text)),
+dd AS (SELECT train.* FROM train JOIN keep ON keep.docid = train.docid),
+toks AS (
+  SELECT docid, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM dd
+),
+q AS (
+  SELECT docid,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         round(least(len(t) / 50.0, 1.0) * 0.4
+             + least(CASE WHEN len(t) > 0 THEN
+                 CAST(len(list_filter(t, x -> x IN ({_STOP_EN_SQL})))
+                      AS DOUBLE) / len(t) ELSE 0.0 END * 5.0, 1.0) * 0.3
+             + CASE WHEN length(text) > 0 THEN
+                 CAST(len(array_to_string(t, '')) AS DOUBLE)
+                   / length(text) ELSE 0.0 END * 0.3, 4) AS quality
+  FROM toks
+),
+hits AS (
+  SELECT docid,
+         {", ".join(_lang_hits_sql(lang) for lang in LANG_ORDER)}
+  FROM toks
+),
+lp AS (
+  SELECT docid,
+         CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0
+              THEN 'und'
+              WHEN hits_en = greatest(hits_en, hits_de, hits_fr,
+                                      hits_es) THEN 'en'
+              WHEN hits_de = greatest(hits_en, hits_de, hits_fr,
+                                      hits_es) THEN 'de'
+              WHEN hits_fr = greatest(hits_en, hits_de, hits_fr,
+                                      hits_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM hits
+),
+sh AS (
+  SELECT docid, s
+  FROM toks,
+       LATERAL unnest(CASE WHEN len(t) < 8 THEN []
+                           ELSE list_transform(range(1, len(t) - 6),
+                                i -> array_to_string(t[i:i+7], ' ')) END
+                     ) AS u(s)
+),
+dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT docid) >= 2),
+spans AS (
+  SELECT sh.docid,
+         round(count(dup.s) * 1.0 / count(*), 4) AS dup_frac
+  FROM sh LEFT JOIN dup ON sh.s = dup.s
+  GROUP BY sh.docid
+),
+ev AS (
+  SELECT DISTINCT s
+  FROM (SELECT doc_id AS docid,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents WHERE doc_id % 50 = 0) e,
+       LATERAL unnest(CASE WHEN len(t) < 8 THEN []
+                           ELSE list_transform(range(1, len(t) - 6),
+                                i -> array_to_string(t[i:i+7], ' ')) END
+                     ) AS u(s)
+),
+contam AS (SELECT DISTINCT sh.docid FROM sh JOIN ev ON sh.s = ev.s)
+SELECT q.docid, q.n_tokens, q.quality, lp.lang_pred,
+       coalesce(spans.dup_frac, 0.0) AS dup_frac
+FROM q
+JOIN lp ON lp.docid = q.docid
+LEFT JOIN spans ON spans.docid = q.docid
+WHERE q.docid NOT IN (SELECT docid FROM contam)
+  AND q.quality >= 0.5
+  AND lp.lang_pred = 'en'
+  AND coalesce(spans.dup_frac, 0.0) <= 0.5
+"""
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """(docid, n_tokens, n_subtokens, n_distinct, n_chars): token
     accounting for training-data budgeting. n_subtokens uses a BPE-ish

@@ -55,6 +55,17 @@ def dedup_substring_spans(spark, sf_dir):
     return P.substring_dup_spans(_docs(spark, sf_dir))
 
 
+@register("training_mix", P.TRAINING_MIX_SQL, extended=True)
+def training_mix(spark, sf_dir):
+    """Capstone: the full training-data prep pipeline (exact dedup →
+    quality gate → language gate → repetition cap → eval-set
+    decontamination) as ONE declarative plan, oracle-paired end to
+    end. Eval set = every 50th doc (the decontaminate stand-in)."""
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("docid") % 50 == 0)
+    return P.training_mix(docs, eval_docs)
+
+
 @register("decontaminate", P.DECONTAMINATE_SQL, extended=True)
 def decontaminate(spark, sf_dir):
     """Eval-set decontamination demoed on a deterministic split: every

@@ -1019,9 +1019,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     first IFD, 8-bit samples, chunky planar config, strip layout,
     compression 1 (none) and 32773 (PackBits); photometric 0/1
     (grayscale, 0 inverted), 2 (RGB/RGBA incl. extra-sample alpha)
-    and 3 (palette via the 16-bit ColorMap). LZW/JPEG-in-TIFF and
-    tiled files raise ValueError (rare in web crawls next to these
-    baseline forms; slot libtiff in for them)."""
+    and 3 (palette via the 16-bit ColorMap). LZW-in-TIFF is
+    deliberately NOT implemented: its 'early change' code-width rule
+    has a classic off-by-one that only a real LZW TIFF could pin, and
+    the sandbox has neither a fixture nor a writer — a dual-validated
+    guess would round-trip yet still misread real files (the same
+    verifiability bar that kept VP8L out until a real bitstream
+    surfaced). JPEG-in-TIFF/tiled likewise raise ValueError; slot
+    libtiff in for them."""
     if payload[:4] == b"II*\x00":
         le = True
     elif payload[:4] == b"MM\x00*":

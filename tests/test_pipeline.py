@@ -530,3 +530,43 @@ def test_decontaminate_known_answer(spark):
     # train doc 1: 10 tokens -> 3 shingles; the eval doc contains
     # 'one..eight' -> exactly one shared shingle
     assert got == {1: (3, 1)}
+
+
+def test_training_mix_each_gate_rejects(spark):
+    """One doc per rejection reason: exact duplicate (higher docid),
+    contaminated (shares an 8-gram with eval), and a survivor. The
+    survivor carries its audit columns."""
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs far away to the old barn and sleeps")
+    dup_of_good = good
+    eval_text = ("benchmark says the quick brown fox jumps over the "
+                 "lazy dog and more")
+    clean2 = ("a completely different story where cats sit on warm "
+              "mats and the sun shines on the green field all day")
+    train = spark.createDataFrame(
+        [
+            (1, good),         # contaminated via eval 8-gram overlap
+            (2, dup_of_good),  # exact dup of 1 (also contaminated)
+            (3, clean2),       # survivor
+        ],
+        "docid long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, eval_text)], "docid long, text string"
+    )
+    out = {r["docid"]: r for r in P.training_mix(train, ev).collect()}
+    assert set(out) == {3}
+    r = out[3]
+    assert r["lang_pred"] == "en" and r["quality"] >= 0.5
+    assert r["dup_frac"] == 0.0 and r["n_tokens"] > 10
+    # without the eval overlap, doc 1 survives and 2 dies as exact dup
+    out2 = {
+        r["docid"]
+        for r in P.training_mix(
+            train, spark.createDataFrame(
+                [(100, "nothing shared here at all")],
+                "docid long, text string",
+            )
+        ).collect()
+    }
+    assert out2 == {1, 3}
