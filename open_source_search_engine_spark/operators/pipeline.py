@@ -1842,6 +1842,14 @@ def training_mix(docs: DataFrame, eval_docs: DataFrame,
     stages share the tokenize-and-shingle work, and the whole mix
     runs as one job with no intermediate materialization — at 100 TB
     this is the difference between one pass over the corpus and five.
+
+    PRECONDITION (review fix): ``eval_docs`` rows drawn from ``docs``
+    are excluded from the output BY DOCID — so eval_docs must either
+    be a subset of docs (the registered every-50th-doc split) or use
+    an id space disjoint from the corpus's. An external benchmark
+    set that happens to reuse corpus ids would silently delete the
+    colliding training docs; renumber it (e.g. negative ids) before
+    calling. Content overlap is what stage 5 handles.
     """
     train = docs.join(
         eval_docs.select("docid"), "docid", "left_anti"

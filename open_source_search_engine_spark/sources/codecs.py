@@ -611,7 +611,10 @@ def _mask_extract(px: np.ndarray, mask: int) -> np.ndarray:
     v = (px >> np.uint32(shift)) & np.uint32((1 << width) - 1)
     if width == 8:
         return v.astype(np.uint8)
-    return ((v * 255) // ((1 << width) - 1)).astype(np.uint8)
+    # widen before scaling: v * 255 overflows uint32 for masks wider
+    # than 24 bits (review fix)
+    return ((v.astype(np.uint64) * 255)
+            // ((1 << width) - 1)).astype(np.uint8)
 
 
 @_corrupt_as_valueerror
@@ -717,9 +720,19 @@ def _pnm_header(payload: bytes, n_fields: int):
     return fields, pos
 
 
-def _pnm_ascii_values(payload: bytes, pos: int, count: int) -> np.ndarray:
-    toks = re.split(rb"\s+", payload[pos:].strip())
-    toks = [t for t in toks if t and not t.startswith(b"#")]
+def _pnm_ascii_values(payload: bytes, pos: int, count: int,
+                      single_digit: bool = False) -> np.ndarray:
+    # '#' comments run to END OF LINE, not just one token (review
+    # fix); P1 pixels may be packed without whitespace ('1010'), so
+    # bitmaps parse per CHARACTER (review fix)
+    body = re.sub(rb"#[^\n\r]*", b"", payload[pos:])
+    if single_digit:
+        digits = re.findall(rb"[01]", body)
+        if len(digits) < count:
+            raise ValueError("corrupt PNM: truncated ASCII raster")
+        return np.array([int(d) for d in digits[:count]],
+                        dtype=np.int64)
+    toks = [t for t in re.split(rb"\s+", body.strip()) if t]
     if len(toks) < count:
         raise ValueError("corrupt PNM: truncated ASCII raster")
     return np.array([int(t) for t in toks[:count]], dtype=np.int64)
@@ -761,7 +774,8 @@ def decode_pnm(payload: bytes) -> np.ndarray:
             vals = np.frombuffer(payload, dtype=">u2", count=count,
                                  offset=pos).astype(np.int64)
     else:  # ASCII P1/P2/P3
-        vals = _pnm_ascii_values(payload, pos - 1, count)
+        vals = _pnm_ascii_values(payload, pos - 1, count,
+                                 single_digit=(kind == b"1"))
     if (vals < 0).any() or (vals > maxval).any():
         raise ValueError("corrupt PNM: sample exceeds maxval")
     if kind == b"1":
@@ -844,6 +858,11 @@ def decode_ras(payload: bytes) -> np.ndarray:
     if depth not in (8, 24, 32) or rtype not in (0, 1, 2, 3):
         raise ValueError(f"unsupported RAS (depth={depth}, "
                          f"type={rtype})")
+    if maplen < 0 or maptype not in (0, 1, 2):
+        # a negative maplen would walk the cursor BACKWARDS into the
+        # header and silently decode header bytes as pixels
+        # (review fix)
+        raise ValueError("corrupt RAS: bad colormap header")
     pos = 32
     cmap = None
     if maptype == 1 and maplen:
@@ -1054,6 +1073,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("corrupt TIFF: bad dimensions")
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
+    if photo not in (0, 1, 2, 3):
+        # CMYK (5) / YCbCr (6) etc. must NOT be silently served as
+        # RGB-shaped garbage (review fix)
+        raise ValueError(f"unsupported TIFF photometric {photo}")
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])
     rps = tags.get(278, [h])[0] or h
@@ -1140,8 +1163,11 @@ def decode_exr(payload: bytes) -> np.ndarray:
     through unclamped."""
     if payload[:4] != b"\x76\x2f\x31\x01":
         raise ValueError("not an EXR")
-    if payload[4] != 2 or payload[5] & 0x02:  # version 2, no tiles
-        raise ValueError("unsupported EXR version/tiled flag")
+    # version 2 scanline only: reject tiled (0x02), deep data (0x08)
+    # and multipart (0x10) flags — their layouts diverge right after
+    # the header and would misparse as garbage blocks (review fix)
+    if payload[4] != 2 or payload[5] & 0x1A:
+        raise ValueError("unsupported EXR version/layout flags")
     pos = 8
     n = len(payload)
     channels = []

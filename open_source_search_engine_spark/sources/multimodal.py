@@ -390,16 +390,17 @@ def resize_images(df: DataFrame, w: int = 32, h: int = 32) -> DataFrame:
             payloads = []
             for p in pdf["payload"]:
                 b = bytes(p or b"")
-                fmt = C.sniff(b)
                 try:
-                    if fmt in ("png", "bmp", "gif", "ico", "jpeg",
-                               "webp", "pnm", "xbm", "ras", "sgi",
-                               "tiff"):
-                        arr = C.decode_image(b)
-                        payloads.append(
-                            C.encode_png(C.resize_nearest(arr, w, h))
-                        )
-                        continue
+                    # decode_image IS the dispatch table — calling it
+                    # directly keeps this path from drifting out of
+                    # sync with a hand-copied format list (review
+                    # fix); undecodable formats raise and take the
+                    # stand-in below
+                    arr = C.decode_image(b)
+                    payloads.append(
+                        C.encode_png(C.resize_nearest(arr, w, h))
+                    )
+                    continue
                 except Exception:
                     pass  # unsupported variant → fake stand-in below
                 payloads.append(b[:n].ljust(n, b"\x00"))

@@ -1626,3 +1626,41 @@ def test_exr_corrupt_raise_valueerror():
                 b"\x76\x2f\x31\x01\x03" + good[5:]):
         with _pytest.raises(ValueError):
             C.decode_exr(bad)
+
+
+def test_review_fixes_round5_close():
+    import pytest as _pytest
+
+    # plain-PNM '#' comments run to EOL inside the raster
+    out = C.decode_pnm(b"P2\n2 2\n15\n# a comment line\n0 15\n7 8\n")
+    assert out.tolist() == [[0, 255], [119, 136]]
+    # P1 pixels may be packed without whitespace
+    assert C.decode_pnm(b"P1\n2 2\n1010\n").tolist() == \
+        [[0, 255], [0, 255]]
+    # CMYK/YCbCr TIFF must raise, not serve wrong colors
+    cmyk = bytearray(_imghdr("tiff"))
+    # photometric tag (262) value lives in the IFD; patch it to 5
+    off = int.from_bytes(cmyk[4:8], "little")
+    n = int.from_bytes(cmyk[off:off + 2], "little")
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if int.from_bytes(cmyk[e:e + 2], "little") == 262:
+            cmyk[e + 8] = 5
+    with _pytest.raises(ValueError):
+        C.decode_tiff(bytes(cmyk))
+    # negative RAS maplen must not walk backwards into the header
+    import struct as _struct
+    bad = _struct.pack(">8i", 0x59A66A95, 2, 2, 24, 0, 1, 0, -10) \
+        + b"\x00" * 14
+    with _pytest.raises(ValueError):
+        C.decode_ras(bad)
+    # BI_BITFIELDS masks wider than 24 bits scale without overflow
+    assert C._mask_extract(
+        np.array([[0xFFFFFFFF]], dtype=np.uint32), 0xFFFFFFFF
+    )[0, 0] == 255
+    # EXR deep-data / multipart flags are rejected cleanly
+    exr = bytearray(_imghdr("exr"))
+    for flag in (0x08, 0x10):
+        exr[5] = flag
+        with _pytest.raises(ValueError):
+            C.decode_exr(bytes(exr))
