@@ -99,6 +99,10 @@ def sniff(payload: bytes) -> str:
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if payload[:4] == b".snd":
+        return "au"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:4] == b"fLaC":
@@ -1866,26 +1870,194 @@ def encode_gif(
 _PCM_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """G.711 µ-law byte → 16-bit linear, bit-exact to the classic Sun
+    g711.c expansion (pinned against stdlib audioop in tests)."""
+    u = ~np.arange(256) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0xF
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """G.711 A-law byte → 16-bit linear (sign bit SET is positive
+    after the 0x55 toggle; pinned against audioop in tests)."""
+    a = np.arange(256) ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+_ULAW_TABLE = _g711_ulaw_table()
+_ALAW_TABLE = _g711_alaw_table()
+
+
+def _pcm_to_float(raw: bytes, sw: int, big_endian: bool,
+                  signed8: bool) -> np.ndarray:
+    """Interleaved integer PCM bytes → float32 in [-1, 1]. sw is
+    bytes/sample (1/2/3/4); 24-bit expands to 32."""
+    bo = ">" if big_endian else "<"
+    if sw == 1:
+        x = np.frombuffer(raw, dtype=np.int8 if signed8 else np.uint8)
+        x = x.astype(np.float32)
+        if not signed8:
+            x -= 128.0
+        return x / 128.0
+    if sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (b.size // 3) * 3].reshape(-1, 3)
+        if big_endian:
+            v = ((b[:, 0].astype(np.int32) << 16)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | b[:, 2].astype(np.int32))
+        else:
+            v = ((b[:, 2].astype(np.int32) << 16)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | b[:, 0].astype(np.int32))
+        v = (v << 8) >> 8  # sign-extend 24 → 32
+        return v.astype(np.float32) / float(1 << 23)
+    if sw in (2, 4):
+        x = np.frombuffer(raw, dtype=f"{bo}i{sw}").astype(np.float32)
+        return x / float(2 ** (8 * sw - 1))
+    raise ValueError(f"unsupported PCM sample width {sw}")
+
+
 @_corrupt_as_valueerror
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (float32 mono samples in [-1, 1], sample_rate).
-    8/16/32-bit PCM via the stdlib ``wave`` reader; multi-channel is
-    averaged to mono (the usual feature-extraction front end)."""
+    8/16/24/32-bit PCM via the stdlib ``wave`` reader; multi-channel
+    is averaged to mono (the usual feature-extraction front end).
+    Cross-validated against the AIFF/AU decodes of the same clip
+    (CPython audiodata fixtures)."""
     with wave.open(io.BytesIO(payload), "rb") as f:
         nch, sw, rate, nframes = (
             f.getnchannels(), f.getsampwidth(), f.getframerate(),
             f.getnframes(),
         )
         raw = f.readframes(nframes)
-    if sw not in _PCM_DTYPES:
+    if sw not in (1, 2, 3, 4):
         raise ValueError(f"unsupported WAV sample width {sw}")
-    x = np.frombuffer(raw, dtype=_PCM_DTYPES[sw]).astype(np.float32)
-    if sw == 1:  # 8-bit WAV is unsigned
-        x = (x - 128.0) / 128.0
-    else:
-        x = x / float(2 ** (8 * sw - 1))
+    x = _pcm_to_float(raw, sw, big_endian=False, signed8=False)
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def _read_f80(b: bytes) -> int:
+    """80-bit IEEE extended float → int (AIFF sample rates are small
+    positive integers; that subset decodes exactly)."""
+    if len(b) < 10:
+        raise ValueError("corrupt AIFF: short extended float")
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    if b[0] & 0x80:
+        val = -val
+    return int(round(val))
+
+
+@_corrupt_as_valueerror
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFC bytes → (float32 mono samples in [-1, 1], rate).
+    FORM chunk walk; COMM carries channels/frames/bits and the 80-bit
+    extended-float sample rate; SSND holds big-endian PCM (AIFF) or,
+    for AIFC, compression 'NONE' (BE), 'sowt' (LE), 'ulaw'/'ULAW' and
+    'alaw'/'ALAW' (G.711). Validated sample-exact against the WAV/AU
+    decodes of the same CPython fixture clip and against stdlib
+    aifc where present."""
+    if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF",
+                                                       b"AIFC"):
+        raise ValueError("not an AIFF")
+    is_aifc = payload[8:12] == b"AIFC"
+    pos = 12
+    n = len(payload)
+    nch = bits = rate = nframes = None
+    comp = b"NONE"
+    data = None
+    while pos + 8 <= n:
+        cc = payload[pos:pos + 4]
+        sz = int.from_bytes(payload[pos + 4:pos + 8], "big")
+        body = payload[pos + 8:pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("corrupt AIFF: truncated chunk")
+        if cc == b"COMM":
+            if sz < 18:
+                raise ValueError("corrupt AIFF: short COMM")
+            nch, nframes, bits = struct.unpack(">hIh", body[:8])
+            rate = _read_f80(body[8:18])
+            if is_aifc and sz >= 22:
+                comp = body[18:22]
+        elif cc == b"SSND":
+            if sz < 8:
+                raise ValueError("corrupt AIFF: short SSND")
+            (off,) = struct.unpack(">I", body[:4])
+            data = body[8 + off:]
+        pos += 8 + sz + (sz & 1)
+    if nch is None or data is None or rate is None or rate <= 0:
+        raise ValueError("corrupt AIFF: missing COMM/SSND")
+    if comp in (b"ulaw", b"ULAW"):
+        x = _ULAW_TABLE[np.frombuffer(data, np.uint8).astype(
+            np.int64)].astype(np.float32) / 32768.0
+    elif comp in (b"alaw", b"ALAW"):
+        x = _ALAW_TABLE[np.frombuffer(data, np.uint8).astype(
+            np.int64)].astype(np.float32) / 32768.0
+    elif comp in (b"NONE", b"sowt"):
+        sw = (bits + 7) // 8
+        x = _pcm_to_float(data, sw, big_endian=(comp == b"NONE"),
+                          signed8=True)
+    else:
+        raise ValueError(f"unsupported AIFC compression {comp!r}")
+    if nch > 1:
+        x = x[: (x.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+_AU_ENCODINGS = {1: ("ulaw", 1), 2: ("pcm", 1), 3: ("pcm", 2),
+                 4: ("pcm", 3), 5: ("pcm", 4), 6: ("f32", 4),
+                 7: ("f64", 8), 27: ("alaw", 1)}
+
+
+@_corrupt_as_valueerror
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU (.au/.snd) bytes → (float32 mono samples, rate):
+    big-endian header (magic '.snd', data offset/size, encoding,
+    rate, channels); encodings G.711 µ-law/A-law, signed PCM
+    8/16/24/32 and IEEE float32/64. Validated sample-exact against
+    the WAV/AIFF decodes of the same CPython fixture clip and
+    against stdlib sunau where present."""
+    if payload[:4] != b".snd" or len(payload) < 24:
+        raise ValueError("not an AU file")
+    off, size, enc, rate, nch = struct.unpack(">5I", payload[4:24])
+    if enc not in _AU_ENCODINGS or nch < 1 or rate <= 0:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    if off < 24 or off > len(payload):
+        raise ValueError("corrupt AU: bad data offset")
+    end = len(payload) if size in (0, 0xFFFFFFFF) \
+        else min(len(payload), off + size)
+    data = payload[off:end]
+    kind, sw = _AU_ENCODINGS[enc]
+    if kind == "ulaw":
+        x = _ULAW_TABLE[np.frombuffer(data, np.uint8).astype(
+            np.int64)].astype(np.float32) / 32768.0
+    elif kind == "alaw":
+        x = _ALAW_TABLE[np.frombuffer(data, np.uint8).astype(
+            np.int64)].astype(np.float32) / 32768.0
+    elif kind == "f32":
+        x = np.frombuffer(data[: (len(data) // 4) * 4],
+                          dtype=">f4").astype(np.float32)
+    elif kind == "f64":
+        x = np.frombuffer(data[: (len(data) // 8) * 8],
+                          dtype=">f8").astype(np.float32)
+    else:
+        x = _pcm_to_float(data[: (len(data) // sw) * sw], sw,
+                          big_endian=True, signed8=True)
+    if nch > 1:
+        x = x[: (x.size // nch) * nch].reshape(-1, nch).mean(axis=1)
     return x, rate
 
 
@@ -3335,6 +3507,8 @@ def audio_header_meta(payload: bytes) -> dict:
     duration_ms, bitrate_kbps} WITHOUT decoding samples: the admission
     filter an audio training pipeline runs per blob (drop sub-second
     clips, cap hours, split narrowband). WAV reads the RIFF header;
+    AIFF/AIFC reads COMM (80-bit extended-float rate); AU reads the
+    .snd header (duration from data size / encoding width);
     MP3 parses the first Layer-III frame header after any ID3v2 tag
     (Xing/Info frame count when present, else CBR byte estimate);
     FLAC reads STREAMINFO; OGG reads the Vorbis/Opus identification
@@ -3353,6 +3527,40 @@ def audio_header_meta(payload: bytes) -> dict:
             "bitrate_kbps": (
                 rate * ch * 8 * sw // 1000 if rate else 0  # real PCM width
             ),
+        }
+    if fmt == "aiff":
+        pos = 12
+        while pos + 8 <= len(payload):
+            cc = payload[pos:pos + 4]
+            sz = int.from_bytes(payload[pos + 4:pos + 8], "big")
+            if cc == b"COMM":
+                body = payload[pos + 8:pos + 8 + sz]
+                if sz < 18:
+                    raise ValueError("corrupt AIFF: short COMM")
+                ch, n, bits = struct.unpack(">hIh", body[:8])
+                rate = _read_f80(body[8:18])
+                return {
+                    "format": "aiff", "sample_rate": rate,
+                    "channels": ch,
+                    "duration_ms": _clamp_ms(1000.0 * n / rate)
+                    if rate else 0,
+                    "bitrate_kbps": rate * ch * bits // 1000
+                    if rate else 0,
+                }
+            pos += 8 + sz + (sz & 1)
+        raise ValueError("corrupt AIFF: no COMM chunk")
+    if fmt == "au":
+        off, size, enc, rate, ch = struct.unpack(">5I", payload[4:24])
+        if enc not in _AU_ENCODINGS or not rate or not ch:
+            raise ValueError("corrupt AU header")
+        sw = _AU_ENCODINGS[enc][1]
+        nbytes = (len(payload) - off) if size in (0, 0xFFFFFFFF) \
+            else size
+        n = max(nbytes, 0) // (sw * ch)
+        return {
+            "format": "au", "sample_rate": rate, "channels": ch,
+            "duration_ms": _clamp_ms(1000.0 * n / rate),
+            "bitrate_kbps": rate * ch * 8 * sw // 1000,
         }
     if fmt == "flac":
         btype = payload[4] & 0x7F

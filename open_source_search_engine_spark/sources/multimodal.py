@@ -111,6 +111,10 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
             )
         if fmt == "wav":
             return C.decode_wav(payload)[0], "wav"
+        if fmt == "aiff":
+            return C.decode_aiff(payload)[0], "aiff"
+        if fmt == "au":
+            return C.decode_au(payload)[0], "au"
         if fmt == "jpeg":
             return (
                 C.decode_jpeg(payload).astype(np.float32).ravel() / 255.0,

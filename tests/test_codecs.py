@@ -9,6 +9,7 @@ import struct
 import zlib
 
 import numpy as np
+import pytest
 
 from open_source_search_engine_spark.sources import codecs as C
 
@@ -1664,3 +1665,95 @@ def test_review_fixes_round5_close():
         exr[5] = flag
         with _pytest.raises(ValueError):
             C.decode_exr(bytes(exr))
+
+
+# --- AIFF / AU / G.711 (CPython audiodata fixtures) ------------------------
+
+
+def _audio(name):
+    p = os.path.join(os.path.dirname(__file__), "golden",
+                     f"pluck-{name}")
+    with open(p, "rb") as f:
+        return f.read()
+
+
+def test_g711_tables_match_stdlib_audioop():
+    """The µ-law and A-law expansion tables are pinned bit-exact
+    against stdlib audioop (the classic Sun g711.c) for all 256
+    codes. Import-guarded: audioop leaves the stdlib in 3.13."""
+    audioop = pytest.importorskip("audioop")
+    ref_u = np.frombuffer(
+        audioop.ulaw2lin(bytes(range(256)), 2), dtype="<i2")
+    assert (C._ULAW_TABLE == ref_u).all()
+    ref_a = np.frombuffer(
+        audioop.alaw2lin(bytes(range(256)), 2), dtype="<i2")
+    assert (C._ALAW_TABLE == ref_a).all()
+
+
+def test_audio_cross_container_same_clip():
+    """CPython's audiodata ships the same 'pluck' clip in WAV, AIFF
+    and AU at several depths. 24-bit decodes are sample-EXACT across
+    all three containers (independent real tooling, three of our
+    decoders); 16-bit containers were converted independently and
+    agree within 1 LSB; G.711 µ-law/A-law reconstructions stay within
+    their quantization step of the PCM16 reference."""
+    w24, r = C.decode_wav(_audio("pcm24.wav"))
+    a24, r2 = C.decode_aiff(_audio("pcm24.aiff"))
+    u24, r3 = C.decode_au(_audio("pcm24.au"))
+    assert r == r2 == r3 == 11025
+    assert w24.size == a24.size == u24.size == 3307
+    assert (w24 == a24).all() and (w24 == u24).all()
+
+    w16, _ = C.decode_wav(_audio("pcm16.wav"))
+    a16, _ = C.decode_aiff(_audio("pcm16.aiff"))
+    u16, _ = C.decode_au(_audio("pcm16.au"))
+    lsb = 1.0 / 32768.0
+    # independent conversions with dither: within a few LSB
+    assert np.abs(w16 - a16).max() <= 4 * lsb
+    assert np.abs(w16 - u16).max() <= 4 * lsb
+
+    ul, _ = C.decode_au(_audio("ulaw.au"))
+    ulc, _ = C.decode_aiff(_audio("ulaw.aifc"))
+    al, _ = C.decode_aiff(_audio("alaw.aifc"))
+    assert np.abs(ul - w16).max() < 0.02   # µ-law quantization bound
+    assert np.abs(ulc - w16).max() < 0.02
+    assert np.abs(al - w16).max() < 0.02   # A-law quantization bound
+
+    for name, fmt in (("pcm24.aiff", "aiff"), ("pcm24.au", "au"),
+                      ("ulaw.aifc", "aiff"), ("ulaw.au", "au")):
+        assert C.sniff(_audio(name)) == fmt
+    from open_source_search_engine_spark.sources.multimodal import (
+        _decode_with_codec,
+    )
+    s, tag = _decode_with_codec(_audio("pcm24.aiff"), "audio")
+    assert tag == "aiff" and s.size == 3307
+    s, tag = _decode_with_codec(_audio("ulaw.au"), "audio")
+    assert tag == "au" and s.size == 3307
+
+
+def test_aiff_au_corrupt_raise_valueerror():
+    import pytest as _pytest
+
+    good_a, good_u = _audio("pcm16.aiff"), _audio("pcm16.au")
+    for payload, fn in (
+        (good_a[:10], C.decode_aiff),
+        (good_a[:40], C.decode_aiff),     # truncated chunk
+        (b"FORM\x00\x00\x00\x04AIFF", C.decode_aiff),  # no COMM/SSND
+        (good_u[:10], C.decode_au),
+        (b".snd" + b"\x00" * 20, C.decode_au),  # bad offset/encoding
+        (good_u[:4] + (5).to_bytes(4, "big") + good_u[8:],
+         C.decode_au),                     # data offset below header
+    ):
+        with _pytest.raises(ValueError):
+            fn(payload)
+
+
+def test_audio_header_meta_aiff_au():
+    # the pluck fixtures are STEREO 11025 Hz, ~300 ms
+    m = C.audio_header_meta(_audio("pcm16.aiff"))
+    assert m["format"] == "aiff" and m["sample_rate"] == 11025
+    assert m["channels"] == 2 and 295 <= m["duration_ms"] <= 305
+    m = C.audio_header_meta(_audio("ulaw.au"))
+    assert m["format"] == "au" and m["sample_rate"] == 11025
+    assert m["channels"] == 2 and 295 <= m["duration_ms"] <= 305
+    assert m["bitrate_kbps"] == 176  # 8-bit mu-law stereo at 11025
