@@ -1757,3 +1757,43 @@ def test_audio_header_meta_aiff_au():
     assert m["format"] == "au" and m["sample_rate"] == 11025
     assert m["channels"] == 2 and 295 <= m["duration_ms"] <= 305
     assert m["bitrate_kbps"] == 176  # 8-bit mu-law stereo at 11025
+
+
+def test_new_decoder_family_uniform_error_contract_fuzz():
+    """Every new decoder upholds the corrupt->ValueError contract
+    under truncation and byte-flip fuzz of its real fixture: the only
+    acceptable outcomes are a clean decode (some flips land in pixel
+    data) or ValueError - never IndexError/struct.error/KeyError or
+    silent hangs."""
+    cases = [
+        ("cpython_logo.ppm", C.decode_pnm),
+        ("cpython_logo.pbm", C.decode_pnm),
+        ("cpython_logo.xbm", C.decode_xbm),
+        ("cpython_logo.ras", C.decode_ras),
+        ("cpython_logo.sgi", C.decode_sgi),
+        ("cpython_logo.tiff", C.decode_tiff),
+        ("cpython_logo.exr", C.decode_exr),
+        ("cpython_logo.bmp", C.decode_bmp),
+        ("pluck-pcm16.aiff", C.decode_aiff),
+        ("pluck-ulaw.au", C.decode_au),
+        ("pluck-pcm24.wav", C.decode_wav),
+    ]
+    rng = np.random.RandomState(11)
+    for name, fn in cases:
+        good = _imghdr(name.split(".")[-1]) if name.startswith(
+            "cpython") else _audio(name.split("pluck-")[1])
+        for cut in (3, 9, len(good) // 3, len(good) // 2,
+                    len(good) - 7):
+            try:
+                fn(good[:cut])
+            except ValueError:
+                pass
+        for _ in range(40):
+            b = bytearray(good)
+            for _ in range(3):
+                b[int(rng.randint(0, len(b)))] = int(
+                    rng.randint(0, 256))
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
