@@ -2017,6 +2017,38 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def _write_f80(rate: int) -> bytes:
+    """Integer sample rate → 80-bit IEEE extended float (the exact
+    dual of _read_f80's integer subset)."""
+    if rate <= 0:
+        raise ValueError("bad sample rate")
+    k = rate.bit_length() - 1
+    mant = rate << (63 - k)
+    exp = 16383 + k
+    return struct.pack(">H", exp) + mant.to_bytes(8, "big")
+
+
+def encode_aiff(samples: np.ndarray, rate: int) -> bytes:
+    """Encoder dual: float32 [-1, 1] mono → 16-bit PCM AIFF."""
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(">i2")
+    data = pcm.tobytes()
+    comm = struct.pack(">hIh", 1, pcm.size, 16) + _write_f80(rate)
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+            + (b"\x00" if len(ssnd) & 1 else b""))
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def encode_au(samples: np.ndarray, rate: int) -> bytes:
+    """Encoder dual: float32 [-1, 1] mono → 16-bit PCM Sun AU."""
+    pcm = (np.clip(samples, -1.0, 1.0) * 32767.0).astype(">i2")
+    data = pcm.tobytes()
+    return (b".snd" + struct.pack(">5I", 24, len(data), 3, rate, 1)
+            + data)
+
+
 _AU_ENCODINGS = {1: ("ulaw", 1), 2: ("pcm", 1), 3: ("pcm", 2),
                  4: ("pcm", 3), 5: ("pcm", 4), 6: ("f32", 4),
                  7: ("f64", 8), 27: ("alaw", 1)}

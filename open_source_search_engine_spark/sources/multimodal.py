@@ -586,10 +586,15 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             dur = int(rng.randint(1000, 9000))
             t = np.arange(int(rate * dur / 1000.0), dtype=np.float32)
             freq = float(rng.randint(100, 800))
-            payload = C.encode_wav(
-                0.5 * np.sin(2.0 * np.pi * freq * t / rate), rate
-            )
-            mime, wd, ht = "audio/wav", None, None
+            sig = 0.5 * np.sin(2.0 * np.pi * freq * t / rate)
+            arot = (i // 3) % 3
+            if arot == 2:
+                payload, mime = C.encode_au(sig, rate), "audio/basic"
+            elif arot == 1:
+                payload, mime = C.encode_aiff(sig, rate), "audio/aiff"
+            else:
+                payload, mime = C.encode_wav(sig, rate), "audio/wav"
+            wd, ht = None, None
         else:
             n_frames = int(rng.randint(3, 12))
             frame_ms = int(rng.choice([200, 400, 500]))

@@ -1797,3 +1797,18 @@ def test_new_decoder_family_uniform_error_contract_fuzz():
                 fn(bytes(b))
             except ValueError:
                 pass
+
+
+def test_aiff_au_encoder_duals_round_trip():
+    rng = np.random.RandomState(13)
+    sig = np.clip(rng.randn(4000).astype(np.float32) * 0.3, -1, 1)
+    want = ((np.clip(sig, -1, 1) * 32767).astype(np.int16)
+            .astype(np.float32) / 32768.0)
+    a, ra = C.decode_aiff(C.encode_aiff(sig, 8000))
+    u, ru = C.decode_au(C.encode_au(sig, 8000))
+    assert ra == ru == 8000
+    np.testing.assert_allclose(a, want, atol=1.0 / 32768)
+    np.testing.assert_allclose(u, want, atol=1.0 / 32768)
+    # f80 sample-rate field round-trips exactly for integer rates
+    for r in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 1):
+        assert C._read_f80(C._write_f80(r)) == r

@@ -38,7 +38,11 @@ def test_decode_media_schema_and_determinism(spark, media):
     )
     assert ("image", "jpeg") in by_kind  # real baseline-JPEG decode
     assert ("image", "webp") in by_kind  # real VP8L lossless decode
-    assert all(c == "wav" for k, c in by_kind if k == "audio")
+    assert all(
+        c in ("wav", "aiff", "au") for k, c in by_kind if k == "audio"
+    )
+    assert ("audio", "aiff") in by_kind  # real AIFF decode
+    assert ("audio", "au") in by_kind    # real Sun AU decode
     # deterministic fake codec: recompute one row in-process
     r0 = media.filter(media.media_id == 0).first()
     d = M._decode_kernel(bytes(r0["payload"]), r0["kind"])
