@@ -1867,7 +1867,6 @@ def encode_gif(
 
 # --- WAV -------------------------------------------------------------------
 
-_PCM_DTYPES = {1: np.uint8, 2: np.int16, 4: np.int32}
 
 
 def _g711_ulaw_table() -> np.ndarray:
@@ -1893,6 +1892,12 @@ def _g711_alaw_table() -> np.ndarray:
 
 _ULAW_TABLE = _g711_ulaw_table()
 _ALAW_TABLE = _g711_alaw_table()
+
+
+def _g711_expand(data: bytes, table: np.ndarray) -> np.ndarray:
+    """G.711 bytes -> float32 in [-1, 1] via an expansion table."""
+    codes = np.frombuffer(data, np.uint8).astype(np.int64)
+    return table[codes].astype(np.float32) / 32768.0
 
 
 def _pcm_to_float(raw: bytes, sw: int, big_endian: bool,
@@ -1961,15 +1966,10 @@ def _read_f80(b: bytes) -> int:
     return int(round(val))
 
 
-@_corrupt_as_valueerror
-def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
-    """AIFF / AIFC bytes → (float32 mono samples in [-1, 1], rate).
-    FORM chunk walk; COMM carries channels/frames/bits and the 80-bit
-    extended-float sample rate; SSND holds big-endian PCM (AIFF) or,
-    for AIFC, compression 'NONE' (BE), 'sowt' (LE), 'ulaw'/'ULAW' and
-    'alaw'/'ALAW' (G.711). Validated sample-exact against the WAV/AU
-    decodes of the same CPython fixture clip and against stdlib
-    aifc where present."""
+def _parse_aiff(payload: bytes):
+    """Shared AIFF/AIFC FORM walk -> (nch, nframes, bits, rate, comp,
+    ssnd_data_or_None). Used by decode_aiff AND audio_header_meta so
+    the two paths agree by construction (review fix)."""
     if payload[:4] != b"FORM" or payload[8:12] not in (b"AIFF",
                                                        b"AIFC"):
         raise ValueError("not an AIFF")
@@ -1998,14 +1998,27 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
             (off,) = struct.unpack(">I", body[:4])
             data = body[8 + off:]
         pos += 8 + sz + (sz & 1)
-    if nch is None or data is None or rate is None or rate <= 0:
-        raise ValueError("corrupt AIFF: missing COMM/SSND")
+    if nch is None or rate is None or rate <= 0:
+        raise ValueError("corrupt AIFF: missing/invalid COMM")
+    return nch, nframes, bits, rate, comp, data
+
+
+@_corrupt_as_valueerror
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFC bytes → (float32 mono samples in [-1, 1], rate).
+    FORM chunk walk; COMM carries channels/frames/bits and the 80-bit
+    extended-float sample rate; SSND holds big-endian PCM (AIFF) or,
+    for AIFC, compression 'NONE' (BE), 'sowt' (LE), 'ulaw'/'ULAW' and
+    'alaw'/'ALAW' (G.711). Validated sample-exact against the WAV/AU
+    decodes of the same CPython fixture clip and against stdlib
+    aifc where present."""
+    nch, _nframes, bits, rate, comp, data = _parse_aiff(payload)
+    if data is None:
+        raise ValueError("corrupt AIFF: missing SSND")
     if comp in (b"ulaw", b"ULAW"):
-        x = _ULAW_TABLE[np.frombuffer(data, np.uint8).astype(
-            np.int64)].astype(np.float32) / 32768.0
+        x = _g711_expand(data, _ULAW_TABLE)
     elif comp in (b"alaw", b"ALAW"):
-        x = _ALAW_TABLE[np.frombuffer(data, np.uint8).astype(
-            np.int64)].astype(np.float32) / 32768.0
+        x = _g711_expand(data, _ALAW_TABLE)
     elif comp in (b"NONE", b"sowt"):
         sw = (bits + 7) // 8
         x = _pcm_to_float(data, sw, big_endian=(comp == b"NONE"),
@@ -2069,16 +2082,16 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported AU encoding {enc}")
     if off < 24 or off > len(payload):
         raise ValueError("corrupt AU: bad data offset")
-    end = len(payload) if size in (0, 0xFFFFFFFF) \
+    # the AU spec reserves only 0xFFFFFFFF for "unknown size"; 0 is
+    # a legitimate empty clip (review fix)
+    end = len(payload) if size == 0xFFFFFFFF \
         else min(len(payload), off + size)
     data = payload[off:end]
     kind, sw = _AU_ENCODINGS[enc]
     if kind == "ulaw":
-        x = _ULAW_TABLE[np.frombuffer(data, np.uint8).astype(
-            np.int64)].astype(np.float32) / 32768.0
+        x = _g711_expand(data, _ULAW_TABLE)
     elif kind == "alaw":
-        x = _ALAW_TABLE[np.frombuffer(data, np.uint8).astype(
-            np.int64)].astype(np.float32) / 32768.0
+        x = _g711_expand(data, _ALAW_TABLE)
     elif kind == "f32":
         x = np.frombuffer(data[: (len(data) // 4) * 4],
                           dtype=">f4").astype(np.float32)
@@ -3561,33 +3574,26 @@ def audio_header_meta(payload: bytes) -> dict:
             ),
         }
     if fmt == "aiff":
-        pos = 12
-        while pos + 8 <= len(payload):
-            cc = payload[pos:pos + 4]
-            sz = int.from_bytes(payload[pos + 4:pos + 8], "big")
-            if cc == b"COMM":
-                body = payload[pos + 8:pos + 8 + sz]
-                if sz < 18:
-                    raise ValueError("corrupt AIFF: short COMM")
-                ch, n, bits = struct.unpack(">hIh", body[:8])
-                rate = _read_f80(body[8:18])
-                return {
-                    "format": "aiff", "sample_rate": rate,
-                    "channels": ch,
-                    "duration_ms": _clamp_ms(1000.0 * n / rate)
-                    if rate else 0,
-                    "bitrate_kbps": rate * ch * bits // 1000
-                    if rate else 0,
-                }
-            pos += 8 + sz + (sz & 1)
-        raise ValueError("corrupt AIFF: no COMM chunk")
+        ch, n, bits, rate, comp, _data = _parse_aiff(payload)
+        # STORED bitrate: G.711-compressed AIFC carries 8 bits/sample
+        # on disk regardless of what COMM's sampleSize records
+        # (common tooling writes the decompressed 16 there) — keeps
+        # the admission filter consistent with the AU branch
+        # (review fix)
+        stored_bits = 8 if comp in (b"ulaw", b"ULAW", b"alaw",
+                                    b"ALAW") else bits
+        return {
+            "format": "aiff", "sample_rate": rate, "channels": ch,
+            "duration_ms": _clamp_ms(1000.0 * (n or 0) / rate),
+            "bitrate_kbps": rate * ch * stored_bits // 1000,
+        }
     if fmt == "au":
         off, size, enc, rate, ch = struct.unpack(">5I", payload[4:24])
         if enc not in _AU_ENCODINGS or not rate or not ch:
             raise ValueError("corrupt AU header")
         sw = _AU_ENCODINGS[enc][1]
-        nbytes = (len(payload) - off) if size in (0, 0xFFFFFFFF) \
-            else size
+        # only 0xFFFFFFFF means unknown; 0 is an empty clip
+        nbytes = (len(payload) - off) if size == 0xFFFFFFFF else size
         n = max(nbytes, 0) // (sw * ch)
         return {
             "format": "au", "sample_rate": rate, "channels": ch,

@@ -306,17 +306,22 @@ def audio_stats(df: DataFrame) -> DataFrame:
             ):
                 b = bytes(p or b"")
                 x, rate, tag = None, 8000, "fake"
-                if C.sniff(b) == "wav":
+                fmt = C.sniff(b)
+                if fmt in ("wav", "aiff", "au"):
                     try:
-                        x, rate = C.decode_wav(b)
-                        tag = "wav"
+                        x, rate = {
+                            "wav": C.decode_wav,
+                            "aiff": C.decode_aiff,
+                            "au": C.decode_au,
+                        }[fmt](b)
+                        tag = fmt
                     except ValueError:
                         tag = "fallback"
                 if x is None:
                     raw = np.frombuffer(b or b"\x00", dtype=np.uint8)
                     x = ((raw.astype(np.float32) - 128.0) / 128.0)[:4096]
                 f = C.audio_features(x, rate)
-                if tag != "wav":
+                if tag not in ("wav", "aiff", "au"):
                     # the fake sample stream's length says nothing
                     # about the clip. Real duration preference:
                     # container headers (MP3/FLAC/OGG frame counts and
@@ -548,7 +553,8 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     external data; payloads are a pure function of (seed, media_id)).
     Images rotate through REAL PNG / baseline-JPEG (4:2:0, restart
     markers) / 24-bit BMP / lossless WebP (VP8L with a color cache),
-    audio rows are REAL 16-bit PCM WAVs, and
+    audio rows rotate through REAL 16-bit PCM WAV / AIFF / Sun AU,
+    and
     video rows are REAL minimal MP4 containers (ftyp/mdat/moov with
     exact stts/stsc/stsz/stco sample tables) whose frame payloads are
     deterministic opaque bytes standing in for coded pictures — the

@@ -1812,3 +1812,21 @@ def test_aiff_au_encoder_duals_round_trip():
     # f80 sample-rate field round-trips exactly for integer rates
     for r in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 1):
         assert C._read_f80(C._write_f80(r)) == r
+
+
+def test_audio_review_fixes():
+    # AU size=0 is an EMPTY clip, not unknown; trailing bytes after
+    # the header must not decode as audio
+    import struct as _struct
+    empty = (b".snd" + _struct.pack(">5I", 24, 0, 3, 8000, 1)
+             + b"trailing-metadata")
+    x, rate = C.decode_au(empty)
+    assert x.size == 0 and rate == 8000
+    assert C.audio_header_meta(empty)["duration_ms"] == 0
+    # AIFC G.711 stored bitrate uses 8 bits/sample even when COMM
+    # records the decompressed width
+    m = C.audio_header_meta(_audio("ulaw.aifc"))
+    assert m["format"] == "aiff"
+    assert m["bitrate_kbps"] == 11025 * 2 * 8 // 1000  # == AU branch
+    mu = C.audio_header_meta(_audio("ulaw.au"))
+    assert m["bitrate_kbps"] == mu["bitrate_kbps"]
