@@ -100,6 +100,22 @@ CHECKS = {
     "spider_cycle": [
         ("BroadcastHashJoin", "crawl gates join broadcast (tiny ok-set)"),
     ],
+    "decontaminate": [
+        ("BroadcastHashJoin", "the eval shingle dictionary broadcasts; "
+         "training data never shuffles for the join"),
+        ("xxhash64", "shingles leave the scan as 8-byte hashes, not "
+         "strings"),
+        ("partial_count", "per-doc aggregation combines map-side"),
+    ],
+    "substring_spans": [
+        ("xxhash64", "shingles shuffle as 8-byte hashes, not strings"),
+        ("partial_count", "per-doc aggregation combines map-side"),
+    ],
+    "training_mix": [
+        ("BroadcastHashJoin", "the contamination stage keeps its "
+         "broadcast shape inside the fused five-stage plan"),
+        ("xxhash64", "span/contam stages share the hashed-shingle form"),
+    ],
 }
 
 NEGATIVE_CHECKS = {
@@ -301,6 +317,20 @@ def main() -> None:
     plans["spider_cycle"] = spider_cycle(
         wlinks, seeds, allowed, resolved, max_depth=3
     )
+
+    # round-5 training-data operators: broadcast decontamination,
+    # hashed-shingle span stats, and the fused five-stage capstone
+    from open_source_search_engine_spark.operators.pipeline import (
+        decontaminate,
+        substring_dup_spans,
+        training_mix,
+    )
+
+    eval_docs = docs_meta.filter(F.col("docid") % 50 == 0)
+    train = docs_meta.filter(F.col("docid") % 50 != 0)
+    plans["decontaminate"] = decontaminate(train, eval_docs)
+    plans["substring_spans"] = substring_dup_spans(train)
+    plans["training_mix"] = training_mix(docs_meta, eval_docs)
 
     lines = ["# BENCH/plans.md — physical-plan audit (explain_audit.py)\n"]
     failures = []
