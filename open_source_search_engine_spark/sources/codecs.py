@@ -3834,6 +3834,61 @@ def image_meta(payload: bytes) -> dict:
             raise ValueError(
                 f"corrupt WebP: unknown first chunk {fourcc!r}"
             )
+    elif fmt == "pnm":
+        fields, _pos = _pnm_header(payload, 2)
+        w, h = fields
+    elif fmt == "xbm":
+        text = payload[:4096].decode("ascii", errors="replace")
+        mw = re.search(r"#define\s+\w*_?width\s+(\d+)", text)
+        mh = re.search(r"#define\s+\w*_?height\s+(\d+)", text)
+        if not mw or not mh:
+            raise ValueError("corrupt XBM: missing size defines")
+        w, h = int(mw.group(1)), int(mh.group(1))
+    elif fmt == "ras":
+        _m, w, h, depth, _l, _t, _mt, _ml = struct.unpack(
+            ">8i", payload[:32]
+        )
+        if depth == 32:
+            flags.add("alpha")
+    elif fmt == "sgi":
+        dimension, w, h, zsize = struct.unpack(">4H", payload[4:12])
+        if dimension == 3 and zsize >= 4:
+            flags.add("alpha")
+    elif fmt == "tiff":
+        le = payload[:2] == b"II"
+        e = "<" if le else ">"
+        (ifd,) = struct.unpack(e + "I", payload[4:8])
+        (cnt,) = struct.unpack(e + "H", payload[ifd:ifd + 2])
+        w = h = 0
+        for i in range(cnt):
+            tag, vals = _tiff_ifd_values(payload, ifd + 2 + 12 * i, le)
+            if vals is None:
+                continue
+            if tag == 256:
+                w = vals[0]
+            elif tag == 257:
+                h = vals[0]
+            elif tag == 277 and vals[0] == 4:
+                flags.add("alpha")
+            elif tag == 262 and vals[0] == 3:
+                flags.add("palette")
+    elif fmt == "exr":
+        # header attributes only: find dataWindow
+        pos2 = 8
+        w = h = 0
+        while pos2 < len(payload) and payload[pos2] != 0:
+            e1 = payload.index(b"\x00", pos2)
+            name = payload[pos2:e1]
+            pos2 = payload.index(b"\x00", e1 + 1) + 1
+            (sz,) = struct.unpack("<I", payload[pos2:pos2 + 4])
+            pos2 += 4
+            if name == b"dataWindow" and sz == 16:
+                x0, y0, x1, y1 = struct.unpack(
+                    "<4i", payload[pos2:pos2 + 16]
+                )
+                w, h = x1 - x0 + 1, y1 - y0 + 1
+            pos2 += sz
+        flags.add("lossless")
     else:
         raise ValueError(f"not an image (sniffed {fmt!r})")
     if w == 0 or h == 0:

@@ -1830,3 +1830,17 @@ def test_audio_review_fixes():
     assert m["bitrate_kbps"] == 11025 * 2 * 8 // 1000  # == AU branch
     mu = C.audio_header_meta(_audio("ulaw.au"))
     assert m["bitrate_kbps"] == mu["bitrate_kbps"]
+
+
+def test_image_meta_covers_round5_formats():
+    """The header-only admission path reads dims for every decodable
+    format — a format that decodes but can't be admitted cheaply
+    would force full decode just to filter."""
+    for name, flags_expect in (
+        ("ppm", ""), ("pbm", ""), ("xbm", ""), ("ras", "alpha"),
+        ("sgi", "alpha"), ("tiff", "alpha"), ("exr", "lossless"),
+    ):
+        m = C.image_meta(_imghdr(name))
+        assert (m["width"], m["height"]) == (16, 16), name
+        if flags_expect:
+            assert flags_expect in m["flags"], (name, m["flags"])
