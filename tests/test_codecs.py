@@ -1844,3 +1844,35 @@ def test_image_meta_covers_round5_formats():
         assert (m["width"], m["height"]) == (16, 16), name
         if flags_expect:
             assert flags_expect in m["flags"], (name, m["flags"])
+
+
+def test_tiff_structured_ifd_fuzz():
+    """Structured fuzz: random IFD tables (random tags, types, counts,
+    offsets) against decode_tiff and image_meta — every outcome must
+    be a clean decode or ValueError."""
+    import struct as _struct
+
+    rng = np.random.RandomState(21)
+    for _ in range(120):
+        n = int(rng.randint(0, 12))
+        entries = b""
+        for _ in range(n):
+            entries += _struct.pack(
+                "<HHI",
+                int(rng.choice([256, 257, 258, 259, 262, 273, 277,
+                                278, 279, 284, 320,
+                                int(rng.randint(0, 65535))])),
+                int(rng.randint(0, 14)),
+                int(rng.randint(0, 1 << rng.randint(1, 20))),
+            ) + bytes(rng.randint(0, 256, 4, dtype=np.uint8))
+        payload = (b"II*\x00" + _struct.pack("<I", 8)
+                   + _struct.pack("<H", n) + entries
+                   + _struct.pack("<I", 0)
+                   + bytes(rng.randint(0, 256,
+                                       int(rng.randint(0, 300)),
+                                       dtype=np.uint8)))
+        for fn in (C.decode_tiff, C.image_meta):
+            try:
+                fn(payload)
+            except ValueError:
+                pass
