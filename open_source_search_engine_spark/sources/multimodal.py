@@ -518,6 +518,27 @@ def sample_frames(
                             ]
                     except ValueError:
                         got = None  # corrupt stream → stand-in
+                elif C.sniff(b) == "webp":
+                    # animated lossless WebP: ANMF frames decode via
+                    # the real VP8L codec and composite per RFC 9649;
+                    # lossy-VP8 frames raise NotImplementedError and
+                    # take the stand-in (same disclosed gap as H.264)
+                    try:
+                        from . import vp8l as V
+
+                        meta = C.image_meta(b)
+                        if "animated" in meta["flags"]:
+                            fr = V.decode_webp_frames(b)
+                            if fr and (kind == "video"
+                                       or len(fr) > 1):
+                                got = [
+                                    (ts, C.encode_png(img))
+                                    for ts, img in _grid_samples(
+                                        fr, every_ms, max_frames
+                                    )
+                                ]
+                    except (ValueError, NotImplementedError):
+                        got = None  # corrupt / lossy → stand-in
                 if got is None:
                     if kind == "image":
                         continue  # stills don't get stand-in frames

@@ -711,8 +711,9 @@ def decode_webp(payload: bytes) -> np.ndarray:
     pixel decode genuinely needs libwebp (boolean arithmetic decoder +
     intra predictors + loop filter) and raises NotImplementedError so
     callers can route it to their disclosed fallback. Animated files
-    raise NotImplementedError likewise (frame bitstreams are VP8/VP8L
-    per-frame; sample_frames handles animation for GIF/APNG/MP4)."""
+    raise NotImplementedError from THIS single-image entry point —
+    use decode_webp_frames, which composites VP8L-coded animations
+    for real (sample_frames routes there)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     for cc, body in _walk_riff(payload):
@@ -728,6 +729,140 @@ def decode_webp(payload: bytes) -> np.ndarray:
                 "lossy VP8 pixel decode needs libwebp")
         # ALPH/ICCP/EXIF/XMP and unknown chunks: skip
     raise ValueError("WebP: no image bitstream chunk found")
+
+
+def decode_webp_frames(payload: bytes):
+    """Animated WebP (VP8X+ANIM+ANMF) → [(ts_ms, (h, w, 4) RGBA)]
+    composited frames at their start timestamps, REAL for
+    VP8L-coded frames (lossy-VP8 frames raise NotImplementedError,
+    the disclosed fallback route). Compositing per RFC 9649:
+    frames place at (2*X, 2*Y); blend bit 0 alpha-blends the frame
+    over the canvas, 1 overwrites the rect; dispose bit 1 fills the
+    frame rect with the ANIM background color (stored B,G,R,A) after
+    display. The initial canvas is transparent. A non-animated
+    payload returns its single still at ts 0."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    canvas_w = canvas_h = None
+    animated = False
+    bg_rgba = np.zeros(4, dtype=np.float32)
+    frames = []
+    ts = 0
+    canvas = None
+    for cc, body in _walk_riff(payload):
+        if cc == b"VP8X":
+            animated = bool(body[0] & 0x02)
+            canvas_w = 1 + int.from_bytes(body[4:7], "little")
+            canvas_h = 1 + int.from_bytes(body[7:10], "little")
+        elif cc == b"ANIM":
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg_rgba = np.array([r_, g_, b_, a_], dtype=np.float32)
+        elif cc == b"ANMF":
+            if canvas_w is None:
+                raise ValueError("WebP: ANMF before VP8X")
+            if canvas is None:
+                canvas = np.zeros((canvas_h, canvas_w, 4),
+                                  dtype=np.uint8)
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            # frame bitstream: sub-chunks after the 16-byte header
+            sub = body[16:]
+            fr = None
+            spos = 0
+            while spos + 8 <= len(sub):
+                scc = sub[spos:spos + 4]
+                ssz = int.from_bytes(sub[spos + 4:spos + 8], "little")
+                sbody = sub[spos + 8:spos + 8 + ssz]
+                if scc == b"VP8L":
+                    fr = decode_vp8l(sbody)
+                elif scc == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy VP8 animation frames need libwebp")
+                spos += 8 + ssz + (ssz & 1)
+            if fr is None:
+                raise ValueError("WebP: ANMF without a frame "
+                                 "bitstream")
+            if fr.shape[0] != fh or fr.shape[1] != fw:
+                raise ValueError("WebP: frame dims disagree with "
+                                 "ANMF header")
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError("WebP: frame outside canvas")
+            region = canvas[fy:fy + fh, fx:fx + fw]
+            if no_blend:
+                region[:] = fr
+            else:
+                fa = fr[:, :, 3:4].astype(np.float32) / 255.0
+                ca = region[:, :, 3:4].astype(np.float32) / 255.0
+                out_a = fa + ca * (1.0 - fa)
+                safe = np.maximum(out_a, 1e-6)
+                out_rgb = (fr[:, :, :3] * fa
+                           + region[:, :, :3] * ca * (1.0 - fa)) / safe
+                region[:, :, :3] = np.clip(
+                    np.round(out_rgb), 0, 255).astype(np.uint8)
+                region[:, :, 3] = np.clip(
+                    np.round(out_a[:, :, 0] * 255.0), 0, 255
+                ).astype(np.uint8)
+            frames.append((ts, canvas.copy()))
+            if dispose_bg:
+                canvas[fy:fy + fh, fx:fx + fw] = np.clip(
+                    np.round(bg_rgba), 0, 255).astype(np.uint8)
+            ts += dur
+    if animated and frames:
+        return frames
+    # still image (or animated flag without ANMF frames)
+    return [(0, decode_webp(payload))]
+
+
+def encode_webp_anim(frames, durations_ms, canvas_wh=None,
+                     offsets=None, blends=None, disposes=None,
+                     bg_rgba=(0, 0, 0, 0)) -> bytes:
+    """Encoder dual for decode_webp_frames: VP8X+ANIM+ANMF container
+    with VP8L-coded frames."""
+    if offsets is None:
+        offsets = [(0, 0)] * len(frames)
+    if blends is None:
+        blends = [True] * len(frames)  # True = alpha-blend
+    if disposes is None:
+        disposes = [False] * len(frames)
+    if canvas_wh is None:
+        canvas_wh = (frames[0].shape[1], frames[0].shape[0])
+    cw, ch = canvas_wh
+    chunks = []
+    vp8x = bytes([0x12, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") \
+        + (ch - 1).to_bytes(3, "little")
+    chunks.append((b"VP8X", vp8x))
+    r, g, b, a = bg_rgba
+    chunks.append((b"ANIM", bytes([b, g, r, a]) + (0).to_bytes(2,
+                                                               "little")))
+    for fr, dur, (fx, fy), blend, disp in zip(
+            frames, durations_ms, offsets, blends, disposes):
+        if fx % 2 or fy % 2:
+            raise ValueError("frame offsets must be even (stored /2)")
+        fh, fw = fr.shape[:2]
+        vp8l_file = encode_vp8l(fr)
+        vp8l_body = [bb for cc2, bb in _walk_riff(vp8l_file)
+                     if cc2 == b"VP8L"][0]
+        flags = (0 if blend else 0x02) | (0x01 if disp else 0)
+        hdr = ((fx // 2).to_bytes(3, "little")
+               + (fy // 2).to_bytes(3, "little")
+               + (fw - 1).to_bytes(3, "little")
+               + (fh - 1).to_bytes(3, "little")
+               + int(dur).to_bytes(3, "little") + bytes([flags]))
+        inner = b"VP8L" + struct.pack("<I", len(vp8l_body)) \
+            + vp8l_body + (b"\x00" if len(vp8l_body) & 1 else b"")
+        chunks.append((b"ANMF", hdr + inner))
+    out = b""
+    for cc, body in chunks:
+        out += cc + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WEBP" + out
 
 
 # ---------------------------------------------------------------------------
