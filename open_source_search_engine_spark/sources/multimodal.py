@@ -128,10 +128,20 @@ def _decode_with_codec(payload: bytes, kind: str) -> tuple[np.ndarray, str]:
                     "webp",
                 )
             except NotImplementedError:
-                # lossy VP8 / animated: a MISSING codec, not corrupt
-                # data — ride the disclosed fake path with tag 'fake',
-                # same as MP4
-                fmt = "_no_codec"
+                # animated: take the first composited frame when the
+                # frames are VP8L (same first-frame semantics as the
+                # GIF route); lossy VP8 is a MISSING codec and rides
+                # the disclosed fake path with tag 'fake', same as MP4
+                try:
+                    from . import vp8l as V
+
+                    first = V.decode_webp_frames(payload)[0][1]
+                    return (
+                        first.astype(np.float32).ravel() / 255.0,
+                        "webp",
+                    )
+                except NotImplementedError:
+                    fmt = "_no_codec"
         if fmt in ("pnm", "xbm", "ras", "sgi", "tiff"):
             arr = {
                 "pnm": C.decode_pnm, "xbm": C.decode_xbm,
@@ -625,21 +635,38 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         else:
             n_frames = int(rng.randint(3, 12))
             frame_ms = int(rng.choice([200, 400, 500]))
-            frames = [
-                bytes(
-                    (
-                        np.arange(int(rng.randint(64, 512)), dtype=np.int64)
-                        * (i + 7 + fi) % 251
-                    ).astype(np.uint8)
+            if (i // 3) % 4 == 3:
+                # animated LOSSLESS WebP video: REAL frames (VP8L),
+                # real compositing in the sampler
+                from . import vp8l as V
+
+                imgs = [
+                    rng.randint(0, 256, size=(16, 16, 4)).astype(
+                        np.uint8
+                    )
+                    for _ in range(n_frames)
+                ]
+                payload = V.encode_webp_anim(
+                    imgs, [frame_ms] * n_frames
                 )
-                for fi in range(n_frames)
-            ]
-            # every other video marks keyframes (stss, every 3rd
-            # sample) so keyframe-seek sampling is exercised too
-            payload = C.encode_mp4(
-                frames, frame_ms, sync_every=3 if i % 2 else 0
-            )
-            mime, wd, ht = "video/mp4", 64, 48
+                mime, wd, ht = "image/webp", 16, 16
+            else:
+                frames = [
+                    bytes(
+                        (
+                            np.arange(int(rng.randint(64, 512)),
+                                      dtype=np.int64)
+                            * (i + 7 + fi) % 251
+                        ).astype(np.uint8)
+                    )
+                    for fi in range(n_frames)
+                ]
+                # every other video marks keyframes (stss, every 3rd
+                # sample) so keyframe-seek sampling is exercised too
+                payload = C.encode_mp4(
+                    frames, frame_ms, sync_every=3 if i % 2 else 0
+                )
+                mime, wd, ht = "video/mp4", 64, 48
             dur = n_frames * frame_ms
         rows.append((i, kind, payload, mime, wd, ht, dur))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -106,9 +106,16 @@ def test_sample_frames_flatmap(spark, media):
     by_id = {}
     for r in out:
         by_id.setdefault(r["media_id"], []).append(r)
+    # video rows are MP4 (byte-exact demux) or animated lossless WebP
+    # (real VP8L frame compositing, PNG-encoded)
+    mp4_rows = {r["media_id"]: r for r in vid_rows
+                if C.sniff(bytes(r["payload"])) == "mp4"}
+    webp_rows = {r["media_id"] for r in vid_rows
+                 if C.sniff(bytes(r["payload"])) == "webp"}
+    assert mp4_rows and webp_rows  # the rotation covers both
     demuxed = {
-        r["media_id"]: dict(C.demux_mp4(bytes(r["payload"])))
-        for r in vid_rows
+        mid: dict(C.demux_mp4(bytes(r["payload"])))
+        for mid, r in mp4_rows.items()
     }
     for mid, frames in by_id.items():
         frames.sort(key=lambda f: f["frame_idx"])
@@ -117,8 +124,13 @@ def test_sample_frames_flatmap(spark, media):
         tss = [f["ts_ms"] for f in frames]
         assert tss == sorted(set(tss))  # strictly increasing real ts
         for f in frames:
-            # byte-exact: the frame is the demuxed sample at its ts
-            assert bytes(f["frame"]) == demuxed[mid][f["ts_ms"]]
+            if mid in mp4_rows:
+                # byte-exact: the frame is the demuxed sample at its ts
+                assert bytes(f["frame"]) == demuxed[mid][f["ts_ms"]]
+            else:
+                assert mid in webp_rows
+                img = C.decode_png(bytes(f["frame"]))
+                assert img.shape == (16, 16, 4)
 
 
 def test_sample_frames_zero_sample_mp4_takes_standin(spark):
