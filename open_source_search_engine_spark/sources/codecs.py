@@ -648,9 +648,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         if not top_down:
             rows = rows[::-1]
         return rows[:, :, ::-1].copy()  # BGR → RGB
-    if bpp == 32 and comp in (0, 3, 6):
+    if bpp in (16, 32) and comp in (0, 3, 6):
         if comp == 0:
-            rm, gm, bm, am = 0x00FF0000, 0x0000FF00, 0x000000FF, 0
+            if bpp == 32:
+                rm, gm, bm, am = 0x00FF0000, 0x0000FF00, 0x000000FF, 0
+            else:  # default 16-bpp is RGB555
+                rm, gm, bm, am = 0x7C00, 0x03E0, 0x001F, 0
         else:
             # masks live right after the 40-byte info header (comp 3:
             # RGB; comp 6 / header >= 56: + alpha) — same file offset
@@ -659,9 +662,18 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             am = 0
             if comp == 6 or hdr_size >= 56:
                 (am,) = struct.unpack("<I", payload[66:70])
-        px = np.frombuffer(
-            payload, dtype="<u4", count=w * h, offset=data_off
-        ).reshape(h, w)
+        if bpp == 16:
+            stride = (w * 2 + 3) & ~3  # rows still pad to 4 bytes
+            rows16 = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h,
+                offset=data_off
+            ).reshape(h, stride)[:, : w * 2]
+            px = rows16.reshape(h, w, 2).view("<u2")[:, :, 0].astype(
+                np.uint32)
+        else:
+            px = np.frombuffer(
+                payload, dtype="<u4", count=w * h, offset=data_off
+            ).reshape(h, w)
         if not top_down:
             px = px[::-1]
         r = _mask_extract(px, rm)

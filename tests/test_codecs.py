@@ -1876,3 +1876,43 @@ def test_tiff_structured_ifd_fuzz():
                 fn(payload)
             except ValueError:
                 pass
+
+
+def test_bmp_16bpp_rgb555_and_565():
+    """16-bpp BMP: default RGB555 (comp 0) and RGB565 BI_BITFIELDS,
+    hand-assembled with exact 5/6-bit values scaled per mask width."""
+    import struct as _struct
+
+    pix = [(31, 0, 0), (0, 31, 0), (0, 0, 31),
+           (31, 31, 0), (10, 20, 5), (31, 31, 31)]
+
+    def rows16(pack):
+        out = b""
+        for y in (1, 0):  # bottom-up
+            row = b"".join(
+                _struct.pack("<H", pack(*pix[y * 3 + x]))
+                for x in range(3)
+            )
+            out += row + b"\x00" * ((4 - len(row) % 4) % 4)
+        return out
+
+    d555 = rows16(lambda r, g, b: (r << 10) | (g << 5) | b)
+    h555 = _struct.pack("<2sIHHI", b"BM", 54 + len(d555), 0, 0, 54) \
+        + _struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 16, 0,
+                       len(d555), 2835, 2835, 0, 0)
+    img = C.decode_bmp(h555 + d555)
+    exp = np.array([[(v * 255) // 31 for v in p] for p in pix],
+                   dtype=np.uint8).reshape(2, 3, 3)
+    assert (img == exp).all()
+
+    d565 = rows16(lambda r, g, b: (r << 11) | ((g * 2) << 5) | b)
+    h565 = _struct.pack("<2sIHHI", b"BM", 66 + len(d565), 0, 0, 66) \
+        + _struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 16, 3,
+                       len(d565), 2835, 2835, 0, 0) \
+        + _struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    img2 = C.decode_bmp(h565 + d565)
+    exp2 = np.array(
+        [[(p[0] * 255) // 31, (p[1] * 2 * 255) // 63,
+          (p[2] * 255) // 31] for p in pix],
+        dtype=np.uint8).reshape(2, 3, 3)
+    assert (img2 == exp2).all()
