@@ -2138,3 +2138,381 @@ FROM secs s LEFT JOIN boiler b ON s.site = b.site AND s.h = b.h
 GROUP BY s.docid
 ORDER BY docid
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (round-5 addition)
+# ---------------------------------------------------------------------------
+
+
+def _gram_col(t: str, k: int):
+    """array<string> of space-joined k-grams of token array column
+    ``t`` — JVM expr, empty (not descending-sequence garbage) when the
+    doc has fewer than k tokens (sequence(0, -1) counts DOWN in Spark,
+    so the size guard is load-bearing)."""
+    joined = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(k))
+    return F.expr(
+        f"CASE WHEN size({t}) >= {k} THEN "
+        f"transform(sequence(0, size({t})-{k}), i -> {joined}) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    max_word: float = 0.30,
+    top_2gram: float = 0.20,
+    dup_3gram: float = 0.18,
+) -> DataFrame:
+    """(docid, n_tokens, max_word_frac, top_2gram_frac, dup_3gram_frac,
+    keep): Gopher-style repetition filters (Rae et al. 2021, "Scaling
+    Language Models", table A1 — public recipe). Deviations from the
+    paper, pinned here: fractions are over TOKEN positions, not
+    characters (exact rationals → exact oracle), and only the n=2 top-
+    gram and n=3 dup-gram signals are computed (the paper's n=2..4 /
+    n=5..10 families are the same aggregation at other k).
+
+    - max_word_frac   = count(most frequent token) / n_tokens
+    - top_2gram_frac  = 2 * count(most frequent 2-gram) / n_tokens
+      (overlapping occurrences all count, as in the paper's released
+      reimplementations, so degenerate repeats can exceed 1.0 — it is
+      a filter signal, not a probability)
+    - dup_3gram_frac  = (# 3-gram positions whose value occurs >= 2x
+                         in the doc) / (n_tokens - 2)
+    - keep            = all three under their thresholds
+
+    Scale: three explode -> groupBy((docid, gram)) -> groupBy(docid)
+    aggregations joined on docid. Shuffles carry (docid, gram-string,
+    count) only; map-side combine applies; no cross-doc state, so the
+    op is embarrassingly parallel over docs at any corpus size.
+    """
+    toks = tokens_col("text")
+    base = docs.select(
+        F.col("docid"), toks.alias("t"), F.size(toks).alias("n")
+    )
+
+    def _top(k: int, alias: str) -> DataFrame:
+        g = base.select(
+            "docid", F.explode(_gram_col("t", k)).alias("g")
+        )
+        return (
+            g.groupBy("docid", "g").count()
+            .groupBy("docid").agg(F.max("count").alias(alias))
+        )
+
+    g3 = base.select("docid", F.explode(_gram_col("t", 3)).alias("g"))
+    dup3 = (
+        g3.groupBy("docid", "g").count()
+        .groupBy("docid")
+        .agg(
+            F.sum(F.when(F.col("count") >= 2, F.col("count"))
+                  .otherwise(F.lit(0))).alias("dup3")
+        )
+    )
+    out = (
+        base.join(_top(1, "maxw"), "docid", "left")
+        .join(_top(2, "max2"), "docid", "left")
+        .join(dup3, "docid", "left")
+    )
+    n = F.col("n")
+    maxw_frac = F.when(n > 0, F.coalesce("maxw", F.lit(0)) / n).otherwise(0.0)
+    top2_frac = (
+        F.when(n >= 2, 2.0 * F.coalesce("max2", F.lit(0)) / n).otherwise(0.0)
+    )
+    dup3_frac = (
+        F.when(n >= 3, F.coalesce("dup3", F.lit(0)) / (n - 2)).otherwise(0.0)
+    )
+    return out.select(
+        "docid",
+        n.cast("long").alias("n_tokens"),
+        F.round(maxw_frac, 4).alias("max_word_frac"),
+        F.round(top2_frac, 4).alias("top_2gram_frac"),
+        F.round(dup3_frac, 4).alias("dup_3gram_frac"),
+        (
+            (maxw_frac <= max_word)
+            & (top2_frac <= top_2gram)
+            & (dup3_frac <= dup_3gram)
+        ).alias("keep"),
+    )
+
+
+def repetition_stats_sql(
+    max_word: float = 0.30,
+    top_2gram: float = 0.20,
+    dup_3gram: float = 0.18,
+) -> str:
+    """DuckDB replay of ``repetition_stats`` — same pinned
+    tokenization, same exact-rational fraction definitions (DuckDB
+    range(n) is empty for n <= 0, so short docs fall out naturally)."""
+    return f"""
+WITH arr AS (
+  SELECT doc_id AS docid,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+g1 AS (
+  SELECT docid, t[i+1] AS g FROM arr,
+    LATERAL (SELECT unnest(range(len(t))) AS i) s
+),
+g2 AS (
+  SELECT docid, t[i+1] || ' ' || t[i+2] AS g FROM arr,
+    LATERAL (SELECT unnest(range(len(t)-1)) AS i) s
+),
+g3 AS (
+  SELECT docid, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g FROM arr,
+    LATERAL (SELECT unnest(range(len(t)-2)) AS i) s
+),
+m1 AS (SELECT docid, max(c) AS maxw FROM
+       (SELECT docid, g, count(*) AS c FROM g1 GROUP BY 1,2) GROUP BY 1),
+m2 AS (SELECT docid, max(c) AS max2 FROM
+       (SELECT docid, g, count(*) AS c FROM g2 GROUP BY 1,2) GROUP BY 1),
+m3 AS (SELECT docid, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3 FROM
+       (SELECT docid, g, count(*) AS c FROM g3 GROUP BY 1,2) GROUP BY 1),
+base AS (
+  SELECT arr.docid, len(t) AS n,
+         CASE WHEN len(t) > 0
+              THEN coalesce(maxw, 0) * 1.0 / len(t) ELSE 0.0 END AS f1,
+         CASE WHEN len(t) >= 2
+              THEN 2.0 * coalesce(max2, 0) / len(t) ELSE 0.0 END AS f2,
+         CASE WHEN len(t) >= 3
+              THEN coalesce(dup3, 0) * 1.0 / (len(t) - 2)
+              ELSE 0.0 END AS f3
+  FROM arr
+  LEFT JOIN m1 ON m1.docid = arr.docid
+  LEFT JOIN m2 ON m2.docid = arr.docid
+  LEFT JOIN m3 ON m3.docid = arr.docid
+)
+SELECT docid, CAST(n AS BIGINT) AS n_tokens,
+       round(f1, 4) AS max_word_frac,
+       round(f2, 4) AS top_2gram_frac,
+       round(f3, 4) AS dup_3gram_frac,
+       (f1 <= {max_word} AND f2 <= {top_2gram} AND f3 <= {dup_3gram})
+         AS keep
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stupid-Backoff bigram LM perplexity (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+_SB_ALPHA = 0.4  # the fixed backoff factor of Brants et al. 2007
+
+
+def lm_train_counts(
+    docs: DataFrame, train_lang: str = "en"
+) -> tuple[DataFrame, DataFrame, int]:
+    """(unigram counts, bigram counts, total token count) of the
+    reference partition (lang == train_lang) — the CCNet recipe trains
+    the quality LM on a clean reference corpus and scores everything
+    with it (Wenzek et al. 2020; here the 'en' slice stands in).
+
+    Scale: two explode -> groupBy(term) counts with map-side combine;
+    the outputs are vocabulary-sized (<< corpus) and join back to the
+    scoring side by term. N is a single aggregate scalar (bounded
+    driver collect, same pattern as the manifest reads).
+    """
+    toks = tokens_col("text")
+    train = docs.filter(F.col("lang") == train_lang).select(
+        toks.alias("t")
+    )
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        train.select(F.explode(_gram_col("t", 2)).alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    )
+    n_total = uni.agg(F.sum("c1")).collect()[0][0] or 0
+    return uni, bi, int(n_total)
+
+
+def lm_perplexity(
+    docs: DataFrame, train_lang: str = "en"
+) -> DataFrame:
+    """(docid, n_scored, avg_logprob, ppl): Stupid-Backoff bigram LM
+    document scoring (Brants et al. 2007 "Large Language Models in
+    Machine Translation" — the published web-scale LM smoothing: no
+    normalization, trivially distributed) used CCNet-style (Wenzek et
+    al. 2020) as a quality / language-drift signal: train counts on
+    the clean reference slice (lang == train_lang), score EVERY doc.
+    Off-reference docs (other languages, gibberish) back off
+    constantly and surface with high perplexity — the filter signal.
+
+    Pinned scoring, per transition w1 -> w2 (positions 1..n-1):
+      S(w2|w1) = c2(w1 w2) / c1(w1)            if the bigram was seen
+               = 0.4 * c1(w2) / N              else, if w2 was seen
+               = 0.4 * 1 / N                   else (OOV floor)
+    avg_logprob = sum(log10 S) / (n-1), rounded 4; ppl = 10^(-avg),
+    computed FROM THE ROUNDED avg so both engines round identically.
+    Docs with < 2 tokens score n_scored = 0, avg_logprob = 0, ppl = 1.
+
+    Scale: doc transitions are pre-grouped per (docid, w1, w2) with
+    multiplicity k before joining the count tables, so the join input
+    is distinct-bigrams-per-doc, not token positions; the count
+    tables are vocabulary-sized and broadcast when small (AQE decides;
+    at a 1e8-term web vocabulary they shuffle-join on the term key,
+    the standard shape). One final groupBy(docid).
+    """
+    uni, bi, n_total = lm_train_counts(docs, train_lang)
+    n_total = max(n_total, 1)  # empty reference slice: floor-only LM
+    toks = tokens_col("text")
+    base = docs.select(F.col("docid"), toks.alias("t"))
+    pairs = (
+        base.select(
+            "docid", F.explode(_gram_col("t", 2)).alias("g")
+        )
+        .groupBy("docid", "g").agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("w1", F.split("g", " ")[0])
+        .withColumn("w2", F.split("g", " ")[1])
+    )
+    uni1 = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1p"))
+    uni2 = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1c"))
+    scored = (
+        pairs.join(bi, "g", "left")
+        .join(uni1, "w1", "left")
+        .join(uni2, "w2", "left")
+        .withColumn(
+            "s",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.col("c2") / F.col("c1p"),
+            ).otherwise(
+                F.lit(_SB_ALPHA)
+                * F.coalesce(F.col("c1c"), F.lit(1))
+                / F.lit(float(n_total))
+            ),
+        )
+    )
+    agg = scored.groupBy("docid").agg(
+        F.sum("k").cast("long").alias("n_scored"),
+        (F.sum(F.col("k") * F.log10("s")) / F.sum("k")).alias("raw"),
+    )
+    out = base.select("docid").join(agg, "docid", "left")
+    avg = F.round(F.coalesce("raw", F.lit(0.0)), 4)
+    return out.select(
+        "docid",
+        F.coalesce("n_scored", F.lit(0)).cast("long").alias("n_scored"),
+        avg.alias("avg_logprob"),
+        F.round(F.pow(F.lit(10.0), -avg), 4).alias("ppl"),
+    )
+
+
+def lm_perplexity_sql(train_lang: str = "en") -> str:
+    """DuckDB replay of ``lm_perplexity`` — identical pinned counts,
+    backoff cases and rounding; N is inlined as a subquery instead of
+    the Spark side's bounded scalar collect."""
+    return f"""
+WITH arr AS (
+  SELECT doc_id AS docid, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+tr1 AS (
+  SELECT t[i+1] AS w, count(*) AS c1 FROM arr,
+    LATERAL (SELECT unnest(range(len(t))) AS i) s
+  WHERE lang = '{train_lang}' GROUP BY 1
+),
+tr2 AS (
+  SELECT t[i+1] || ' ' || t[i+2] AS g, count(*) AS c2 FROM arr,
+    LATERAL (SELECT unnest(range(len(t)-1)) AS i) s
+  WHERE lang = '{train_lang}' GROUP BY 1
+),
+n_tot AS (SELECT greatest(coalesce(sum(c1), 0), 1) AS n FROM tr1),
+pairs AS (
+  SELECT docid, t[i+1] AS w1, t[i+2] AS w2, count(*) AS k FROM arr,
+    LATERAL (SELECT unnest(range(len(t)-1)) AS i) s
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT p.docid, p.k,
+         CASE WHEN c2 IS NOT NULL THEN c2 * 1.0 / u1.c1
+              ELSE {_SB_ALPHA} * coalesce(u2.c1, 1) / n_tot.n
+         END AS s
+  FROM pairs p
+  CROSS JOIN n_tot
+  LEFT JOIN tr2 ON tr2.g = p.w1 || ' ' || p.w2
+  LEFT JOIN tr1 u1 ON u1.w = p.w1
+  LEFT JOIN tr1 u2 ON u2.w = p.w2
+),
+agg AS (
+  SELECT docid, CAST(sum(k) AS BIGINT) AS n_scored,
+         round(sum(k * log10(s)) / sum(k), 4) AS avg_logprob
+  FROM scored GROUP BY 1
+)
+SELECT arr.docid,
+       coalesce(n_scored, 0) AS n_scored,
+       coalesce(avg_logprob, 0.0) AS avg_logprob,
+       round(pow(10.0, -coalesce(avg_logprob, 0.0)), 4) AS ppl
+FROM arr LEFT JOIN agg ON agg.docid = arr.docid
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex / RE2 common subset (no
+# lookaround, no backrefs) so the Spark side and the DuckDB oracle
+# compile the SAME strings. Application order is pinned (email first —
+# its local/domain parts would otherwise be chewed up by the narrower
+# number patterns; SSN before phone before IPv4 among the digit
+# shapes, most-specific first).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(docid, n_email, n_ssn, n_phone, n_ipv4, text_redacted):
+    training-data PII hygiene — count and mask email addresses, SSN/
+    phone-shaped numbers and IPv4 literals with pinned placeholder
+    tokens (the standard pre-training scrub, e.g. the BigScience ROOTS
+    pipeline's regex pass — public recipe).
+
+    All four passes are JVM ``regexp_replace``/``regexp_count`` on the
+    raw text — one narrow projection, zero shuffle, zero Python; at
+    100 TB this runs at scan speed next to the other per-doc signals.
+    Counts are computed BEFORE masking (order-independent); masking
+    applies in the pinned order above.
+    """
+    out = docs.select(
+        "docid",
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long").alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        F.col(text_col).alias("text_redacted"),
+    )
+    for _, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            "text_redacted",
+            F.regexp_replace("text_redacted", pat, repl),
+        )
+    return out
+
+
+def pii_redact_sql(source_sql: str = "documents",
+                   id_col: str = "doc_id") -> str:
+    """DuckDB replay of ``pii_redact`` (same pattern strings — RE2 and
+    Java regex agree on this subset; \\b and {m,n} included)."""
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT {id_col} AS docid,
+       {counts},
+       {red} AS text_redacted
+FROM {source_sql}
+"""

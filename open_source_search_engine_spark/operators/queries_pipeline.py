@@ -277,6 +277,33 @@ def doc_fingerprint(spark, sf_dir):
     return P.doc_fingerprint(_docs(spark, sf_dir))
 
 
+@register("repetition_stats", P.repetition_stats_sql(), extended=True)
+def repetition_stats(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021) — token-fraction
+    form, exact-rational, hash-checked against the DuckDB replay."""
+    return P.repetition_stats(_docs(spark, sf_dir))
+
+
+@register("lm_perplexity", P.lm_perplexity_sql(), extended=True)
+def lm_perplexity(spark, sf_dir):
+    """CCNet-style quality LM (Wenzek et al. 2020): Stupid-Backoff
+    bigram LM (Brants et al. 2007) trained on the lang='en' reference
+    slice, scoring every doc — off-reference docs back off constantly
+    and surface with high ppl."""
+    return P.lm_perplexity(_docs(spark, sf_dir))
+
+
+@register("pii_redact", P.pii_redact_sql(), extended=True)
+def pii_redact(spark, sf_dir):
+    """PII count+mask over the driver corpus. The synthetic documents
+    table contains no PII-shaped strings, so this row verifies exact
+    pass-through (counts 0, text unchanged) through both engines'
+    regex stacks; the redaction semantics themselves are pinned on a
+    crafted PII fixture in tests/test_pipeline.py with the same
+    DuckDB comparator."""
+    return P.pii_redact(_docs(spark, sf_dir))
+
+
 # One driver row verifies all four per-doc text-analysis operators
 # (language ID, quality scoring, token accounting, fingerprinting):
 # their outputs join on docid into one wide enrichment row — the shape

@@ -570,3 +570,110 @@ def test_training_mix_each_gate_rejects(spark):
         ).collect()
     }
     assert out2 == {1, 3}
+
+
+def test_repetition_stats_known_answer(spark):
+    """Hand-computed Gopher repetition signals (token-fraction form).
+
+    - 'batch batch batch': maxw 3/3, top-2gram 2*2/3 (overlapping
+      occurrences count -> can exceed 1), no duplicated trigram.
+    - 'a b c' x3: every trigram position is a duplicate -> dup3 = 1.
+    - 20 distinct tokens: all signals low -> keep.
+    """
+    rows = [
+        (1, "batch batch batch"),
+        (2, "a b c a b c a b c"),
+        (3, " ".join(f"w{i}" for i in range(20))),
+        (4, "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, text string")
+    got = {r["docid"]: r for r in P.repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert (r1["n_tokens"], r1["max_word_frac"]) == (3, 1.0)
+    assert r1["top_2gram_frac"] == round(4 / 3, 4)
+    assert r1["dup_3gram_frac"] == 0.0 and not r1["keep"]
+    r2 = got[2]
+    assert r2["max_word_frac"] == round(3 / 9, 4)
+    assert r2["top_2gram_frac"] == round(6 / 9, 4)
+    assert r2["dup_3gram_frac"] == 1.0 and not r2["keep"]
+    r3 = got[3]
+    assert r3["max_word_frac"] == 0.05
+    assert r3["top_2gram_frac"] == 0.1
+    assert r3["dup_3gram_frac"] == 0.0 and r3["keep"]
+    # single-token doc: no 2-/3-grams, fractions all defined as 0
+    r4 = got[4]
+    assert (r4["max_word_frac"], r4["top_2gram_frac"],
+            r4["dup_3gram_frac"]) == (1.0, 0.0, 0.0)
+
+
+def test_lm_perplexity_known_answer(spark):
+    """Exact Stupid-Backoff arithmetic on a 2-doc corpus.
+
+    Reference slice (en) is docs 1 AND 3: c1 = {a:3, b:2}, N = 5,
+    c2 = {'a b':2, 'b a':1}.
+    - en doc transitions: (a,b) k=2 at s = 2/3; (b,a) k=1 at s = 1/2
+      -> avg = (2*log10(2/3) + log10(1/2)) / 3.
+    - 'z z z' (fr): bigram AND unigram unseen -> OOV floor
+      s = 0.4 * 1/5 = 0.08 every transition -> avg = log10(0.08).
+    """
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en"), (2, "z z z", "fr"), (3, "a", "en")],
+        "docid long, text string, lang string",
+    )
+    got = {r["docid"]: r for r in P.lm_perplexity(docs).collect()}
+    avg1 = round((2 * math.log10(2 / 3) + math.log10(0.5)) / 3, 4)
+    assert got[1]["n_scored"] == 3
+    assert got[1]["avg_logprob"] == avg1
+    assert got[1]["ppl"] == round(10.0 ** (-avg1), 4)
+    avg2 = round(math.log10(0.08), 4)
+    assert got[2]["n_scored"] == 2
+    assert got[2]["avg_logprob"] == avg2
+    assert got[2]["ppl"] == round(10.0 ** (-avg2), 4)
+    # sub-2-token docs score nothing: avg 0, ppl 1
+    assert (got[3]["n_scored"], got[3]["ppl"]) == (0, 1.0)
+    # the CCNet property: off-reference docs rank above reference docs
+    assert got[2]["ppl"] > got[1]["ppl"]
+
+
+def test_pii_redact_known_answer_and_oracle(spark):
+    """Redaction semantics on a crafted PII fixture (the driver corpus
+    is PII-free, so its row only pins pass-through): counts per class,
+    pinned application order, and the DuckDB replay hash-agrees on the
+    SAME fixture (both engines compile the same RE2/Java-safe
+    patterns)."""
+    import duckdb
+    import pandas as pd
+    from conftest import assert_df_matches_duckdb
+
+    rows = [
+        (1, "mail me at jane.doe+spam@corp.example.com today"),
+        (2, "ssn 123-45-6789 phone 555-867-5309x bare 555 123 4567"),
+        (3, "server at 10.0.255.7 and 192.168.1.1: ports open"),
+        (4, "clean text with no identifiers at all"),
+        (5, "two mails a@b.io c@d.org one ip 8.8.8.8"),
+    ]
+    docs = spark.createDataFrame(rows, "docid long, text string")
+    out = {r["docid"]: r for r in P.pii_redact(docs).collect()}
+    assert out[1]["n_email"] == 1
+    assert out[1]["text_redacted"] == "mail me at <EMAIL> today"
+    # '555-867-5309x' is NOT a phone hit: 9 and x are both word chars,
+    # so \d{4}\b finds no boundary. '555 123 4567' (space separators) is.
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert "<SSN>" in out[2]["text_redacted"]
+    assert "555 123 4567" not in out[2]["text_redacted"]
+    assert out[3]["n_ipv4"] == 2
+    assert out[3]["text_redacted"] == "server at <IP> and <IP>: ports open"
+    assert out[4]["text_redacted"] == rows[3][1]
+    assert out[5]["n_email"] == 2 and out[5]["n_ipv4"] == 1
+    # DuckDB replay on the same fixture, same comparator as the driver
+    con = duckdb.connect()
+    con.register(
+        "pii_docs",
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    assert_df_matches_duckdb(
+        P.pii_redact(docs), con,
+        P.pii_redact_sql("pii_docs", "doc_id"),
+    )
