@@ -2516,3 +2516,59 @@ SELECT {id_col} AS docid,
        {red} AS text_redacted
 FROM {source_sql}
 """
+
+
+def training_mix_full(
+    docs: DataFrame, eval_docs: DataFrame,
+    min_quality: float = 0.5, max_dup_frac: float = 0.5,
+    lang: str = "en", k: int = 8, max_ppl: float = 31.0,
+) -> DataFrame:
+    """``training_mix`` plus the round-5 quality gates — ALL five
+    published filter families composed into one declarative plan:
+
+      1-5. the ``training_mix`` stages (exact dedup, C4/Gopher
+           quality, lang-id, cross-doc span cap, decontamination)
+      6.   Gopher repetition gate — ``repetition_stats(...).keep``
+      7.   LM quality ceiling — ``lm_perplexity(...).ppl <= max_ppl``
+           (CCNet: docs the reference LM finds surprising are cut)
+
+    The repetition signals are per-doc (corpus-independent) and the
+    quality LM is a FIXED reference model (trained on the lang slice
+    of the full corpus, not the deduped survivor set — the CCNet
+    recipe: the reference model does not move with the pipeline), so
+    both compute over ``docs`` directly and join the survivor set by
+    docid; the oracle composes the exact component SQLs the same way.
+    Catalyst reuses the shared tokenize scans via exchange reuse; the
+    audit columns of both new gates ride along in the output.
+    """
+    mix = training_mix(docs, eval_docs, min_quality, max_dup_frac,
+                       lang, k)
+    rep = repetition_stats(docs).select(
+        "docid", "top_2gram_frac",
+        F.col("keep").alias("rep_keep"),
+    )
+    ppl = lm_perplexity(docs, train_lang=lang).select("docid", "ppl")
+    return (
+        mix.join(rep, "docid")
+        .join(ppl, "docid")
+        .filter(F.col("rep_keep") & (F.col("ppl") <= max_ppl))
+        .select("docid", "n_tokens", "quality", "lang_pred",
+                "dup_frac", "top_2gram_frac", "ppl")
+    )
+
+
+def training_mix_full_sql(max_ppl: float = 31.0,
+                          lang: str = "en") -> str:
+    """DuckDB replay of ``training_mix_full``: the three component
+    oracles composed as CTEs, joined by docid, filtered identically."""
+    return f"""
+WITH mix AS ({TRAINING_MIX_SQL}),
+rep AS ({repetition_stats_sql()}),
+ppl AS ({lm_perplexity_sql(lang)})
+SELECT mix.docid, mix.n_tokens, mix.quality, mix.lang_pred,
+       mix.dup_frac, rep.top_2gram_frac, ppl.ppl
+FROM mix
+JOIN rep ON rep.docid = mix.docid
+JOIN ppl ON ppl.docid = mix.docid
+WHERE rep.keep AND ppl.ppl <= {max_ppl}
+"""

@@ -66,6 +66,17 @@ def training_mix(spark, sf_dir):
     return P.training_mix(docs, eval_docs)
 
 
+@register("training_mix_full", P.training_mix_full_sql(),
+          extended=True)
+def training_mix_full(spark, sf_dir):
+    """All seven gates (training_mix's five + Gopher repetition +
+    CCNet LM-perplexity ceiling) in one plan, oracle-paired end to
+    end. Same every-50th-doc eval split as training_mix."""
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("docid") % 50 == 0)
+    return P.training_mix_full(docs, eval_docs)
+
+
 @register("decontaminate", P.DECONTAMINATE_SQL, extended=True)
 def decontaminate(spark, sf_dir):
     """Eval-set decontamination demoed on a deterministic split: every

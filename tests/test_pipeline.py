@@ -677,3 +677,84 @@ def test_pii_redact_known_answer_and_oracle(spark):
         P.pii_redact(docs), con,
         P.pii_redact_sql("pii_docs", "doc_id"),
     )
+
+
+def test_training_mix_full_new_gates_reject(spark):
+    """Each round-5 gate rejects independently on top of the
+    training_mix five:
+
+    - doc 2 passes quality/lang (pure stopwords) but is a degenerate
+      2-gram repeat -> repetition gate cuts it;
+    - doc 3 reads as English (stopword profile) but its metadata lang
+      is 'fr', so the reference LM never sees its rare bigrams -> OOV
+      backoff -> ppl far above doc 1's -> LM ceiling cuts it;
+    - doc 1 passes everything at a threshold between the two ppls.
+    """
+    # doc 1: long, mostly-unique words with sparse stopwords — high
+    # quality, en stopword profile, no repeated grams (a natural-prose
+    # stand-in; denser stopword text trips the Gopher max-word gate,
+    # which is correct behavior for word-soup)
+    uniq = [f"w{i}" for i in range(34)]
+    a = " ".join(
+        ["the"] + uniq[:10] + ["and"] + uniq[10:20] + ["of"]
+        + uniq[20:27] + ["the"] + uniq[27:]
+    )
+    b = "the of " * 20
+    c = ("the xkcd of qwqw and zzzz the wwww of rrrr and ssss "
+         "the tttt of uuuu and vvvv the yyyy of hhhh and jjjj")
+    docs = spark.createDataFrame(
+        [(1, a, "en"), (2, b.strip(), "en"), (3, c, "fr")],
+        "docid long, text string, lang string",
+    )
+    ev = spark.createDataFrame(
+        [(-1, "nothing shared")], "docid long, text string"
+    )
+    ppls = {r["docid"]: r["ppl"]
+            for r in P.lm_perplexity(docs).collect()}
+    assert ppls[3] > ppls[1]  # OOV backoff dominates doc 3
+    mid = (ppls[1] + ppls[3]) / 2
+    got = {r["docid"]: r
+           for r in P.training_mix_full(docs, ev, max_ppl=mid).collect()}
+    assert set(got) == {1}
+    assert got[1]["ppl"] == ppls[1] and got[1]["top_2gram_frac"] <= 0.2
+    # with the LM ceiling lifted, doc 3 returns; doc 2 stays cut by
+    # the repetition gate alone
+    got2 = {r["docid"]
+            for r in P.training_mix_full(docs, ev, max_ppl=1e9).collect()}
+    assert got2 == {1, 3}
+
+
+def test_repetition_and_lm_random_differential(spark):
+    """Seeded random word-soup corpus (incl. empty / 1-token / all-
+    same-token edge docs) replayed through the DuckDB oracles with the
+    driver comparator — the same differential the driver runs, on a
+    nastier distribution than the testdata corpus."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from conftest import assert_df_matches_duckdb
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "the", "of", "x1", "y2"]
+    rows = []
+    for i in range(40):
+        n = rng.choice([0, 1, 2, 3, 5, 8, 13, 30])
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        lang = rng.choice(["en", "en", "fr", "zh"])
+        rows.append((i, text, lang))
+    rows.append((100, "same same same same same", "en"))
+    docs = spark.createDataFrame(
+        rows, "docid long, text string, lang string"
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]),
+    )
+    assert_df_matches_duckdb(
+        P.repetition_stats(docs), con, P.repetition_stats_sql()
+    )
+    assert_df_matches_duckdb(
+        P.lm_perplexity(docs), con, P.lm_perplexity_sql()
+    )
