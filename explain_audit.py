@@ -116,6 +116,23 @@ CHECKS = {
          "broadcast shape inside the fused five-stage plan"),
         ("xxhash64", "span/contam stages share the hashed-shingle form"),
     ],
+    "repetition_stats": [
+        ("Generate", "gram explode is builtin (JVM transform+explode, "
+         "no Python UDF)"),
+        ("partial_max", "per-(doc,gram) counts and the per-doc max "
+         "combine map-side before the docid shuffle"),
+    ],
+    "lm_perplexity": [
+        ("partial_count", "unigram/bigram count tables combine "
+         "map-side (vocabulary-sized outputs)"),
+        ("partial_sum", "per-doc log-prob sum combines map-side"),
+    ],
+    "training_mix_full": [
+        ("BroadcastHashJoin", "contamination keeps its broadcast shape "
+         "inside the seven-gate plan"),
+        ("xxhash64", "span/contam stages share the hashed-shingle form"),
+        ("partial_max", "the repetition gate's gram aggregation fuses in"),
+    ],
 }
 
 NEGATIVE_CHECKS = {
@@ -139,6 +156,17 @@ NEGATIVE_CHECKS = {
     ],
     "dns_cache": [
         ("BatchEvalPython", "resolver ip is JVM md5, not a Python UDF"),
+    ],
+    "repetition_stats": [
+        ("BatchEvalPython", "all gram math is JVM-side"),
+    ],
+    "lm_perplexity": [
+        ("BatchEvalPython", "LM training and scoring are JVM-side"),
+    ],
+    "pii_redact": [
+        ("Exchange", "pure narrow projection: regex count+mask runs at "
+                     "scan speed with ZERO shuffle"),
+        ("BatchEvalPython", "JVM regexp_count/regexp_replace only"),
     ],
 }
 
@@ -331,6 +359,20 @@ def main() -> None:
     plans["decontaminate"] = decontaminate(train, eval_docs)
     plans["substring_spans"] = substring_dup_spans(train)
     plans["training_mix"] = training_mix(docs_meta, eval_docs)
+
+    # round-5 quality gates: Gopher repetition, Stupid-Backoff LM,
+    # PII scrub, and the seven-gate capstone
+    from open_source_search_engine_spark.operators.pipeline import (
+        lm_perplexity,
+        pii_redact,
+        repetition_stats,
+        training_mix_full,
+    )
+
+    plans["repetition_stats"] = repetition_stats(docs_meta)
+    plans["lm_perplexity"] = lm_perplexity(docs_meta)
+    plans["pii_redact"] = pii_redact(docs_meta)
+    plans["training_mix_full"] = training_mix_full(docs_meta, eval_docs)
 
     lines = ["# BENCH/plans.md — physical-plan audit (explain_audit.py)\n"]
     failures = []
