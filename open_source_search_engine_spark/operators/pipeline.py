@@ -2147,13 +2147,15 @@ ORDER BY docid
 
 def _gram_col(t: str, k: int):
     """array<string> of space-joined k-grams of token array column
-    ``t`` — JVM expr, empty (not descending-sequence garbage) when the
-    doc has fewer than k tokens (sequence(0, -1) counts DOWN in Spark,
-    so the size guard is load-bearing)."""
-    joined = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(k))
+    ``t`` — the array-column sibling of ``shingles_col`` (same
+    slice + array_join idiom; that one tokenizes a text column
+    first). JVM expr, empty (not descending-sequence garbage) when
+    the doc has fewer than k tokens (sequence(0, -1) counts DOWN in
+    Spark, so the size guard is load-bearing)."""
     return F.expr(
         f"CASE WHEN size({t}) >= {k} THEN "
-        f"transform(sequence(0, size({t})-{k}), i -> {joined}) "
+        f"transform(sequence(1, size({t})-{k}+1), "
+        f"i -> array_join(slice({t}, i, {k}), ' ')) "
         f"ELSE CAST(array() AS array<string>) END"
     )
 
@@ -2192,9 +2194,9 @@ def repetition_stats(
     )
 
     def _top(k: int, alias: str) -> DataFrame:
-        g = base.select(
-            "docid", F.explode(_gram_col("t", k)).alias("g")
-        )
+        # k=1 is the token array itself — skip the identity rebuild
+        grams = F.col("t") if k == 1 else _gram_col("t", k)
+        g = base.select("docid", F.explode(grams).alias("g"))
         return (
             g.groupBy("docid", "g").count()
             .groupBy("docid").agg(F.max("count").alias(alias))
