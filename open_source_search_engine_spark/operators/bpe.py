@@ -20,10 +20,20 @@ steps are implemented scale-first:
   Python in the loop. The logical plan grows per round, so the vocab
   frame is localCheckpoint'ed every few rounds to keep planning cost
   bounded (same pattern as connected_components).
-- **Segmentation encodes each DISTINCT word once**, then
-  broadcast-joins the (word → n_subwords) dictionary back to the
-  exploded corpus — at web scale the per-doc cost is a join, not a
-  per-token BPE walk.
+- **Segmentation encodes each DISTINCT word once**, then joins the
+  (word → n_subwords) dictionary back to the per-doc word counts —
+  at web scale the per-doc cost is a join (AQE picks broadcast when
+  the dictionary is small enough), not a per-token BPE walk. The
+  corpus is scanned once: both the dictionary and the scoring side
+  hang off the same (docid, word) aggregate, whose shuffle stage the
+  DAG scheduler reuses across the jobs.
+- **Checkpoint hygiene**: the vocab frame is localCheckpoint'ed
+  every few rounds to bound plan depth (same reason as
+  connected_components) and superseded checkpoint blocks are
+  unpersisted as soon as their successor is materialized — a learn
+  call leaves NO persistent RDDs behind (its result is a plain
+  Python list); segment_words keeps only its final checkpoint alive
+  (its result DataFrame depends on it).
 
 Correctness: pinned against an independent pure-Python reference
 implementation of the published algorithm in tests/test_bpe.py
@@ -54,6 +64,32 @@ EOW = "$"
 _CKPT_EVERY = 8
 
 
+def _persisted_ids(sc) -> set:
+    out = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+
+def _drop_rdds(sc, idset: set) -> None:
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() in idset:
+            t._2().unpersist(False)
+
+
+def _ckpt_eager(df: DataFrame) -> tuple:
+    """(checkpointed df, persistent-RDD ids it registered): eager, so
+    the superseded generation can be dropped immediately after —
+    lineage is already truncated onto the new blocks."""
+    sc = df.sparkSession.sparkContext
+    before = _persisted_ids(sc)
+    ck = df.localCheckpoint(eager=True)
+    return ck, _persisted_ids(sc) - before
+
+
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, c): corpus word-frequency table — the single
     corpus-sized aggregation of the whole BPE pipeline."""
@@ -66,9 +102,12 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _initial_symbols():
     """word → array of single-char symbols with the EOW sentinel
     appended (paper form: the final symbol is distinct so merges
-    cannot cross word boundaries)."""
+    cannot cross word boundaries). regexp_extract_all('.') rather
+    than split(word, '') — the empty-regex split kept a trailing ''
+    element before Spark 3.4, which would silently poison the pair
+    counts."""
     return F.expr(
-        f"concat(split(word, ''), array('{EOW}'))"
+        f"concat(regexp_extract_all(word, '.', 0), array('{EOW}'))"
     )
 
 
@@ -114,28 +153,34 @@ def bpe_learn(
     Stops early when no pair occurs at least twice (merging a
     count-1 pair is meaningless and the reference stops there too).
     """
-    vocab = (
+    sc = docs.sparkSession.sparkContext
+    vocab, own = _ckpt_eager(
         word_freqs(docs, text_col)
         .select(_initial_symbols().alias("syms"), "c")
-        .localCheckpoint()
     )
     merges: list[tuple[str, str]] = []
-    for r in range(n_merges):
-        top = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < 2:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        vocab = vocab.select(
-            _merge_expr("syms", a, b).alias("syms"), "c"
-        )
-        if (r + 1) % _CKPT_EVERY == 0:
-            vocab = vocab.localCheckpoint()
+    try:
+        for r in range(n_merges):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < 2:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            vocab = vocab.select(
+                _merge_expr("syms", a, b).alias("syms"), "c"
+            )
+            if (r + 1) % _CKPT_EVERY == 0:
+                vocab, new_own = _ckpt_eager(vocab)
+                _drop_rdds(sc, own)  # superseded generation
+                own = new_own
+    finally:
+        # the result is a plain list — no checkpoint outlives the call
+        _drop_rdds(sc, own)
     return merges
 
 
@@ -146,15 +191,19 @@ def segment_words(
     word — the encode path, one chained JVM fold per merge (plan depth
     = len(merges); encode runs once per DISTINCT word, so the frame
     this operates on is vocabulary-sized)."""
+    sc = words.sparkSession.sparkContext
     out = words.select(
         "word", _initial_symbols().alias("syms")
     )
+    own: set = set()
     for i, (a, b) in enumerate(merges):
         out = out.select(
             "word", _merge_expr("syms", a, b).alias("syms")
         )
         if (i + 1) % _CKPT_EVERY == 0:
-            out = out.localCheckpoint()
+            out, new_own = _ckpt_eager(out)
+            _drop_rdds(sc, own)  # keep only the latest generation
+            own = new_own
     return out.select(
         "word",
         # strip the sentinel back off: a bare EOW symbol drops, a
@@ -175,22 +224,27 @@ def bpe_token_counts(
     text_col: str = "text",
 ) -> DataFrame:
     """(docid, n_tokens, n_bpe): exact learned-vocabulary subword
-    budget per document. Each distinct word is encoded ONCE
-    (vocabulary-sized frame), then the (word → n_sub) dictionary
-    broadcast-joins the exploded corpus — no BPE walk ever touches a
-    document twice, and the corpus-side plan is explode + join +
-    one docid groupBy."""
-    toks = (
+    budget per document. One corpus scan builds the (docid, word, k)
+    aggregate; the dictionary branch (distinct words → encode once)
+    and the scoring join both hang off that aggregate, so its
+    shuffle map stage is computed once and reused by the DAG
+    scheduler across the jobs. The dictionary join is left to AQE —
+    it broadcasts when the vocabulary is small enough and
+    shuffle-joins on the word key at web scale (a forced broadcast
+    would cap the vocabulary at the 8 GB broadcast limit)."""
+    dw = (
         docs.select("docid", F.explode(tokens_col(text_col)).alias("word"))
+        .groupBy("docid", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
     )
     dic = segment_words(
-        toks.select("word").distinct(), merges
+        dw.select("word").distinct(), merges
     ).select("word", F.size("subwords").alias("n_sub"))
     return (
-        toks.join(F.broadcast(dic), "word")
+        dw.join(dic, "word")
         .groupBy("docid")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("n_sub").cast("long").alias("n_bpe"),
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("n_sub")).cast("long").alias("n_bpe"),
         )
     )
