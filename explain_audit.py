@@ -127,6 +127,12 @@ CHECKS = {
          "map-side (vocabulary-sized outputs)"),
         ("partial_sum", "per-doc log-prob sum combines map-side"),
     ],
+    "doc_enrich": [
+        ("Generate", "all six per-doc signal families run off builtin "
+         "explodes in one fused plan"),
+        ("partial_count", "the LM count tables and gram aggregations "
+         "combine map-side"),
+    ],
     "training_mix_full": [
         ("BroadcastHashJoin", "contamination keeps its broadcast shape "
          "inside the seven-gate plan"),
@@ -162,6 +168,9 @@ NEGATIVE_CHECKS = {
     ],
     "lm_perplexity": [
         ("BatchEvalPython", "LM training and scoring are JVM-side"),
+    ],
+    "doc_enrich": [
+        ("BatchEvalPython", "the whole enrichment row is JVM-side"),
     ],
     "pii_redact": [
         ("Exchange", "pure narrow projection: regex count+mask runs at "
@@ -369,6 +378,11 @@ def main() -> None:
         training_mix_full,
     )
 
+    from open_source_search_engine_spark.operators.registry import (
+        spark_queries,
+    )
+
+    plans["doc_enrich"] = spark_queries()["doc_enrich"](spark, SF)
     plans["repetition_stats"] = repetition_stats(docs_meta)
     plans["lm_perplexity"] = lm_perplexity(docs_meta)
     plans["pii_redact"] = pii_redact(docs_meta)
